@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a count-ish action (collect on the
+already-aggregated/projected result would move rows to the driver; we use
+``df.write.format("noop")`` so the measurement is executor-side work only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per operator family — scan-agg, join, window, pair-join,
+# dedup, similarity, text. Keep ≤ ~12 so a bench round stays minutes.
+HEADLINE = [
+    "a7_tpch_q1_rollup",
+    "j1_join_inner",
+    "j2_join_left_broadcast_dim",
+    "j4_self_theta_pair_join",
+    "j5_semi_join",
+    "a1_count_distinct_group",
+    "a4_percentile_exact",
+    "w2_running_sum",
+    "w3_topk_per_group",
+    "w7_sessionize_gap",
+    "dd_exact_dup_groups",
+    "tx_token_stats",
+    "sim_cosine_to_centroid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from gpssbzd_spark import corpus, get_session
+
+    spark = get_session(app_name="gpssbzd_bench")
+    qs = corpus.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

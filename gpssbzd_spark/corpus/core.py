@@ -1,0 +1,685 @@
+"""Relational core: scans, filters, joins, aggregates, set ops, scalar fns.
+
+Each query name is prefixed by the SURVEY.md §2 operator id it exercises.
+All float outputs are rounded (both sides) so the driver's value-hash is
+stable across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpssbzd_spark.corpus import query
+from gpssbzd_spark.functions.geo import haversine_m, haversine_sql
+from gpssbzd_spark.operators.aggregates import any_flag, group_all_subgroups
+from gpssbzd_spark.operators.joins import anti_join_keys, pair_join, semi_join_keys
+from gpssbzd_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# §2.1/2.2 scans, projections, filters
+# --------------------------------------------------------------------------
+
+
+@query(
+    "p1_scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+    """,
+    note="P1/P4/P12: projection + pushdown filter reach the parquet scan",
+)
+def p1_scan_project_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1995-06-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@query(
+    "p5_filter_in_list",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    note="P5: IN-list filter (reference: broadcast isin, PPE:47-50)",
+)
+def p5_filter_in_list(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@query(
+    "p7_filter_compound_bool",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE (l_returnflag = 'R' AND l_quantity > 45)
+       OR (l_linestatus = 'O' AND l_discount < 0.02)
+       OR (l_tax IS NULL)
+    """,
+    note="P7/P13: 3-way OR with null-safe branch (SPE:157-161)",
+)
+def p7_filter_compound_bool(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45))
+        | ((F.col("l_linestatus") == "O") & (F.col("l_discount") < 0.02))
+        | F.col("l_tax").isNull()
+    )
+    return li.filter(cond).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "p8_sql_string_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    """,
+    note="P8: SQL-string predicate path (SPE:117 filter(\"cond1 = 1 AND ...\"))",
+)
+def p8_sql_string_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter("o_orderstatus = 'F' AND o_totalprice > 100000")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@query(
+    "p10_distinct_projection",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    note="P9/P10: distinct over a column subset (PPE:81 dropDuplicates)",
+)
+def p10_distinct_projection(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "p9_dedup_keep_first",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, MIN(c_custkey) AS first_custkey
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+    note="P9: deterministic dedup-on-subset — keep lowest key per dup group "
+    "(dropDuplicates keeps an arbitrary row; ours pins the survivor)",
+)
+def p9_dedup_keep_first(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.min("c_custkey").alias("first_custkey")
+    )
+
+
+@query(
+    "p13_null_handling",
+    oracle="""
+    SELECT event_id,
+           ROUND(COALESCE(NULLIF(value, 0.0), -1.0), 2) AS value_filled,
+           (value IS NULL OR value = 0.0) AS was_nullish
+    FROM events
+    """,
+    note="P13/P14: nullif/coalesce/literal null handling",
+)
+def p13_null_handling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    nullish = F.nullif(F.col("value"), F.lit(0.0))
+    return ev.select(
+        "event_id",
+        F.round(F.coalesce(nullish, F.lit(-1.0)), 2).alias("value_filled"),
+        (F.col("value").isNull() | (F.col("value") == 0.0)).alias("was_nullish"),
+    )
+
+
+@query(
+    "p12_cast_types",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS price_long
+    FROM lineitem
+    """,
+    note="P12: numeric/string casts (reference casts stringly CSV on use)",
+)
+def p12_cast_types(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.round("l_extendedprice", 0).cast("long").alias("price_long"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "j1_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, ROUND(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    note="J1: inner equi-join, dim filter pushed below the join",
+)
+def j1_join_inner(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+@query(
+    "j2_join_left_broadcast_dim",
+    oracle="""
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    note="J2: left join chain onto small dims — explicit broadcast hints "
+    "(reference joins bus_line without one, PPE:101-115)",
+)
+def j2_join_left_broadcast_dim(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "j3_join_left_attach_agg",
+    oracle="""
+    SELECT o.o_orderkey, COALESCE(s.n_items, 0) AS n_items
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+    ) s ON o.o_orderkey = s.l_orderkey
+    """,
+    note="J3: left join computed labels back onto rows (PTC:326)",
+)
+def j3_join_left_attach_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    return (
+        o.join(counts, o.o_orderkey == counts.l_orderkey, "left")
+        .select("o_orderkey", F.coalesce("n_items", F.lit(0)).alias("n_items"))
+    )
+
+
+@query(
+    "j4_self_theta_pair_join",
+    oracle="""
+    SELECT a.s_nationkey AS nationkey,
+           a.s_suppkey AS s_suppkey_1, b.s_suppkey AS s_suppkey_2,
+           ROUND(ABS(a.s_acctbal - b.s_acctbal), 2) AS bal_gap
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+    note="J4: self theta-join pair generator (equi + '<' residual) — the "
+    "trajectory-pair shape, PTC:232-245",
+)
+def j4_self_theta_pair_join(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier").withColumnRenamed("s_nationkey", "nationkey")
+    pairs = pair_join(s, "nationkey", "s_suppkey", payload=["s_acctbal"])
+    return pairs.select(
+        "nationkey",
+        "s_suppkey_1",
+        "s_suppkey_2",
+        F.round(F.abs(F.col("s_acctbal_1") - F.col("s_acctbal_2")), 2).alias("bal_gap"),
+    )
+
+
+@query(
+    "j5_semi_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+    """,
+    note="J5: left_semi replaces the reference's collect+broadcast+isin "
+    "driver round-trip (PPE:47-50) — stays distributed at 100 TB",
+)
+def j5_semi_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return semi_join_keys(li, big, on=["l_orderkey"]).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "j6_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    note="left_anti (NOT EXISTS) — absent in reference, required surface",
+)
+def j6_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join_keys(c, o, on=["c_custkey"]).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "a1_count_distinct_group",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    note="A1: exact countDistinct per group (PBZ:102-104 vehicles/cluster)",
+)
+def a1_count_distinct_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "a2_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           MAX(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS has_bulk,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="A2: max(when(pred,1)) 'any row satisfies' + count_if (SPE:104-118)",
+)
+def a2_conditional_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        any_flag(F.col("l_quantity") > 45).alias("has_bulk"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+    )
+
+
+@query(
+    "a3_cascaded_agg",
+    oracle="""
+    SELECT c_nationkey, MIN(sub_flag) AS all_active
+    FROM (
+      SELECT c_nationkey, c_custkey,
+             MAX(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS sub_flag
+      FROM customer GROUP BY c_nationkey, c_custkey
+    ) GROUP BY c_nationkey
+    """,
+    note="A3: two-level cascaded agg — 'do ALL subgroups satisfy' "
+    "(SBZ:112-143 signal escalation)",
+)
+def a3_cascaded_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return group_all_subgroups(
+        c,
+        group_by=["c_nationkey"],
+        subgroup_by=["c_custkey"],
+        pred=F.col("c_acctbal") > 0,
+        flag_name="all_active",
+    )
+
+
+@query(
+    "a4_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="A4: exact interpolated percentile (reference uses percentile_approx "
+    "for the per-vehicle gap threshold, PPE:124; exact keeps the oracle tight "
+    "— approx variant benchmarked separately)",
+)
+def a4_percentile_exact(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price")
+    )
+
+
+@query(
+    "a5_collect_list_ordered",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    note="A5: ORDER-SENSITIVE collect_list — reference relies on incidental "
+    "input order (PTC:143-145); ours imposes sort_array explicitly",
+)
+def a5_collect_list_ordered(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.sort_array(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.transform(arr, lambda x: x.cast("string")), ",").alias("lines")
+    )
+
+
+@query(
+    "a6_global_distinct_count",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+    note="A6: global distinct count (SBZ:58 total-vehicle count N)",
+)
+def a6_global_distinct_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "a7_tpch_q1_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    note="A7: multi-aggregate single pass (TPC-H Q1 shape)",
+)
+def a7_tpch_q1_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 sorts / top-k, §2.7 set ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "o1_global_topk",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    note="O1/O2: global top-k with deterministic tie-break "
+    "(TakeOrderedAndProject — no full sort at scale)",
+)
+def o1_global_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    note="§2.7: union + distinct (replaces reference's filesystem-level "
+    "union of per-line output dirs, PPE:255-256)",
+)
+def set_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "f1_datetime_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
+           CAST(date_part('month', o_orderdate) AS INTEGER) AS order_month,
+           CAST(date_part('day', o_orderdate) AS INTEGER) AS order_day,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+    FROM orders
+    """,
+    note="F1: datetime extraction + formatting + unix epoch (PPE:68, SBZ:84)",
+)
+def f1_datetime_parts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+    )
+
+
+@query(
+    "f1_timestamp_arithmetic",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) AS ts_ms,
+           epoch_ms(ts + INTERVAL 90 SECOND) AS ts_plus_90s_ms,
+           CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+             AS secs_since_epoch0
+    FROM events
+    """,
+    note="F1: timestamp ± seconds arithmetic (SPE:133-136 gap bounds); "
+    "epoch-ms output sidesteps ns-vs-us parquet precision",
+)
+def f1_timestamp_arithmetic(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.unix_millis(F.col("ts") + F.expr("INTERVAL 90 SECONDS")).alias("ts_plus_90s_ms"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(t0)).alias("secs_since_epoch0"),
+    )
+
+
+@query(
+    "f2_string_fns",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS custkey_padded
+    FROM customer
+    """,
+    note="F2: concat_ws composite key (PTC:227-228) + zero-padded ids",
+)
+def f2_string_fns(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("_", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("custkey_padded"),
+    )
+
+
+_HAVERSINE_ORACLE = haversine_sql(
+    "22.5 + (c_custkey % 100) * 0.001",
+    "113.8 + (c_nationkey % 50) * 0.002",
+    "22.5",
+    "113.8",
+)
+
+
+@query(
+    "f3_haversine_native",
+    oracle=f"""
+    SELECT c_custkey,
+           ROUND({_HAVERSINE_ORACLE}, 2) AS dist_m
+    FROM customer
+    """,
+    note="F3: native-column haversine (no UDF, codegen-able) — same formula "
+    "as the reference's fastHaversine UDF (PPE:56-65), R=6371000 m",
+)
+def f3_haversine_native(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    lat1 = F.lit(22.5) + (F.col("c_custkey") % 100) * 0.001
+    lng1 = F.lit(113.8) + (F.col("c_nationkey") % 50) * 0.002
+    return c.select(
+        "c_custkey",
+        F.round(haversine_m(lat1, lng1, F.lit(22.5), F.lit(113.8)), 2).alias("dist_m"),
+    )
+
+
+@query(
+    "f4_case_when",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 20 THEN 'mid'
+                ELSE 'small' END AS qty_band,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_return
+    FROM lineitem
+    """,
+    note="F4/P3: multi-branch CASE WHEN (SPE:82-102 gap classification)",
+)
+def f4_case_when(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 20, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_return"),
+    )
+
+
+@query(
+    "f5_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+    note="§2.11 F5: from_json/get_json_object over events.props "
+    "(engine extension — reference has no JSON surface)",
+)
+def f5_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@query(
+    "f5_array_struct_math",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+                                'sum'), 4) AS sq_norm
+    FROM embeddings
+    """,
+    note="F5: native array math — transform + aggregate on array<float> "
+    "(no Python boundary; the trajectory-array shape, PTC:143)",
+)
+def f5_array_struct_math(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(sq, 4).alias("sq_norm"),
+    )

@@ -1,0 +1,51 @@
+"""Geospatial column expressions — native, codegen-able, no UDFs.
+
+The reference wraps haversine in a Scala UDF registered for SQL strings
+(``Parallel/Pattern Extraction.scala:56-65``, ``Parallel/Blind Zone
+Detection.scala:33-44,51``), which is opaque to whole-stage codegen and
+blocks pushdown. Here it is a pure ``pyspark.sql.functions`` trig
+expression, so Catalyst folds it into codegen spans and the Python worker
+is never involved (SURVEY.md §2.8 F3, §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371000.0
+
+# ~40 km/h in m/s: the reference's plausibility bound for demoting a
+# signal-loss gap when the bus only moved a short distance
+# (``Standalone/Pattern Extraction.scala:93``: `11.11*(threshold-1)`).
+PLAUSIBLE_SPEED_MPS = 11.11
+
+
+def haversine_m(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
+    """Great-circle distance in meters (R=6,371,000 m as in the reference).
+
+    Argument order is (lat, lng) pairs — the reference's ``fastHaversine``
+    is called as ``(u.lat, u.lng, b.x, b.y)`` (``Parallel/Pattern
+    Extraction.scala:103``), i.e. ``x``=lat, ``y``=lng.
+    """
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlng = F.radians(lng2 - lng1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlng / 2) ** 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+
+
+def haversine_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """The same formula as an ANSI-SQL string (for oracles / spark.sql)."""
+    return (
+        f"2.0 * {EARTH_RADIUS_M} * atan2("
+        f"sqrt(pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lng2}) - ({lng1})) / 2), 2)), "
+        f"sqrt(1 - (pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lng2}) - ({lng1})) / 2), 2))))"
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-ready defaults.
+
+Replaces the reference's hand-tuned session configs
+(``Parallel/Trajectory Clustering.py:15-23``: 400 shuffle partitions,
+12-core/30g executors) with AQE-driven runtime tuning: adaptive
+coalescing sizes post-shuffle partitions, skew-join splitting replaces
+the reference's driver-side bin-packing for join/agg skew (SURVEY.md §4).
+
+On a real cluster only ``master``/memory change; the SQL configs below are
+the scale-relevant ones and hold from local[32] to 1000 executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "gpssbzd_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - AQE on: runtime partition coalescing + skew-join splitting stand in
+      for the reference's manual ``repartition(200)`` / bin-packing.
+    - Arrow on: all pandas-UDF boundaries (trajectory distance, DBSCAN,
+      text ops) move data in columnar batches.
+    - UTC session timezone: deterministic timestamp semantics and parity
+      with the DuckDB oracle (naive-UTC timestamps).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
