@@ -1,0 +1,223 @@
+"""GPS-pipeline corpus entries over driver-provided tables.
+
+The GPS pipelines' native inputs (pings, bus_line) aren't among the
+driver's fixture tables, so each entry derives a deterministic
+GPS-shaped table from ``events`` first, then runs the real pipeline
+code. The blind-zone cascade — the flagship — carries a full DuckDB
+oracle that re-implements qualification, speed, and the 0.5→0.75→1.0
+escalation in ANSI SQL; pattern extraction and clustering are
+rows-only (clustering is not SQL-expressible; pattern extraction's
+bound-fill cascade is checked by dedicated pytest goldens instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpssbzd_spark.corpus import query
+from gpssbzd_spark.functions.geo import haversine_sql
+from gpssbzd_spark.plans.blind_zone import detect_blind_zones
+from gpssbzd_spark.plans.pattern_extraction import extract_patterns, prepare_pings
+from gpssbzd_spark.plans.trajectory_clustering import cluster_trajectories
+from gpssbzd_spark.sources.tables import load_table
+
+
+def _derived_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → deterministic stage-3-input-shaped table."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("user_id") % 20).cast("string").alias("id"),
+        (F.col("user_id") % 5).cast("string").alias("linenumber"),
+        (F.lit(114.0) + (F.col("value") % 1.0) / 100).alias("lng"),
+        (F.lit(22.6) + (F.col("event_id") % 100) / 10000.0).alias("lat"),
+        (F.col("event_id") % 5).cast("string").alias("patternID"),
+        F.when(F.col("event_type") == "error", -1)
+        .otherwise((F.col("user_id") % 7).cast("int"))
+        .alias("cluster"),
+        F.col("ts"),
+    )
+
+
+_DERIVED_CLUSTERS_SQL = """
+  SELECT CAST(user_id % 20 AS VARCHAR) AS id,
+         CAST(user_id % 5 AS VARCHAR) AS linenumber,
+         114.0 + fmod(value, 1.0) / 100 AS lng,
+         22.6 + (event_id % 100) / 10000.0 AS lat,
+         CAST(event_id % 5 AS VARCHAR) AS patternID,
+         CASE WHEN event_type = 'error' THEN -1
+              ELSE CAST(user_id % 7 AS INTEGER) END AS cluster,
+         ts
+  FROM events
+"""
+
+_HAV_NEXT = haversine_sql("lat", "lng", "nlat", "nlng")
+
+_BZ_ORACLE = f"""
+WITH base AS ({_DERIVED_CLUSTERS_SQL}),
+filtered AS (SELECT * FROM base WHERE cluster <> -1),
+total AS (SELECT COUNT(DISTINCT id) AS n FROM filtered),
+qualified AS (
+  SELECT cluster
+  FROM filtered, total
+  GROUP BY cluster, total.n
+  HAVING COUNT(DISTINCT id) >= FLOOR(0.75 * total.n)
+),
+q AS (SELECT f.* FROM filtered f SEMI JOIN qualified USING (cluster)),
+speed AS (
+  SELECT *,
+         CASE WHEN nts IS NULL THEN 0
+              ELSE CAST(floor(epoch(nts)) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) END AS td,
+         CASE WHEN nlat IS NULL OR nlng IS NULL THEN 0.0
+              ELSE {_HAV_NEXT} END AS dist
+  FROM (
+    SELECT *,
+           lead(ts)  OVER w AS nts,
+           lead(lat) OVER w AS nlat,
+           lead(lng) OVER w AS nlng
+    FROM q
+    WINDOW w AS (PARTITION BY id, patternID ORDER BY ts)
+  )
+),
+spd AS (
+  SELECT id, patternID, cluster, lng, lat, ts,
+         CASE WHEN td = 0 THEN 0.0 ELSE dist / td END AS speed
+  FROM speed
+),
+s1 AS (
+  SELECT *,
+         CASE WHEN row_number() OVER (
+                PARTITION BY cluster, id, patternID
+                ORDER BY speed DESC, ts, lng, lat) = 1
+              THEN 0.5 END AS signal
+  FROM spd
+),
+all_fast AS (
+  SELECT cluster, MIN(has_fast) AS all_fast FROM (
+    SELECT cluster, id,
+           MAX(CASE WHEN signal = 0.5 AND speed > 10 THEN 1 ELSE 0 END) AS has_fast
+    FROM s1 GROUP BY cluster, id
+  ) GROUP BY cluster
+),
+s2 AS (
+  SELECT s1.* EXCLUDE (signal),
+         CASE WHEN s1.signal = 0.5 AND f.all_fast = 1 THEN 0.75
+              ELSE s1.signal END AS signal
+  FROM s1 LEFT JOIN all_fast f USING (cluster)
+),
+all_75 AS (
+  SELECT cluster, MIN(has_75) AS all_75 FROM (
+    SELECT cluster, id, patternID,
+           MAX(CASE WHEN signal = 0.75 THEN 1 ELSE 0 END) AS has_75
+    FROM s2 GROUP BY cluster, id, patternID
+  ) GROUP BY cluster
+),
+s3 AS (
+  SELECT s2.* EXCLUDE (signal),
+         CASE WHEN s2.signal = 0.75 AND f.all_75 = 1 THEN 1.0
+              ELSE s2.signal END AS signal
+  FROM s2 LEFT JOIN all_75 f USING (cluster)
+),
+s4 AS (
+  SELECT *,
+         lag(signal) OVER (PARTITION BY cluster, id, patternID ORDER BY ts)
+           AS prev_signal
+  FROM s3
+)
+SELECT id, patternID, cluster,
+       epoch_ms(ts) AS ts_ms,
+       ROUND(speed, 4) AS speed_r,
+       CASE WHEN signal IS NULL AND prev_signal IN (0.5, 0.75, 1.0)
+            THEN prev_signal ELSE signal END AS signal
+FROM s4
+"""
+
+
+@query(
+    "bz_pipeline_cascade",
+    oracle=_BZ_ORACLE,
+    note="FLAGSHIP: full stage-3 blind-zone pipeline (qualification → "
+    "speed → 0.5/0.75/1.0 cascade → propagation) on an events-derived "
+    "clusters table, vs a complete ANSI-SQL re-implementation",
+)
+def bz_pipeline_cascade(spark, sf_dir):
+    out = detect_blind_zones(_derived_clusters(spark, sf_dir))
+    return out.select(
+        "id",
+        "patternID",
+        "cluster",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("speed", 4).alias("speed_r"),
+        "signal",
+    )
+
+
+@query(
+    "pe_pipeline_segments",
+    oracle=None,
+    note="stage-1 pattern extraction end-to-end on events-derived pings "
+    "(bus_line derived from the pings' own endpoints); rows-only — the "
+    "bound-fill cascade is covered by pytest goldens",
+)
+def pe_pipeline_segments(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    gps = ev.select(
+        (F.col("user_id") % 20).cast("string").alias("id"),
+        (F.col("user_id") % 5).cast("string").alias("linenumber"),
+        F.lit("x").alias("opath"),
+        (F.lit(114.0) + (F.col("value") % 1.0) / 100).alias("lng"),
+        (F.lit(22.6) + (F.col("event_id") % 100) / 10000.0).alias("lat"),
+        F.date_format("ts", "yy-MM-dd HH:mm:ss").alias("t"),
+        F.col("ts"),
+    )
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "linenumber"
+        ).orderBy("ts")
+    )
+    ends = gps.withColumn("_rn", w).filter(F.col("_rn") == 1)
+    bus_line = ends.select(
+        F.col("linenumber").alias("existLine_id"),
+        F.col("lat").alias("x"),
+        F.col("lng").alias("y"),
+        F.lit(1).alias("direction"),
+        F.lit(1).alias("position"),
+    ).unionByName(
+        ends.select(
+            F.col("linenumber").alias("existLine_id"),
+            (F.col("lat") + 0.001).alias("x"),
+            (F.col("lng") + 0.001).alias("y"),
+            F.lit(2).alias("direction"),
+            F.lit(1).alias("position"),
+        )
+    )
+    prepared = prepare_pings(gps, bus_line)
+    return extract_patterns(prepared, start_marker="pre_gap")
+
+
+@query(
+    "tc_pipeline_dbscan",
+    oracle=None,
+    note="stage-2 trajectory clustering end-to-end (ordered collect_list "
+    "→ pair theta-join → pandas-UDF TRACLUS distance → applyInPandas "
+    "DBSCAN); non-SQL-expressible — structural checks live in pytest",
+)
+def tc_pipeline_dbscan(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    patterns = ev.select(
+        (F.col("user_id") % 20).cast("string").alias("id"),
+        (F.col("user_id") % 5).cast("string").alias("linenumber"),
+        (F.lit(114.0) + (F.col("value") % 1.0) / 100).alias("lng"),
+        (F.lit(22.6) + (F.col("event_id") % 100) / 10000.0).alias("lat"),
+        (F.col("event_id") % 5).cast("string").alias("patternID"),
+        F.col("ts"),
+    )
+    params = spark.createDataFrame(
+        [(str(i), 5.0, 2) for i in range(5)],
+        "linenumber string, eps float, min_samples int",
+    )
+    out = cluster_trajectories(patterns, params, mode="pairs")
+    return out.groupBy("linenumber", "cluster").agg(
+        F.countDistinct("id", "patternID").alias("n_trajectories")
+    )

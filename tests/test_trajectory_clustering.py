@@ -1,0 +1,181 @@
+"""Stage-2 tests: kernel functions + both execution modes end-to-end."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gpssbzd_spark.plans.trajectory_clustering import (
+    _great_circle_km,
+    assemble_trajectories,
+    cluster_trajectories,
+    dbscan_precomputed,
+    trajectory_distance,
+)
+
+
+# ---------------- kernel: trajectory distance ----------------
+
+
+def _line(lng0, lat0, dlng, dlat, n=5):
+    return np.array([[lng0 + i * dlng, lat0 + i * dlat] for i in range(n)])
+
+
+def test_distance_identity_zero():
+    tr = _line(114.0, 22.6, 0.001, 0.0)
+    # identical trajectories: endpoints project onto themselves and the
+    # chords are parallel → all three components vanish
+    assert trajectory_distance(tr, tr) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_distance_parallel_offset():
+    a = _line(114.0, 22.60, 0.001, 0.0)
+    b = _line(114.0, 22.61, 0.001, 0.0)  # ~1.11 km north, parallel
+    d = trajectory_distance(a, b)
+    # d_h = d_v ≈ 1.11 km (reference duplicates the component), angular ≈ 0
+    assert d == pytest.approx(2 * 1.112, rel=0.05)
+
+
+def test_distance_perpendicular_uses_length():
+    a = _line(114.0, 22.6, 0.001, 0.0)
+    b = np.array([[114.002, 22.598], [114.002, 22.602]])  # crossing, 90°
+    d = trajectory_distance(a, b)
+    len_a = sum(_great_circle_km(a[i - 1], a[i]) for i in range(1, len(a)))
+    len_b = _great_circle_km(b[0], b[1])
+    assert d >= min(len_a, len_b) * 0.99  # angular term dominates
+
+
+def test_great_circle_known_distance():
+    # Shenzhen ~0.01° lng at lat 22.6 ≈ 1.026 km
+    d = _great_circle_km(np.array([114.0, 22.6]), np.array([114.01, 22.6]))
+    assert d == pytest.approx(1.026, rel=0.01)
+
+
+# ---------------- kernel: DBSCAN ----------------
+
+
+def test_dbscan_two_clusters_and_noise():
+    # points on a line: {0,1,2} close, {10,11,12} close, {50} isolated
+    xs = np.array([0.0, 1.0, 2.0, 10.0, 11.0, 12.0, 50.0])
+    dist = np.abs(xs[:, None] - xs[None, :])
+    labels = dbscan_precomputed(dist, eps=1.5, min_samples=3)
+    assert labels[0] == labels[1] == labels[2] != -1
+    assert labels[3] == labels[4] == labels[5] != -1
+    assert labels[0] != labels[3]
+    assert labels[6] == -1
+
+
+def test_dbscan_min_samples_counts_self():
+    xs = np.array([0.0, 1.0, 100.0])
+    dist = np.abs(xs[:, None] - xs[None, :])
+    # min_samples=2: {0,1} are core (self + one neighbor)
+    labels = dbscan_precomputed(dist, eps=1.5, min_samples=2)
+    assert labels[0] == labels[1] != -1 and labels[2] == -1
+    # min_samples=3: nobody is core
+    labels = dbscan_precomputed(dist, eps=1.5, min_samples=3)
+    assert list(labels) == [-1, -1, -1]
+
+
+# ---------------- end-to-end on a synthetic patterns table ----------------
+
+
+@pytest.fixture(scope="module")
+def patterns(spark):
+    """3 lines; LA has two bundles of near-identical trajectories plus an
+    outlier; LB has two similar trajectories; LC has no params row."""
+    rows = []
+
+    def add_traj(line, vid, pid, lng0, lat0, dlng, dlat, n=6):
+        for i in range(n):
+            rows.append(
+                (vid, lng0 + i * dlng, lat0 + i * dlat, f"2019-02-01 08:{i:02d}:00",
+                 str(pid), line)
+            )
+
+    # line LA bundle 1: three trajectories within ~100 m of each other
+    add_traj("LA", "v1", 1, 114.000, 22.600, 0.002, 0.0)
+    add_traj("LA", "v2", 1, 114.000, 22.6005, 0.002, 0.0)
+    add_traj("LA", "v3", 1, 114.000, 22.601, 0.002, 0.0)
+    # line LA bundle 2: two trajectories far north
+    add_traj("LA", "v1", 2, 114.000, 22.700, 0.002, 0.0)
+    add_traj("LA", "v2", 2, 114.000, 22.7005, 0.002, 0.0)
+    # line LA outlier: perpendicular and far away
+    add_traj("LA", "v9", 1, 114.100, 22.650, 0.0, 0.002)
+    # line LB: two similar
+    add_traj("LB", "v4", 1, 113.900, 22.650, 0.002, 0.0)
+    add_traj("LB", "v5", 1, 113.900, 22.6502, 0.002, 0.0)
+    # line LC: has trajectories but no params → label null
+    add_traj("LC", "v6", 1, 113.950, 22.640, 0.002, 0.0)
+    df = spark.createDataFrame(
+        rows, "id string, lng double, lat double, t string, patternID string, linenumber string"
+    )
+    return df.withColumn("ts", F.to_timestamp("t"))
+
+
+@pytest.fixture(scope="module")
+def line_params(spark):
+    return spark.createDataFrame(
+        [("LA", 1.0, 2), ("LB", 1.0, 2)],
+        "linenumber string, eps float, min_samples int",
+    )
+
+
+def test_assemble_orders_points(spark, patterns):
+    traj = assemble_trajectories(patterns)
+    row = traj.filter("linenumber = 'LA' AND id = 'v1' AND patternID = '1'").first()
+    lngs = [p["lng"] for p in row["points"]]
+    assert lngs == sorted(lngs)
+    assert len(lngs) == 6
+
+
+@pytest.mark.parametrize("mode", ["pairs", "local"])
+def test_cluster_modes(spark, patterns, line_params, mode):
+    out = cluster_trajectories(patterns, line_params, mode=mode).cache()
+    labels = {
+        (r["linenumber"], r["id"], r["patternID"]): r["cluster"]
+        for r in out.select("linenumber", "id", "patternID", "cluster").distinct().collect()
+    }
+    # LA bundle 1 clusters together, bundle 2 clusters together, separately
+    b1 = {labels[("LA", v, "1")] for v in ("v1", "v2", "v3")}
+    b2 = {labels[("LA", v, "2")] for v in ("v1", "v2")}
+    assert len(b1) == 1 and -1 not in b1
+    assert len(b2) == 1 and -1 not in b2
+    assert b1 != b2
+    # outlier is noise
+    assert labels[("LA", "v9", "1")] == -1
+    # LB pair clusters
+    assert labels[("LB", "v4", "1")] == labels[("LB", "v5", "1")] != -1
+    # LC has no params → null label
+    assert labels[("LC", "v6", "1")] is None
+
+
+def test_modes_agree(spark, patterns, line_params):
+    a = cluster_trajectories(patterns, line_params, mode="pairs")
+    b = cluster_trajectories(patterns, line_params, mode="local")
+    pa = {
+        (r["linenumber"], r["id"], r["patternID"]): r["cluster"]
+        for r in a.select("linenumber", "id", "patternID", "cluster").distinct().collect()
+    }
+    pb = {
+        (r["linenumber"], r["id"], r["patternID"]): r["cluster"]
+        for r in b.select("linenumber", "id", "patternID", "cluster").distinct().collect()
+    }
+    # same noise/cluster structure up to label renumbering
+    assert set(pa) == set(pb)
+    for k in pa:
+        assert (pa[k] == -1) == (pb[k] == -1), k
+        assert (pa[k] is None) == (pb[k] is None), k
+    # label partitions identical
+    from collections import defaultdict
+
+    def partition(p):
+        groups = defaultdict(set)
+        for k, v in p.items():
+            if v is not None and v != -1:
+                groups[(k[0], v)].add(k)
+        return {frozenset(v) for v in groups.values()}
+
+    assert partition(pa) == partition(pb)
