@@ -142,3 +142,229 @@ def sim_cosine_to_centroid(spark, sf_dir):
         "vec_id",
         F.round(dot / (norm("embedding") * norm("qv")), 4).alias("cos_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup / similarity / text / multimodal library entries
+# --------------------------------------------------------------------------
+
+from pyspark.sql import functions as _F  # noqa: E402
+
+from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
+    minhash_dedup_pairs,
+    simhash64,
+    hamming64,
+)
+from gpssbzd_spark.dataprep.multimodal import (  # noqa: E402
+    extract_features,
+    media_from_binary,
+)
+from gpssbzd_spark.dataprep.similarity import brute_force_topk, lsh_topk  # noqa: E402
+from gpssbzd_spark.dataprep.text import STOPWORDS, doc_fingerprint, language_id  # noqa: E402
+
+
+@query(
+    "dd_minhash_lsh_pairs",
+    oracle=None,
+    note="MinHash(64)+LSH(16 bands) near-dup candidates verified by exact "
+    "shingle Jaccard ≥ 0.5 — all-native candidate generation; rows-only "
+    "(xxhash64 has no DuckDB twin); precision/recall covered in pytest",
+)
+def dd_minhash_lsh_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        d, id_col="doc_id", text_col="text", k=5, num_perm=64, bands=16, threshold=0.5
+    )
+
+
+@query(
+    "dd_simhash_buckets",
+    oracle=None,
+    note="SimHash64 fingerprints; groups sharing a fingerprint are "
+    "near-dup candidates (rows-only: hash family engine-specific)",
+)
+def dd_simhash_buckets(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("simhash", simhash64(_F.col("text")))
+        .groupBy("simhash")
+        .agg(_F.count("*").alias("n_docs"), _F.min("doc_id").alias("canonical"))
+    )
+
+
+@query(
+    "tx_token_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))),
+                 4) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8
+    """,
+    note="n-gram(1) token Jaccard dedup within source groups — native "
+    "array_intersect/union vs DuckDB list fns",
+)
+def tx_token_jaccard_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        _F.array_distinct(_F.split(_F.lower(_F.trim("text")), r"\s+")).alias("tok"),
+    )
+    a = toks.select(
+        _F.col("source"), _F.col("doc_id").alias("id_a"), _F.col("tok").alias("tok_a")
+    )
+    b = toks.select(
+        _F.col("source"), _F.col("doc_id").alias("id_b"), _F.col("tok").alias("tok_b")
+    )
+    inter = _F.size(_F.array_intersect("tok_a", "tok_b")).cast("double")
+    union = (_F.size("tok_a") + _F.size("tok_b")).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(b, "source")
+        .filter(_F.col("id_a") < _F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(_F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", _F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_intersect(list_distinct(regexp_split_to_array("
+            f"lower(trim(text)), '\\s+')), [{lst}])) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@query(
+    "tx_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_declared, text, {_lang_scores_sql()}
+      FROM documents
+    )
+    SELECT doc_id, lang_declared,
+           CASE
+             WHEN 2 * length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                  > length(text) THEN 'zh'
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_guess
+    FROM scored
+    """,
+    note="language-ID n-gram/stopword heuristic — native array_intersect "
+    "scoring + CJK codepoint fast path, vs the same rule inlined in SQL",
+)
+def tx_language_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _F.col("lang").alias("lang_declared"),
+        language_id(_F.col("text")).alias("lang_guess"),
+    )
+
+
+@query(
+    "tx_fingerprint_groups",
+    oracle=None,
+    note="winnowing document fingerprint (k=7 shingle hashes → window "
+    "minima → set hash); rows-only (xxhash64-based) — stability-under-"
+    "edit is property-tested in pytest",
+)
+def tx_fingerprint_groups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", doc_fingerprint(_F.col("text")))
+        .groupBy("fp")
+        .agg(_F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "sim_topk_brute",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.v, q.qv) AS cos_sim
+      FROM e, q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    note="brute-force cosine top-k per query (10 queries × full corpus): "
+    "broadcast queries, native dot product, row_number top-k",
+)
+def sim_topk_brute(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(_F.col("vec_id") < 10).select(
+        _F.col("vec_id").alias("query_id"), _F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(em, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", _F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=None,
+    note="hyperplane-LSH cosine top-k, OR-amplified (8 tables) + 1-bit "
+    "multi-probe (the 100 TB path: candidates restricted to bucket "
+    "matches); recall vs brute force is asserted in pytest, rows-only here",
+)
+def sim_topk_lsh(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(_F.col("vec_id") < 10).select(
+        _F.col("vec_id").alias("query_id"), _F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(em, queries, dim=64, k=5, n_planes=8, n_tables=8, probes=1)
+
+
+@query(
+    "mm_feature_extract",
+    oracle=None,
+    note="multimodal plumbing: binary media column → mapInPandas feature "
+    "extraction (deterministic fake decode kernel; real decode stubbed "
+    "behind NotImplementedError)",
+)
+def mm_feature_extract(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = media_from_binary(
+        d.withColumn("blob", _F.col("text").cast("binary")),
+        id_col="doc_id",
+        content_col="blob",
+        kind="image",
+        mime="application/octet-stream",
+    )
+    feats = extract_features(media, decode="fake")
+    return feats.groupBy("kind").agg(
+        _F.count("*").alias("n_media"),
+        _F.sum("n_bytes").alias("total_bytes"),
+        _F.min(_F.size("feature")).alias("feat_dim"),
+    )

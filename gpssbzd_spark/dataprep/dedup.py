@@ -1,0 +1,179 @@
+"""Deduplication operators for a training-data pipeline at 100 TB
+(SURVEY.md §2.11 extension surface; not present in the reference).
+
+Design:
+
+- **Exact** dedup is a hash-groupBy: the md5 of the normalized text is
+  the shuffle key, so the groupBy stays balanced even when raw doc
+  lengths are skewed.
+- **MinHash + LSH** near-dedup is implemented entirely with native
+  column expressions — shingling (``sequence`` + ``substring``), base
+  hashing (``xxhash64``), and the permutation family
+  ``h_i(x) = a_i·x + b_i (mod 2^64)`` (odd ``a_i`` ⇒ bijective on the
+  64-bit ring, the standard multiply-shift construction) are all
+  JVM-side and codegen-able; no Python worker in the candidate-
+  generation path. Banding turns the O(n²) similarity join into
+  ``#bands`` equi-joins on (band_id, band_hash) — the only shuffles.
+- **SimHash** needs per-bit majority voting across token hashes, which
+  has no native columnar form — one Arrow-batched pandas UDF
+  (numpy ``unpackbits``), the documented slow path.
+
+Candidate pairs are verified with EXACT shingle-set Jaccard
+(``array_intersect``/``array_union`` cardinalities) before being
+reported, so LSH tuning only affects recall, never precision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one deterministic survivor (min id) per exact text."""
+    w_key = F.md5(F.col(text_col).cast("binary"))
+    survivors = df.groupBy(w_key.alias("_h")).agg(F.min(id_col).alias(id_col))
+    return df.join(survivors.select(id_col), id_col, "left_semi")
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct lowercase character k-shingles, natively.
+
+    ``sequence(1, len-k+1)`` + ``substring`` — no UDF; empty/short text
+    yields an empty array.
+    """
+    s = F.lower(col)
+    n = F.length(s)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(F.transform(idx, lambda i: F.substr(s, i, F.lit(k))))
+
+
+def minhash_signature(
+    shingle_col: Column, num_perm: int = 64, seed: int = 42
+) -> Column:
+    """num_perm-long minhash signature as array<bigint>, natively.
+
+    Hash family: ``xxhash64(seed ⊕ i, shingle)`` — an independent keyed
+    hash per permutation, with no arithmetic that could overflow under
+    ANSI mode (the classic a·h+b multiply-shift family wraps mod 2^64,
+    which Spark 4's ANSI dialect rejects).
+    """
+    def perm_min(i: int) -> Column:
+        salt = F.lit(seed ^ i)
+        # one-arg lambda: transform must not bind the array index
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(salt, s)))
+
+    return F.array(*[perm_min(i) for i in range(num_perm)])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    bands: int = 16,
+) -> DataFrame:
+    """Banding: docs sharing any band hash become a candidate pair.
+
+    One explode + one self equi-join on (band, band_hash); the join key
+    includes the band id so bands never cross-match. Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    r = (F.size(F.col(sig_col)) / bands).cast("int")
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda band: F.struct(
+            band.alias("band"),
+            F.xxhash64(
+                band,
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col(sig_col), band * r + 1, r),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            ).alias("band_hash"),
+        ),
+    )
+    banded = df.select(
+        F.col(id_col), F.explode(band_hashes).alias("_bh")
+    ).select(id_col, F.col("_bh.band").alias("band"), F.col("_bh.band_hash").alias("band_hash"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates verified by exact
+    shingle Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    prepped = df.select(
+        F.col(id_col),
+        char_shingles(F.col(text_col), k).alias("_sh"),
+    ).withColumn("signature", minhash_signature(F.col("_sh"), num_perm, seed))
+
+    cands = lsh_candidate_pairs(prepped, id_col, "signature", bands)
+
+    sh = prepped.select(F.col(id_col), F.col("_sh"))
+    pairs = (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "_sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64_udf(token_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash over pre-hashed token arrays (numpy bit counting)."""
+    out = np.zeros(len(token_arrays), dtype=np.int64)
+    for i, hashes in enumerate(token_arrays):
+        if hashes is None or len(hashes) == 0:
+            continue
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1)
+        votes = bits.sum(axis=0) * 2 - len(h)  # +1 per set bit, −1 per clear
+        sim_bits = (votes > 0).astype(np.uint8)
+        out[i] = np.packbits(sim_bits).view(np.int64)[0]
+    return pd.Series(out)
+
+
+def simhash64(text_col: Column) -> Column:
+    """SimHash of whitespace tokens: tokens hashed natively (xxhash64),
+    bit-majority in one Arrow-batched pandas UDF."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return _simhash64_udf(hashes)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (native bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

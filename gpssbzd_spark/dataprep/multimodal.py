@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata structs.
+
+The decode libraries (Pillow, ffmpeg, torchaudio, …) are NOT in this
+environment, so the decode kernels are STUBS — ``decode=fake`` produces
+deterministic pseudo-features from the bytes (so partitioning, schema,
+UDF signatures and batch shapes are real and tested end-to-end), and
+``decode=real`` raises ``NotImplementedError`` with the dependency it
+needs. The Spark-side plumbing — ``mapInPandas`` batch iteration, Arrow
+transfer of binary columns, metadata struct schemas, partition-count
+invariance — is the part this engine owns and tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType()),  # image|audio|video
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, feature array<double>"
+)
+
+
+def media_from_binary(
+    df: DataFrame, id_col: str, content_col: str, kind: str, mime: str
+) -> DataFrame:
+    """Wrap an arbitrary binary column into the engine's media schema."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(content_col).cast("binary").alias("content"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(content: bytes) -> list[float]:
+    """Deterministic stand-in for a decode+embed kernel: sha256 of the
+    bytes, folded into _FEATURE_DIM floats in [0, 1)."""
+    digest = hashlib.sha256(content or b"").digest()
+    arr = np.frombuffer(digest, dtype=np.uint32)[:_FEATURE_DIM]
+    return (arr / np.float64(2**32)).tolist()
+
+
+def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """media df → (media_id, kind, n_bytes, feature array<double>).
+
+    ``mapInPandas`` so one Arrow batch of binary blobs is decoded per
+    iteration — the real-decoder drop-in point. Batch size is governed
+    by spark.sql.execution.arrow.maxRecordsPerBatch; with real media
+    blobs, lower it so a batch of decoded frames fits executor memory.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real media decode needs Pillow/ffmpeg, not available in this "
+            "environment; use decode='fake' for plumbing tests"
+        )
+    assert decode == "fake"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": meta["kind"],
+                    "n_bytes": pdf["content"].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                    "feature": pdf["content"].map(_fake_features),
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 16
+) -> DataFrame:
+    """Frame-sampling plan for video rows: explodes per-frame timestamps
+    from metadata (native sequence — the decode of each frame would slot
+    into extract_features). Rows without a duration produce no frames."""
+    ts = F.sequence(
+        F.lit(0),
+        F.least(
+            F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+            F.lit(every_ms * (max_frames - 1)),
+        ),
+        F.lit(every_ms),
+    )
+    return (
+        df.filter(F.col("meta.kind") == "video")
+        .filter(F.col("meta.duration_ms").isNotNull())
+        .select("media_id", F.explode(ts).alias("frame_ms"))
+    )
