@@ -55,6 +55,12 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from gpssbzd_spark.corpus import core, windows, dataprep, pipelines  # noqa: F401
+    from gpssbzd_spark.corpus import (  # noqa: F401
+        core,
+        dataprep,
+        pipelines,
+        streaming,
+        windows,
+    )
 
     _LOADED = True

@@ -1,0 +1,162 @@
+"""Streaming-surface corpus (SURVEY.md §2.9 — engine extension; the
+reference is batch-only).
+
+The window builders in ``gpssbzd_spark.streaming.windows`` take batch
+or streaming input with identical semantics, so the driver's DuckDB
+oracle can check them on the static ``events`` table; true unbounded
+execution (watermarks, state stores, availableNow drains) is covered by
+``tests/test_streaming.py`` parity tests, which the oracle cannot see.
+
+Timestamp care: gap/session comparisons use exact epoch-microsecond
+arithmetic on both sides — DuckDB's ``date_diff('second', …)`` counts
+boundary crossings, not elapsed time, and would drift on sub-second
+timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpssbzd_spark.corpus import query
+from gpssbzd_spark.sources.tables import load_table
+from gpssbzd_spark.streaming.stateful import streaming_gap_sessionize
+from gpssbzd_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@query(
+    "st_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    note="tumbling event-time window (F.window 1h) — one shuffle on "
+    "(window, key), map-side partial agg; streaming twin drops late rows "
+    "past the watermark",
+)
+def st_tumbling_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        ev,
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+@query(
+    "st_sliding_window",
+    oracle="""
+    SELECT ws AS window_start,
+           ws + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT value,
+             time_bucket(INTERVAL '30 minutes', ts)
+               - o.k * INTERVAL '30 minutes' AS ws
+      FROM events CROSS JOIN (VALUES (0), (1)) o(k)
+    )
+    GROUP BY ws
+    """,
+    note="sliding window 1h/30m (each event in 2 windows) — Spark fans out "
+    "inside the window exec; oracle replicates via an explicit 2-offset "
+    "cross join",
+)
+def st_sliding_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev,
+        ts_col="ts",
+        duration="1 hour",
+        slide="30 minutes",
+        aggs=[
+            F.count("*").alias("n_events"),
+            # sum, not avg: an average of 2-decimal inputs over small
+            # counts ties at the rounding boundary (x.xx5) so often that
+            # Spark-vs-oracle double rounding diverges; sums of 2-decimal
+            # inputs stay a safe 1e-10 from any boundary
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+@query(
+    "st_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    note="session window, 30 min gap (F.session_window) — session = "
+    "[min ts, max ts + gap); new session at diff >= gap. Oracle is the "
+    "lag+running-sum sessionization, the same shape as the reference's "
+    "pattern segmentation (SPE:128-129)",
+)
+def st_session_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_agg(
+        ev,
+        ts_col="ts",
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs=[F.count("*").alias("n_events")],
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
+@query(
+    "st_stateful_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER w)) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, ts,
+           COALESCE(gap_us, 0) / 1000000.0 AS gap_s,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INT) AS segment_id
+    FROM g
+    """,
+    note="custom stateful operator (applyInPandasWithState): per-key gap "
+    "segmentation, the streaming form of the reference's patternID "
+    "(SPE:104-172); batch path runs the SAME kernel via applyInPandas, so "
+    "this oracle checks the kernel the stream executes — cross-batch state "
+    "is covered by tests/test_streaming.py parity",
+)
+def st_stateful_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_gap_sessionize(ev, gap_seconds=1800.0)

@@ -1,0 +1,57 @@
+"""Streaming sources/sinks.
+
+The engine's streaming unit of ingest is a directory of parquet files
+with a declared schema — the streaming twin of the batch
+``sources.tables.load_table``. (File source is also what a 100 TB
+backfill replays: `maxFilesPerTrigger` paces reprocessing without a
+separate batch path.) Kafka/JSON sources would slot in here behind the
+same declared-schema rule; they are not wired because the container
+has no broker to test against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open a parquet directory as an unbounded stream.
+
+    A declared schema is mandatory (streaming readers cannot infer, and
+    the engine never infers on the hot path anyway — SURVEY.md §1.4).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain all currently-available input through the streaming plan
+    into an in-memory table and return it as a DataFrame.
+
+    ``trigger(availableNow=True)`` processes the backlog in bounded
+    micro-batches then stops — the canonical way to unit-test a
+    streaming plan and to run scheduled incremental jobs (the 100 TB
+    pattern: a cron'd availableNow run consumes only new files,
+    checkpoint carries state between runs).
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)

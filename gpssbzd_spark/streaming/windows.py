@@ -1,0 +1,121 @@
+"""Event-time window aggregations — one definition, batch AND stream.
+
+Each builder takes any DataFrame (static or streaming) and returns the
+windowed aggregate; on a streaming input add `.withWatermark` upstream
+(see :func:`with_watermark`) so state is bounded and late data is
+handled. At 100 TB/day these are the workhorse rollups: the tumbling
+agg is a single shuffle on (window, keys) with partial aggregation
+map-side, and the state store only ever holds open windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Watermark for streaming inputs; no-op on batch DataFrames."""
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def _agged(grouped, aggs: Sequence[Column]) -> DataFrame:
+    return grouped.agg(*aggs)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Non-overlapping event-time buckets: `F.window(ts, duration)`.
+
+    Emits (window_start, window_end, *keys, aggs…). Late rows beyond the
+    watermark are dropped by the state store in streaming mode.
+    """
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = list(aggs) if aggs else [F.count("*").alias("n_events")]
+    w = F.window(F.col(ts_col), duration)
+    out = df.groupBy(w.alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *[c for c in out.columns if c not in ("w", *keys)],
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows: each row lands in duration/slide windows.
+
+    Fan-out happens inside WindowExec (no explode of the input), so the
+    shuffle volume is rows × (duration/slide) — keep the ratio small at
+    scale or pre-aggregate into tumbling panes first.
+    """
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = list(aggs) if aggs else [F.count("*").alias("n_events")]
+    w = F.window(F.col(ts_col), duration, slide)
+    out = df.groupBy(w.alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *[c for c in out.columns if c not in ("w", *keys)],
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions: `F.session_window(ts, gap)` — the streaming
+    twin of the GPS pattern segmentation (a new pattern starts when the
+    inter-ping gap exceeds a threshold, `Standalone/Pattern
+    Extraction.scala:104-129`); here the gap closes a session instead.
+
+    Session = [min(ts), max(ts)+gap). Streaming mode REQUIRES a
+    watermark (Spark enforces it — session state must expire).
+    """
+    if df.isStreaming:
+        if not watermark:
+            raise ValueError("session_window_agg on a stream needs a watermark")
+        df = df.withWatermark(ts_col, watermark)
+    aggs = list(aggs) if aggs else [F.count("*").alias("n_events")]
+    w = F.session_window(F.col(ts_col), gap)
+    out = df.groupBy(w.alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *keys,
+        *[c for c in out.columns if c not in ("w", *keys)],
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame, subset: Sequence[str], ts_col: str, delay: str
+) -> DataFrame:
+    """Streaming dedup with bounded state: drops re-deliveries of the
+    same key arriving within the watermark delay (at-least-once source →
+    effectively-once pipeline). Batch twin: plain dropDuplicates."""
+    if not df.isStreaming:
+        return df.dropDuplicates(list(subset))
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(subset))

@@ -1,0 +1,154 @@
+"""Batch/stream parity tests (SURVEY.md §5.5): the same window/dedup/
+sessionize definition run (a) on the static events table and (b) through
+Structured Streaming with an availableNow drain must agree — the
+streaming analogue of the reference's standalone-vs-parallel
+differential methodology.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpssbzd_spark.sources.tables import load_table
+from gpssbzd_spark.streaming import (
+    dedup_within_watermark,
+    read_parquet_stream,
+    run_to_memory_sink,
+    session_window_agg,
+    streaming_gap_sessionize,
+    tumbling_window_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Static events rewritten as a 3-file parquet dir, file boundaries
+    on disjoint time ranges and mtimes increasing with time range — so
+    maxFilesPerTrigger=1 yields micro-batches in event-time order and
+    cross-batch state is genuinely exercised."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF, "events").orderBy("ts")
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    now = time.time()
+    for i in range(3):
+        part = pdf.iloc[cuts[i] : cuts[i + 1]]
+        path = os.path.join(out, f"part-{i}.parquet")
+        # micros, not pandas' default nanos: the streaming reader has a
+        # declared TimestampType schema and NANOS parquet would be illegal
+        part.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (now + i, now + i))
+    return out
+
+
+def _drain(df, name, mode):
+    return run_to_memory_sink(df, query_name=name, output_mode=mode)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_window_batch_stream_parity(spark, events_dir):
+    batch = tumbling_window_agg(
+        load_table(spark, SF, "events"),
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")],
+    )
+    stream = tumbling_window_agg(
+        read_parquet_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=1),
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")],
+        watermark="1 minute",
+    )
+    got = _drain(stream, "tumbling_parity", "complete")
+    cols = ("window_start", "event_type", "n", "s")
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+def test_session_window_batch_stream_parity(spark, events_dir):
+    batch = session_window_agg(
+        load_table(spark, SF, "events"), ts_col="ts", gap="30 minutes",
+        keys=["user_id"], aggs=[F.count("*").alias("n")],
+    )
+    stream = session_window_agg(
+        read_parquet_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=1),
+        ts_col="ts", gap="30 minutes",
+        keys=["user_id"], aggs=[F.count("*").alias("n")],
+        watermark="1 minute",
+    )
+    got = _drain(stream, "session_parity", "complete")
+    cols = ("user_id", "session_start", "session_end", "n")
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+def test_session_window_requires_watermark_on_stream(spark, events_dir):
+    stream = read_parquet_stream(spark, events_dir, EVENTS_SCHEMA)
+    with pytest.raises(ValueError, match="watermark"):
+        session_window_agg(stream, ts_col="ts", gap="30 minutes")
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    """Re-delivered event_ids within the watermark are dropped; batch
+    twin is plain dropDuplicates."""
+    stream = read_parquet_stream(spark, events_dir, EVENTS_SCHEMA)
+    dup = stream.union(stream)  # every event delivered twice
+    deduped = dedup_within_watermark(dup, ["event_id"], ts_col="ts", delay="10 minutes")
+    got = _drain(deduped, "dedup_parity", "append")
+    n_unique = load_table(spark, SF, "events").count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stateful_gap_sessionize_batch_stream_parity(spark, events_dir):
+    """applyInPandasWithState must carry (last_ts, segment) across
+    micro-batches: with 3 time-ordered files at maxFilesPerTrigger=1,
+    any state loss shows up as segment ids resetting per batch."""
+    batch = streaming_gap_sessionize(
+        load_table(spark, SF, "events"), gap_seconds=1800.0
+    )
+    stream = streaming_gap_sessionize(
+        read_parquet_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=1),
+        gap_seconds=1800.0,
+    )
+    got = _drain(stream, "gap_sessionize_parity", "append")
+    cols = ("user_id", "ts", "segment_id")
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+def test_stateful_sessionize_matches_window_formulation(spark):
+    """The stateful kernel and the lag+running-sum window (the w7 corpus
+    shape / reference pattern segmentation) assign identical segments."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    windowed = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).select("user_id", "ts", F.sum("is_new").over(wsum).alias("segment_id"))
+    stateful = streaming_gap_sessionize(ev, gap_seconds=1800.0)
+    cols = ("user_id", "ts", "segment_id")
+    assert _rows(stateful, *cols) == _rows(windowed, *cols)
