@@ -1,0 +1,113 @@
+"""Physical-plan quality gates (SURVEY.md §4, §7.8).
+
+Correctness tests prove the operators compute the right rows; these
+prove they compute them the way a 100 TB run needs: filters reaching
+the parquet scan, column pruning, small dims broadcast instead of
+shuffled, partial aggregation before the exchange, and no Python worker
+in paths that must stay JVM-side. A regression here is a silent 10-100×
+at scale even while every oracle check stays green.
+
+Plans are inspected AFTER an action so AQE has finalized them
+(`isFinalPlan=true`); the pre-execution string would show the
+pre-adaptive guess.
+"""
+
+from __future__ import annotations
+
+import re
+
+from gpssbzd_spark import corpus
+
+corpus._load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def final_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # keep only the AQE-final section; the trailing "== Initial Plan =="
+    # echo would double-count nodes
+    return plan.split("== Initial Plan ==")[0]
+
+
+def q(spark, name):
+    return corpus.CORPUS[name].fn(spark, SF)
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    plan = final_plan(q(spark, "p1_scan_project_filter"))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThan(l_shipdate" in m.group(1), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # 16-column lineitem pruned to exactly what the query touches
+    assert read_cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"}
+
+
+def test_small_dim_join_is_broadcast_not_shuffled(spark):
+    plan = final_plan(q(spark, "j2_join_left_broadcast_dim"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semi_join_is_broadcast_left_semi(spark):
+    plan = final_plan(q(spark, "j5_semi_join"))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rollup_agg_is_partial_then_final(spark):
+    """Map-side combine: two HashAggregate levels around the exchange,
+    and the whole pipeline in whole-stage codegen."""
+    plan = final_plan(q(spark, "a7_tpch_q1_rollup"))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    # whole-stage codegen spans show as "*(n)" stage markers
+    assert re.search(r"\*\(\d+\)", plan), plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_native_relational_corpus_has_no_python_workers(spark):
+    """Everything except the explicitly pandas-UDF-backed operators must
+    stay JVM-side: a BatchEvalPython/ArrowEvalPython node in these plans
+    means an expression silently fell off the codegen path."""
+    pandas_backed = {
+        "tc_pipeline_dbscan",      # applyInPandas DBSCAN (by design)
+        "dd_simhash_buckets",      # bit-majority pandas_udf (documented)
+        "mm_feature_extract",      # mapInPandas media kernel (by design)
+        "st_stateful_sessionize",  # applyInPandas(WithState) kernel
+    }
+    for name in sorted(corpus.CORPUS):
+        if name in pandas_backed:
+            continue
+        plan = final_plan(q(spark, name))
+        assert "EvalPython" not in plan, f"{name} dropped to Python:\n{plan}"
+
+
+def test_brute_force_topk_broadcasts_queries_never_shuffles_corpus(spark):
+    plan = final_plan(q(spark, "sim_topk_brute"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pair_join_shuffles_on_group_key_once(spark):
+    """The O(n²)-per-group pair generator must be a single equi-join on
+    the group key (broadcast at test scale, shuffled-hash/sort-merge at
+    real scale) with the inequality as a residual filter — never a
+    cartesian product."""
+    plan = final_plan(q(spark, "j4_self_theta_pair_join"))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan
+
+
+def test_exact_dedup_aggregates_before_exchange(spark):
+    plan = final_plan(q(spark, "dd_exact_dup_groups"))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_window_pipeline_single_sort_per_window(spark):
+    """w2 running sum: one exchange on the partition key and one sort —
+    the reference's redundant pre-window global orderBy (PPE:69) must
+    not reappear (it would show as an extra range-partition Exchange)."""
+    plan = final_plan(q(spark, "w2_running_sum"))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
