@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # Headline set: one per operator family — scan-agg, join, window, pair-join,
-# dedup, similarity, text. Keep ≤ ~12 so a bench round stays minutes.
+# dedup, similarity, text, streaming-twin, stateful. Keep total minutes-scale.
 HEADLINE = [
     "a7_tpch_q1_rollup",
     "j1_join_inner",
@@ -34,8 +34,14 @@ HEADLINE = [
     "w3_topk_per_group",
     "w7_sessionize_gap",
     "dd_exact_dup_groups",
+    "dd_minhash_lsh_pairs",
     "tx_token_stats",
+    "tx_language_id",
+    "tx_fingerprint_groups",
     "sim_cosine_to_centroid",
+    "sim_topk_lsh",
+    "st_tumbling_window",
+    "st_stateful_sessionize",
 ]
 
 

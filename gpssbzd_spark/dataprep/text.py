@@ -1,5 +1,4 @@
-"""Text analysis operators — all native column expressions (JVM,
-codegen-able); no Python worker anywhere in this module.
+"""Text analysis operators.
 
 - :func:`tokens` — whitespace tokenization (lowercased, distinct opt).
 - :func:`language_id` — stopword-overlap heuristic over a small
@@ -9,15 +8,26 @@ codegen-able); no Python worker anywhere in this module.
   is fully expressible in SQL for the oracle.
 - :func:`quality_features` — length/alpha/punct/stopword/type-token
   ratios for quality gating.
-- :func:`doc_fingerprint` — winnowing-style fingerprint: k-shingle
-  hashes → sliding-window minima → set hash. Robust to small local
-  edits; native ``transform``/``slice``/``array_min``.
+- :func:`doc_fingerprint` — winnowing-style fingerprint: k-gram
+  rolling hashes → sliding-window minima → set hash. Robust to small
+  local edits.
+
+``language_id`` / ``quality_features`` are native column expressions
+(regex + scalar fns — codegen'd, and SQL-expressible for the oracle).
+The fingerprint is a vectorized Arrow kernel: its per-character array
+work hits Spark's interpreted higher-order-function path when written
+natively (~6 ms/doc vs ~µs/doc measured on the fixture corpus), so
+the native formulation is kept only as :func:`doc_fingerprint_native`
+for portability and differential testing.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gpssbzd_spark.dataprep.dedup import char_shingles
 
@@ -80,23 +90,89 @@ def quality_features(text_col: Column) -> dict[str, Column]:
     }
 
 
-def doc_fingerprint(
+def doc_fingerprint_native(
     text_col: Column, k: int = 7, window: int = 4
 ) -> Column:
-    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
-    shape): hash k-shingles, take the min of each sliding window of
-    ``window`` hashes, hash the distinct sorted minima. Equal for texts
-    differing only outside every window minimum — a cheap near-identity
-    key for clustering near-copies."""
+    """All-native winnowing fingerprint — portable (zero Python
+    workers) differential twin of :func:`doc_fingerprint`; different
+    hash family, same invariances.
+
+    Sliding minima are computed as the element-wise least of ``window``
+    shifted copies of the hash array — O(window) array passes. The
+    obvious ``transform(indices, i -> array_min(slice(hashes, i, w)))``
+    formulation re-evaluates the whole ``hashes`` subtree per index
+    (lambda bodies embed their argument expressions and HOFs block
+    subexpression elimination), which is quadratic in document length —
+    at 300-char docs that was ~1000× slower, not a constant factor.
+    Even so, every pass is an interpreted higher-order function
+    (~µs/element), which is why the hot path is the Arrow kernel.
+    """
     hashes = F.transform(char_shingles(text_col, k), lambda s: F.xxhash64(s))
     n = F.size(hashes)
-    starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
-        F.when(n > 0, F.sequence(F.lit(1), F.lit(1))).otherwise(
-            F.array().cast("array<int>")
-        )
+    length = n - window + 1  # windows only where a full one fits
+    shifted = [F.slice(hashes, 1 + off, length) for off in range(window)]
+    minima_full = shifted[0]
+    for s in shifted[1:]:
+        minima_full = F.zip_with(minima_full, s, lambda x, y: F.least(x, y))
+    minima = (
+        F.when(n >= window, minima_full)
+        # short text: single window over whatever is there
+        .when(n > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<bigint>"))
     )
-    minima = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, window)))
     return F.xxhash64(
         F.concat_ws(",", F.transform(F.array_sort(F.array_distinct(minima)),
                                      lambda x: x.cast("string")))
     )
+
+
+_FP_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier, wraps mod 2^64
+
+
+def doc_fingerprint(text_col: Column, k: int = 7, window: int = 4) -> Column:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    shape): polynomial rolling hash of byte k-grams, min of each
+    sliding window of ``window`` hashes, then an order-fixed fold of
+    the sorted distinct minima. Equal for texts differing only outside
+    every window minimum — a cheap near-identity key for clustering
+    near-copies.
+
+    One Arrow-batched pandas UDF; everything inside is numpy uint64
+    (wrapping) vector ops — k adds per k-gram and ``window`` minimum
+    passes, ~µs/doc. The same computation as interpreted Spark
+    higher-order functions measured ~6 ms/doc (see
+    :func:`doc_fingerprint_native`), which is a CPU-century at
+    100 TB scale.
+    """
+    @F.pandas_udf(T.LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        pow_k = _FP_BASE ** np.arange(k, dtype=np.uint64)[::-1]
+        for i, text in enumerate(texts):
+            if not text:
+                continue
+            b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8).astype(
+                np.uint64
+            )
+            n = len(b) - k + 1
+            if n <= 0:
+                # short text: hash the whole byte string as one gram
+                h = (b * _FP_BASE ** np.arange(len(b), dtype=np.uint64)[::-1]).sum()
+                out[i] = np.int64(h.astype(np.uint64) * _FP_BASE + np.uint64(len(b)))
+                continue
+            grams = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                grams += b[j : j + n] * pow_k[j]
+            if n >= window:
+                m = n - window + 1
+                minima = grams[:m].copy()
+                for off in range(1, window):
+                    np.minimum(minima, grams[off : off + m], out=minima)
+            else:
+                minima = grams.min(keepdims=True)
+            u = np.unique(minima)  # sorted distinct
+            acc = (u * _FP_BASE ** np.arange(len(u), dtype=np.uint64)[::-1]).sum()
+            out[i] = np.int64(acc.astype(np.uint64))
+        return pd.Series(out)
+
+    return fp(text_col)

@@ -1,0 +1,92 @@
+"""Source/sink layer tests (SURVEY.md §2.1 S1-S7).
+
+CSV scans with declared schemas are exercised end-to-end by the GPS
+pipeline tests; here we cover the sink side — partitioned parquet (the
+engine's replacement for the reference's per-line directory convention)
+and the CSV sink kept for reference-format interchange — plus the
+ingest-time timestamp normalization edge (2- vs 4-digit years,
+SURVEY.md §7 hard-list d).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gpssbzd_spark.sources.csv import parse_ping_time, read_csv, GPS_SCHEMA
+from gpssbzd_spark.sources.tables import load_table
+from gpssbzd_spark.sources.writers import write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_parquet_write_replaces_per_line_dirs(spark, tmp_path):
+    """One partitionBy write = the reference's N per-line dirs
+    (PPE:255-256), and reading one partition back prunes at the source."""
+    out = str(tmp_path / "by_flag")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    write_partitioned(li, out, partition_cols=("l_returnflag",))
+
+    flags = {r.l_returnflag for r in li.select("l_returnflag").distinct().collect()}
+    assert {d.split("=")[1] for d in os.listdir(out) if d.startswith("l_returnflag=")} == flags
+
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    back.collect()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the filter must land in PartitionFilters (dir pruning), not a scan filter
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(l_returnflag" in plan.split("PartitionFilters: [", 1)[1][:200]
+    assert back.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_csv_sink_header_overwrite_roundtrip(spark, tmp_path):
+    """S5/S6: headered CSV out, overwrite mode, typed read back in."""
+    out = str(tmp_path / "csv_out")
+    n = load_table(spark, SF, "nation")
+    for _ in range(2):  # second write exercises overwrite
+        n.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey long, n_name string, n_regionkey long, n_comment string")
+        .csv(out)
+    )
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in n.collect()
+    )
+
+
+def test_layout_control_coalesce_single_file(spark, tmp_path):
+    """S7: explicit output-file-count control (reference repartition(1));
+    ours uses coalesce, and only for small presentation outputs."""
+    out = str(tmp_path / "single")
+    load_table(spark, SF, "region").coalesce(1).write.parquet(out)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1
+
+
+def test_ping_time_parses_two_and_four_digit_years(spark):
+    df = spark.createDataFrame(
+        [("19-02-01 05:26:15",), ("2019-02-01 05:26:15",), ("garbage",)],
+        "t string",
+    ).select(parse_ping_time(F.col("t")).alias("ts"))
+    got = [r.ts.isoformat() if r.ts else None for r in df.collect()]
+    assert got == ["2019-02-01T05:26:15", "2019-02-01T05:26:15", None]
+
+
+def test_csv_scan_declared_schema_never_infers(spark, tmp_path):
+    """S1: a malformed numeric lands as null under the declared schema
+    (PERMISSIVE), instead of silently flipping the whole column to
+    string as inferSchema would."""
+    p = str(tmp_path / "gps.csv")
+    with open(p, "w") as f:
+        f.write("id,linenumber,opath,lng,lat,t\n")
+        f.write("001,L1,seg1,113.9,22.6,19-02-01 05:26:15\n")
+        f.write("002,L1,seg1,not_a_number,22.7,19-02-01 05:27:15\n")
+    df = read_csv(spark, p, GPS_SCHEMA)
+    rows = {r.id: r for r in df.collect()}
+    assert rows["001"].lng == 113.9
+    assert rows["002"].lng is None
+    assert dict(df.dtypes)["lng"] == "double"
