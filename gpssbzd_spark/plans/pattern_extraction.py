@@ -106,12 +106,24 @@ def prepare_pings(
     term1 = term1.join(term2.select("linenumber").distinct(), "linenumber", "left_semi")
 
     def _retag(df: DataFrame, terminals: DataFrame, tag: int) -> DataFrame:
-        t = terminals.withColumnRenamed("term_lat", "_tlat").withColumnRenamed(
-            "term_lng", "_tlng"
+        # Terminals are aggregated to ONE array per line before the join:
+        # a line with several terminal stops per direction must not
+        # duplicate ping rows (a plain left join multiplies each ping by
+        # its line's terminal count). The array is tiny (O(stops)) and the
+        # per-ping proximity test is an `exists` over it.
+        t = terminals.groupBy("linenumber").agg(
+            F.collect_list(F.struct("term_lat", "term_lng")).alias("_terms")
         )
         joined = df.join(F.broadcast(t), "linenumber", "left")
-        near = haversine_m(F.col("lat"), F.col("lng"), F.col("_tlat"), F.col("_tlng")) < (
-            TERMINAL_RADIUS_M
+        near = F.coalesce(
+            F.exists(
+                "_terms",
+                lambda p: haversine_m(
+                    F.col("lat"), F.col("lng"), p["term_lat"], p["term_lng"]
+                )
+                < TERMINAL_RADIUS_M,
+            ),
+            F.lit(False),
         )
         return joined.select(
             "linenumber",

@@ -38,26 +38,29 @@ def gps_fixture(spark: SparkSession) -> DataFrame:
 
 def synthesize_bus_line(spark: SparkSession, tmpdir: str) -> str:
     """Write a semicolon-delimited bus_line.csv with terminals on the
-    first/last ping of each line's first vehicle."""
+    first/last ping of EVERY vehicle of each line (real lines have
+    several terminal stops per direction; pattern extraction must
+    tolerate that — and the round-trip filter can then qualify every
+    vehicle instead of only the line's first one)."""
     gps = gps_fixture(spark)
     rows = (
         gps.orderBy("id", "ts")
         .select("linenumber", "id", "lng", "lat")
         .collect()
     )
-    first_last: dict[str, list] = {}
+    first_last: dict[tuple[str, str], list] = {}
     for r in rows:
-        key = r["linenumber"]
+        key = (r["linenumber"], r["id"])
         if key not in first_last:
-            first_last[key] = [(r["lng"], r["lat"]), (r["lng"], r["lat"]), r["id"]]
-        elif r["id"] == first_last[key][2]:
+            first_last[key] = [(r["lng"], r["lat"]), (r["lng"], r["lat"])]
+        else:
             first_last[key][1] = (r["lng"], r["lat"])
 
     path = os.path.join(tmpdir, "bus_line.csv")
     with open(path, "w", newline="") as f:
         w = csv.writer(f, delimiter=";")
         w.writerow(["existLine_id", "x", "y", "direction", "position"])
-        for line, (start, end, _vid) in sorted(first_last.items()):
+        for (line, _vid), (start, end) in sorted(first_last.items()):
             # x = lat, y = lng (FIXTURES.md §A2 / PPE:103 argument order)
             w.writerow([line, f"{start[1]:.9f}", f"{start[0]:.9f}", 1, 1])
             w.writerow([line, f"{end[1]:.9f}", f"{end[0]:.9f}", 2, 1])

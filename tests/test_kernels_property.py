@@ -1,0 +1,199 @@
+"""Property-based checks (SURVEY.md §5.4) on the pure computational
+kernels — no SparkSession involved, so hypothesis can drive hundreds of
+examples: DBSCAN label semantics and permutation invariance, trajectory
+distance invariants, the stateful gap-segmenter's boundary behavior,
+and MinHash's statistical accuracy under the multiply-shift family.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gpssbzd_spark.dataprep.dedup import _perm_params
+from gpssbzd_spark.plans.trajectory_clustering import (
+    _great_circle_km,
+    dbscan_precomputed,
+    trajectory_distance,
+)
+from gpssbzd_spark.streaming.stateful import _NullState, _segmenter
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN on a precomputed matrix
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def distance_matrices(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    vals = draw(
+        st.lists(
+            st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+            min_size=n * n,
+            max_size=n * n,
+        )
+    )
+    m = np.array(vals).reshape(n, n)
+    m = (m + m.T) / 2  # symmetrize
+    np.fill_diagonal(m, 0.0)
+    return m
+
+
+@given(distance_matrices(), st.floats(0.1, 5.0), st.integers(1, 4))
+@settings(max_examples=150, deadline=None)
+def test_dbscan_label_semantics(dist, eps, min_samples):
+    labels = dbscan_precomputed(dist, eps, min_samples)
+    n = len(dist)
+    assert len(labels) == n and labels.min() >= -1
+    neighbor_counts = (dist <= eps).sum(axis=1)  # includes self
+    for i in range(n):
+        if neighbor_counts[i] >= min_samples:
+            assert labels[i] != -1  # a core point is never noise
+        if labels[i] == -1:
+            # noise is not within eps of any core point
+            for j in range(n):
+                if i != j and dist[i, j] <= eps:
+                    assert neighbor_counts[j] < min_samples
+
+
+@given(distance_matrices(), st.floats(0.1, 5.0), st.integers(1, 4), st.randoms())
+@settings(max_examples=80, deadline=None)
+def test_dbscan_partition_is_permutation_invariant(dist, eps, min_samples, rnd):
+    """Relabeling may differ, but the induced partition (which points
+    share a cluster / are noise) must not depend on point order."""
+    n = len(dist)
+    perm = list(range(n))
+    rnd.shuffle(perm)
+    p = np.array(perm)
+    a = dbscan_precomputed(dist, eps, min_samples)
+    b = dbscan_precomputed(dist[np.ix_(p, p)], eps, min_samples)
+
+    def partition(labels):
+        groups: dict[int, set] = {}
+        noise = set()
+        for idx, lab in enumerate(labels):
+            if lab == -1:
+                noise.add(idx)
+            else:
+                groups.setdefault(lab, set()).add(idx)
+        return {frozenset(g) for g in groups.values()}, noise
+
+    pa, na = partition(a)
+    # map b's indices back through the permutation
+    pb, nb = partition(b)
+    pb = {frozenset(p[list(g)]) for g in pb}
+    nb = {p[i] for i in nb}
+    assert pa == pb and na == nb
+
+
+# ---------------------------------------------------------------------------
+# trajectory distance
+# ---------------------------------------------------------------------------
+
+
+coords = st.tuples(
+    st.floats(113.7, 114.5, allow_nan=False), st.floats(22.5, 22.8, allow_nan=False)
+)
+
+
+@given(st.lists(coords, min_size=2, max_size=8), st.lists(coords, min_size=2, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_trajectory_distance_nonnegative_finite(t1, t2):
+    d = trajectory_distance(np.array(t1), np.array(t2))
+    assert d >= 0.0 and math.isfinite(d)
+
+
+@given(st.lists(coords, min_size=2, max_size=8))
+@settings(max_examples=80, deadline=None)
+def test_trajectory_distance_identity_has_no_offset_terms(t):
+    """d(tr, tr): endpoints project onto the own chord at distance 0 and
+    the angle is 0, so only degenerate-chord cases can add anything."""
+    tr = np.array(t)
+    if np.allclose(tr[0], tr[-1]):  # closed loop → chord degenerates
+        return
+    # 1e-5 km = 1 cm: projection round-off, not a semantic offset
+    assert trajectory_distance(tr, tr) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_great_circle_against_known_pair():
+    # Shenzhen North ↔ Futian checkpoint-ish, ~17 km (rough truth)
+    d = _great_circle_km(np.array([114.029, 22.610]), np.array([114.063, 22.757]))
+    assert 15.0 < d < 19.0
+
+
+# ---------------------------------------------------------------------------
+# stateful gap segmenter kernel
+# ---------------------------------------------------------------------------
+
+
+def _run_segmenter(ts_seconds, gap_seconds, chunks=1):
+    fn = _segmenter(gap_seconds)
+    ts = pd.Series(pd.to_datetime(np.array(ts_seconds) * 1e9))
+    pdfs = np.array_split(pd.DataFrame({"ts": ts}), chunks)
+    state = _NullState()
+
+    class _S:  # minimal mutable GroupState stand-in for multi-chunk runs
+        exists = False
+        get = (None, 0)
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    state = _S()
+    out = []
+    for chunk in pdfs:
+        if len(chunk):
+            out.extend(fn((7,), iter([chunk]), state))
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    st.integers(1, 1000),
+    st.integers(1, 4),
+)
+@settings(max_examples=120, deadline=None)
+def test_segmenter_boundary_and_monotonicity(ts, gap, chunks):
+    """Segment ids start at 1, are non-decreasing, increment exactly on
+    gap > threshold (strict: gap == threshold does NOT split), and the
+    result is identical however the rows are chunked into micro-batches."""
+    out = _run_segmenter(sorted(ts), float(gap), chunks=1)
+    segs, gaps = out["segment_id"].tolist(), out["gap_s"].tolist()
+    assert segs[0] == 1 and gaps[0] == 0.0
+    for i in range(1, len(segs)):
+        expected = segs[i - 1] + (1 if gaps[i] > gap else 0)
+        assert segs[i] == expected
+
+    chunked = _run_segmenter(sorted(ts), float(gap), chunks=chunks)
+    pd.testing.assert_frame_equal(out, chunked)
+
+
+# ---------------------------------------------------------------------------
+# MinHash statistical accuracy
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimates_jaccard():
+    """With 256 perms the signature-agreement estimate must track true
+    Jaccard within ~3σ = 3·sqrt(J(1-J)/k) on deterministic inputs."""
+    rng = np.random.RandomState(7)
+    a_params, b_params = _perm_params(256, seed=42)
+
+    def sig(items):
+        h = np.array(list(items), dtype=np.uint64)[:, np.newaxis]
+        return (h * a_params + b_params).min(axis=0)
+
+    universe = rng.randint(0, 2**62, size=400, dtype=np.uint64)
+    set_a = set(universe[:300])
+    for overlap in (60, 150, 240, 300):
+        set_b = set(universe[300 - overlap : 600 - overlap][:300])
+        true_j = len(set_a & set_b) / len(set_a | set_b)
+        est = float((sig(set_a) == sig(set_b)).mean())
+        sigma = math.sqrt(true_j * (1 - true_j) / 256) or 1e-3
+        assert abs(est - true_j) <= 3.5 * sigma + 1e-9
