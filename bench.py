@@ -30,6 +30,7 @@ HEADLINE = [
     "j5_semi_join",
     "a1_count_distinct_group",
     "a4_percentile_exact",
+    "a4_percentile_approx",
     "w2_running_sum",
     "w3_topk_per_group",
     "w7_sessionize_gap",

@@ -683,3 +683,40 @@ def f5_array_struct_math(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.round(sq, 4).alias("sq_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 approximate-sketch variants — the 100 TB path for A1/A4
+# --------------------------------------------------------------------------
+
+
+@query(
+    "a4_percentile_approx",
+    oracle=None,
+    note="A4 as the reference actually computes it (percentile_approx, "
+    "PPE:124): partial-aggregable KLL-style sketch, one shuffle of sketch "
+    "state instead of the full sort exact percentile needs. Rows-only "
+    "(sketch internals are engine-specific); tests pin |approx − exact| "
+    "within the sketch's accuracy bound",
+)
+def a4_percentile_approx(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.95, 10000), 4
+        ).alias("p95_price_approx")
+    )
+
+
+@query(
+    "a1_approx_count_distinct",
+    oracle=None,
+    note="A1 at scale: HyperLogLog++ countDistinct — fixed-size sketch per "
+    "group vs the exact variant's per-key dedup shuffle. Rows-only; tests "
+    "pin relative error under the configured rsd",
+)
+def a1_approx_count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("n_orders_approx")
+    )

@@ -222,6 +222,10 @@ def minhash_dedup_pairs(
     ).withColumn(
         "signature", minhash_signature(F.col("_h"), num_perm, seed, pre_hashed=True)
     )
+    # the prep feeds 4 join branches (band self-join ×2, verify ×2) —
+    # cache it or the shingle+signature kernels run 4× (reference tactic
+    # kept per SURVEY §4: persist iteratively-reused inputs)
+    prepped = prepped.persist()
 
     cands = lsh_candidate_pairs(prepped, id_col, "signature", bands)
 
@@ -230,8 +234,11 @@ def minhash_dedup_pairs(
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "_h": "_h_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "_h": "_h_b"}), "id_b")
     )
+    # asNondeterministic stops Catalyst cloning the UDF into the filter
+    # (it would score every candidate twice); it is in fact deterministic
+    jac = _hash_set_jaccard.asNondeterministic()(F.col("_h_a"), F.col("_h_b"))
     return (
-        pairs.withColumn("jaccard", _hash_set_jaccard(F.col("_h_a"), F.col("_h_b")))
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -24,3 +24,26 @@ def test_query_vs_oracle(spark, sf_dir, name):
         assert df.count() >= 0  # rows-only: runs and has a stable schema
         return
     compare(df, run_oracle(q.oracle, sf_dir), name)
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    """The approx A1/A4 variants must track their exact twins within the
+    sketches' accuracy guarantees (percentile_approx with accuracy=10000
+    ≈ 0.01% rank error; HLL++ at rsd=0.01 ⇒ ~3σ = 3%)."""
+    from pyspark.sql import functions as F
+    from gpssbzd_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.95).alias("exact_p"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p"),
+            F.countDistinct("l_orderkey").alias("exact_n"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_n"),
+        )
+        .collect()
+    )
+    for r in joined:
+        assert abs(r.approx_p - r.exact_p) / r.exact_p < 0.01
+        assert abs(r.approx_n - r.exact_n) / r.exact_n < 0.03
