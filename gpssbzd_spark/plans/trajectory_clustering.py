@@ -195,16 +195,34 @@ def _params_lookup(line_params: DataFrame) -> dict[str, tuple[float, int]]:
 def cluster_trajectories(
     patterns: DataFrame,
     line_params: DataFrame,
-    mode: str = "pairs",
+    mode: str = "auto",
     corrected: bool = False,
     max_group_pairs: int = 50_000_000,
+    local_threshold: int = 200,
 ) -> DataFrame:
     """Full stage 2: patterns → patterns + ``cluster`` label (−1 noise).
 
     Lines without params are skipped (left out of clustering, label null
     after the join-back) — reference behavior (PTC:267-268).
+
+    ``mode``:
+
+    - ``"auto"`` (default, the scale path): size-aware routing. A per-
+      line trajectory count (one cheap agg over the already-assembled
+      trajectories) splits lines at ``local_threshold``: small lines run
+      the partition-local path (the whole line in one Arrow group, ZERO
+      pair-join shuffle), big lines run the distributed pair path. This
+      is the Spark-first replacement for the reference's driver-side
+      complexity stats → bin-packing → manual repartition (PTC:60-136):
+      same idea — group cost is quadratic in line size, so don't treat
+      lines uniformly — but expressed as two branches of one plan, no
+      collect of data, no hand-built partition map. AQE's skew-join
+      splitting cannot help here (a pandas group is atomic), which is
+      why the routing is explicit (SURVEY.md §4).
+    - ``"pairs"``: force the distributed path for every line.
+    - ``"local"``: force the partition-local path for every line.
     """
-    assert mode in ("pairs", "local")
+    assert mode in ("auto", "pairs", "local")
     params = _params_lookup(line_params)
 
     traj = assemble_trajectories(patterns)
@@ -212,8 +230,17 @@ def cluster_trajectories(
 
     if mode == "pairs":
         labels = _cluster_via_pairs(traj, params, corrected, max_group_pairs)
-    else:
+    elif mode == "local":
         labels = _cluster_local(traj, params, corrected)
+    else:
+        traj = traj.persist()  # feeds the count + both branches
+        sizes = traj.groupBy("linenumber").agg(F.count("*").alias("_n_traj"))
+        traj_sized = traj.join(F.broadcast(sizes), "linenumber")
+        small = traj_sized.filter(F.col("_n_traj") <= local_threshold).drop("_n_traj")
+        big = traj_sized.filter(F.col("_n_traj") > local_threshold).drop("_n_traj")
+        labels = _cluster_local(small, params, corrected).unionByName(
+            _cluster_via_pairs(big, params, corrected, max_group_pairs)
+        )
 
     return patterns.join(labels, on=["id", "patternID"], how="left")
 

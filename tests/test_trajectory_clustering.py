@@ -131,7 +131,7 @@ def test_assemble_orders_points(spark, patterns):
     assert len(lngs) == 6
 
 
-@pytest.mark.parametrize("mode", ["pairs", "local"])
+@pytest.mark.parametrize("mode", ["pairs", "local", "auto"])
 def test_cluster_modes(spark, patterns, line_params, mode):
     out = cluster_trajectories(patterns, line_params, mode=mode).cache()
     labels = {
@@ -179,3 +179,39 @@ def test_modes_agree(spark, patterns, line_params):
         return {frozenset(v) for v in groups.values()}
 
     assert partition(pa) == partition(pb)
+
+
+def test_auto_mode_mixed_routing_matches_forced_modes(spark, patterns, line_params):
+    """local_threshold=2 sends LB (2 trajectories) down the local path
+    and LA (6) down the pair path in the SAME plan; the combined result
+    must equal the single-mode runs up to label renumbering."""
+    mixed = cluster_trajectories(
+        patterns, line_params, mode="auto", local_threshold=2
+    )
+    forced = cluster_trajectories(patterns, line_params, mode="local")
+    pm = {
+        (r["linenumber"], r["id"], r["patternID"]): r["cluster"]
+        for r in mixed.select("linenumber", "id", "patternID", "cluster")
+        .distinct()
+        .collect()
+    }
+    pf = {
+        (r["linenumber"], r["id"], r["patternID"]): r["cluster"]
+        for r in forced.select("linenumber", "id", "patternID", "cluster")
+        .distinct()
+        .collect()
+    }
+    assert set(pm) == set(pf)
+    from collections import defaultdict
+
+    def partition(p):
+        groups = defaultdict(set)
+        noise = set()
+        for k, v in p.items():
+            if v == -1:
+                noise.add(k)
+            elif v is not None:
+                groups[(k[0], v)].add(k)
+        return {frozenset(g) for g in groups.values()}, noise
+
+    assert partition(pm) == partition(pf)
