@@ -151,6 +151,7 @@ def sim_cosine_to_centroid(spark, sf_dir):
 from pyspark.sql import functions as _F  # noqa: E402
 
 from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
+    embedding_cosine_pairs,
     minhash_dedup_pairs,
     simhash64,
     hamming64,
@@ -293,6 +294,30 @@ def tx_fingerprint_groups(spark, sf_dir):
         .groupBy("fp")
         .agg(_F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "dd_embedding_cosine_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    note="embedding-cosine near-dup pairs: L2-normalize once per row, "
+    "pair dot product native (zip_with/aggregate); exact unblocked "
+    "baseline — the 100 TB path passes an LSH bucket as block_col",
+)
+def dd_embedding_cosine_pairs(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    out = embedding_cosine_pairs(
+        em, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+    return out.select("id_a", "id_b", _F.round("cos_sim", 4).alias("cos_sim"))
 
 
 @query(

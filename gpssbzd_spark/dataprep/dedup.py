@@ -244,6 +244,56 @@ def minhash_dedup_pairs(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
+    every unordered pair with cosine similarity ≥ ``threshold``.
+
+    Vectors are L2-normalized ONCE per row (O(n·d) prep), so the
+    per-pair kernel is a bare dot product — the shape that matters when
+    the pair count dwarfs the row count. Zero-norm vectors are dropped
+    (cosine undefined). All arithmetic is native ``zip_with`` /
+    ``aggregate`` fold in double precision — no Python boundary.
+
+    ``block_col`` keys the self-join so only same-block rows pair. At
+    100 TB the unblocked variant is a nonstarter (O(n²) pairs); pass a
+    blocking key — e.g. :func:`gpssbzd_spark.dataprep.similarity.
+    hyperplane_bucket` LSH buckets (near-dups agree on most hyperplane
+    signs, so bucket-mates capture the high-cosine tail), a coarse
+    cluster id, or a shard column. Unblocked stays the oracle-checkable
+    exact baseline (SURVEY.md §2.11; pair-join shape = §2.3 J4).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    keep = [id_col] + ([block_col] if block_col else [])
+    prepped = (
+        df.select(*keep, v.alias("_v"))
+        .withColumn("_norm", norm)
+        .filter(F.col("_norm") > 0)
+        .select(*keep, F.transform("_v", lambda x: x / F.col("_norm")).alias("_u"))
+    )
+    keys = [block_col] if block_col else []
+    a = prepped.withColumnsRenamed({id_col: "id_a", "_u": "_u_a"})
+    b = prepped.withColumnsRenamed({id_col: "id_b", "_u": "_u_b"})
+    dot = F.aggregate(
+        F.zip_with("_u_a", "_u_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = a.join(b, keys) if keys else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", dot)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 @F.pandas_udf(T.LongType())
 def _simhash64_udf(token_arrays: pd.Series) -> pd.Series:
     """64-bit SimHash over pre-hashed token arrays (numpy bit counting)."""

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from gpssbzd_spark.dataprep.dedup import (
     char_shingles,
+    embedding_cosine_pairs,
     exact_dedup,
     hamming64,
     minhash_dedup_pairs,
@@ -46,6 +47,33 @@ def test_exact_dedup_keeps_min_id_per_text(spark):
     )
     got = {r.doc_id for r in exact_dedup(df).collect()}
     assert got == {1, 3, 6}
+
+
+def test_embedding_cosine_pairs_exact_and_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "x"),
+            (2, [0.99, 0.14], "x"),   # cos(1,2) ≈ 0.990
+            (3, [0.0, 1.0], "x"),     # orthogonal to 1
+            (4, [1.0, 0.01], "y"),    # near-dup of 1 but other block
+            (5, [0.0, 0.0], "x"),     # zero norm → dropped
+        ],
+        "vec_id long, embedding array<float>, blk string",
+    )
+    exact = embedding_cosine_pairs(df, threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert got == {(1, 2), (1, 4), (2, 4)}
+    # cos_sim of an identical direction is 1.0 after normalization
+    self_sim = embedding_cosine_pairs(
+        spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [6.0, 8.0])], "vec_id long, embedding array<float>"
+        ),
+        threshold=0.9,
+    ).head()
+    assert self_sim.cos_sim == pytest.approx(1.0)
+    # blocking: cross-block near-dup (1,4) is not considered
+    blocked = embedding_cosine_pairs(df, threshold=0.9, block_col="blk")
+    assert {(r.id_a, r.id_b) for r in blocked.collect()} == {(1, 2)}
 
 
 def test_char_shingles_basic(spark):
