@@ -55,6 +55,19 @@ def main() -> None:
     spark = get_session(app_name="gpssbzd_bench")
     qs = corpus.queries()
 
+    # Warmup: absorb one-time JVM codegen + Python-worker pool startup so
+    # the per-query numbers measure executor-side throughput, not session
+    # boot. One tiny shuffle + one tiny Arrow UDF round-trip.
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+
+    warm = spark.range(10_000).groupBy((F.col("id") % 8).alias("k")).count()
+    warm.write.format("noop").mode("overwrite").save()
+    spark.range(1_000).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)

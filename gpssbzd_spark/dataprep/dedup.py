@@ -6,17 +6,19 @@ Design:
 - **Exact** dedup is a hash-groupBy: the md5 of the normalized text is
   the shuffle key, so the groupBy stays balanced even when raw doc
   lengths are skewed.
-- **MinHash + LSH** near-dedup: shingling (``sequence`` +
-  ``substring``) and base hashing (``xxhash64``) are native; the
-  permutation family ``h_i(x) = a_i·x + b_i (mod 2^64)`` (odd ``a_i``
-  ⇒ bijective on the 64-bit ring, the standard multiply-shift
-  construction) runs as ONE Arrow-batched numpy broadcast — Spark
-  evaluates higher-order lambdas interpreted, so 64 per-permutation
-  passes would cost ~µs/element where the vectorized batch costs ~ns
-  (measured 20× on the fixture corpus; an all-native variant is kept
-  for differential testing). Banding stays native and turns the O(n²)
-  similarity join into ``#bands`` equi-joins on (band_id, band_hash)
-  — the only shuffles.
+- **MinHash + LSH** near-dedup: the hot path is ONE fused Arrow
+  kernel (:func:`shingle_hash_signature`) — codepoint-array shingling
+  (stride-tricks window), vectorized polynomial rolling hash, and the
+  multiply-shift permutation family ``h_i(x) = a_i·x + b_i (mod
+  2^64)`` (odd ``a_i`` ⇒ bijective on the 64-bit ring) as a single
+  numpy broadcast. Spark evaluates higher-order lambdas interpreted
+  (~µs/element), so the earlier native ``sequence``/``substring``/
+  ``xxhash64`` shingle pass was 50% of pipeline wall-clock; the fused
+  kernel costs ~ns/element. A fully-native variant
+  (:func:`char_shingles` + :func:`minhash_signature_native`) is kept
+  for zero-Python-worker environments and differential testing.
+  Banding stays native and turns the O(n²) similarity join into
+  ``#bands`` equi-joins on (band_id, band_hash) — the only shuffles.
 - **SimHash** needs per-bit majority voting across token hashes, which
   has no native columnar form — one Arrow-batched pandas UDF
   (numpy ``unpackbits``), the documented slow path.
@@ -132,6 +134,66 @@ def minhash_signature(
     return sig(base)
 
 
+def shingle_hash_signature(
+    text_col: Column, k: int = 5, num_perm: int = 64, seed: int = 42
+) -> Column:
+    """Fused shingle→hash→minhash kernel: one Arrow batch per partition
+    computes ``struct<hashes: array<bigint>, signature: array<bigint>>``.
+
+    The all-native shingle path (:func:`char_shingles` + ``xxhash64``)
+    evaluates interpreted higher-order functions — ~µs per shingle, and
+    it was 50% of the whole MinHash pipeline's wall-clock. Here the text
+    is decoded to a codepoint array (``utf-32-le`` — char-exact, same
+    shingle boundaries as ``substring``), shingled with a stride-tricks
+    sliding window, and hashed with a vectorized polynomial rolling hash
+    on the uint64 ring (FNV-prime base; k multiply-add passes over all
+    windows at once). ``hashes`` comes out SORTED DISTINCT (np.unique),
+    which the verify step exploits. The hash family differs from the
+    native path's xxhash64 — engine-internal either way; only set
+    semantics matter, and both are uniform on 64 bits.
+
+    Empty/short texts yield ``hashes=[]``, ``signature=NULL`` (matching
+    :func:`minhash_signature`'s null contract).
+    """
+    a_params, b_params = _perm_params(num_perm, seed)
+    out_type = T.StructType(
+        [
+            T.StructField("hashes", T.ArrayType(T.LongType())),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def prep(texts: pd.Series) -> pd.DataFrame:
+        base = np.uint64(1099511628211)  # FNV-1a prime, odd ⇒ mixes the ring
+        a = a_params[np.newaxis, :]
+        b = b_params[np.newaxis, :]
+        hashes_out: list = []
+        sig_out: list = []
+        for t in texts:
+            if t is None:
+                hashes_out.append(None)
+                sig_out.append(None)
+                continue
+            cp = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
+            if cp.size < k:
+                hashes_out.append(np.empty(0, dtype=np.int64))
+                sig_out.append(None)
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(cp, k)
+            h = np.zeros(w.shape[0], dtype=np.uint64)
+            for i in range(k):
+                h = h * base + w[:, i].astype(np.uint64)
+            h = np.unique(h)
+            # unique sorts as uint64; re-sort the int64 VIEW (top-bit
+            # values go negative) so the verify merge can searchsorted
+            hashes_out.append(np.sort(h.view(np.int64)))
+            sig_out.append((h[:, np.newaxis] * a + b).min(axis=0).view(np.int64))
+        return pd.DataFrame({"hashes": hashes_out, "signature": sig_out})
+
+    return prep(text_col)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -177,17 +239,39 @@ def lsh_candidate_pairs(
 
 
 @F.pandas_udf(T.DoubleType())
+def _sig_agreement(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
+    """MinHash Jaccard estimate: fraction of agreeing signature slots.
+
+    Signatures are fixed-width, so the whole Arrow batch collapses to a
+    single (batch × num_perm) matrix comparison — no per-pair Python.
+    """
+    if len(a_col) == 0:
+        return pd.Series([], dtype=float)
+    a = np.stack(a_col.to_numpy())
+    b = np.stack(b_col.to_numpy())
+    return pd.Series((a == b).mean(axis=1))
+
+
+@F.pandas_udf(T.DoubleType())
 def _hash_set_jaccard(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
-    """Exact Jaccard of two distinct-hash arrays (C-speed set merge)."""
+    """Exact Jaccard of two SORTED distinct-hash arrays.
+
+    Inputs must be sorted ascending (they are: np.unique output from
+    :func:`shingle_hash_signature`). ``searchsorted`` membership beats
+    ``np.intersect1d``'s concat+sort ~3× at the ~400-element sizes the
+    candidate pairs carry.
+    """
     out = np.zeros(len(a_col))
     for i, (a, b) in enumerate(zip(a_col, b_col)):
         if a is None or b is None or len(a) == 0 or len(b) == 0:
             continue
-        inter = np.intersect1d(
-            np.asarray(a, dtype=np.int64),
-            np.asarray(b, dtype=np.int64),
-            assume_unique=True,
-        ).size
+        a = np.asarray(a, dtype=np.int64)
+        b = np.asarray(b, dtype=np.int64)
+        if len(b) < len(a):  # probe the smaller side into the larger
+            a, b = b, a
+        idx = np.searchsorted(b, a)
+        idx[idx == len(b)] = len(b) - 1
+        inter = int(np.count_nonzero(b[idx] == a))
         out[i] = inter / (len(a) + len(b) - inter)
     return pd.Series(out)
 
@@ -205,33 +289,57 @@ def minhash_dedup_pairs(
     """Near-duplicate pairs: MinHash-LSH candidates verified by exact
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard).
 
-    Shingles are hashed to 64-bit ints once; both the signature and the
+    Shingles are hashed to 64-bit ints once (fused Arrow kernel,
+    :func:`shingle_hash_signature`); both the signature and the
     verification run on the hash arrays (set semantics preserved —
-    shingle sets are distinct, and a 2^-64 hash collision is the only
-    approximation). Verification is a vectorized numpy set-merge: on a
-    shared-vocabulary corpus the banding join legitimately emits ~3% of
-    all pairs as candidates, so interpreted array_intersect over string
-    arrays was the dominant cost of the whole pipeline (~6× everything
-    else combined).
+    shingle sets are distinct, and a ~2^-64 hash collision is the only
+    approximation). Verification is a sorted-merge on numpy arrays: on
+    a shared-vocabulary corpus the banding join legitimately emits ~3%
+    of all pairs as candidates, so interpreted array_intersect over
+    string arrays was the dominant cost of the whole pipeline (~6×
+    everything else combined).
     """
     prepped = df.select(
         F.col(id_col),
-        F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias(
-            "_h"
-        ),
-    ).withColumn(
-        "signature", minhash_signature(F.col("_h"), num_perm, seed, pre_hashed=True)
+        shingle_hash_signature(F.col(text_col), k, num_perm, seed).alias("_p"),
+    ).select(
+        id_col,
+        F.col("_p.hashes").alias("_h"),
+        F.col("_p.signature").alias("signature"),
     )
     # the prep feeds 4 join branches (band self-join ×2, verify ×2) —
-    # cache it or the shingle+signature kernels run 4× (reference tactic
-    # kept per SURVEY §4: persist iteratively-reused inputs)
+    # cache it or the fused shingle+signature kernel runs 4× (reference
+    # tactic kept per SURVEY §4: persist iteratively-reused inputs)
     prepped = prepped.persist()
 
     cands = lsh_candidate_pairs(prepped, id_col, "signature", bands)
 
+    # Signature-agreement prefilter: on a shared-vocabulary corpus the
+    # banding join emits ~3% of ALL pairs as candidates, and shipping
+    # every candidate's full shingle-hash arrays (KBs/row) into the
+    # exact verify dominated the stage. The MinHash estimator (fraction
+    # of agreeing slots) is one vectorized matrix op over the 512-byte
+    # signatures already in hand; pairs estimated ≥ 4σ below the
+    # threshold (σ = √(t(1−t)/num_perm)) cannot plausibly clear it —
+    # P(miss | true j ≥ threshold) ≈ 3e-5 at the defaults. Precision is
+    # untouched: survivors still get the exact verify.
+    sigma = (threshold * (1.0 - threshold) / num_perm) ** 0.5
+    sig = prepped.select(F.col(id_col), F.col("signature"))
+    survivors = (
+        cands.join(
+            sig.withColumnsRenamed({id_col: "id_a", "signature": "_s_a"}), "id_a"
+        )
+        .join(sig.withColumnsRenamed({id_col: "id_b", "signature": "_s_b"}), "id_b")
+        .filter(
+            _sig_agreement.asNondeterministic()(F.col("_s_a"), F.col("_s_b"))
+            >= threshold - 4 * sigma
+        )
+        .select("id_a", "id_b")
+    )
+
     sh = prepped.select(F.col(id_col), F.col("_h"))
     pairs = (
-        cands.join(sh.withColumnsRenamed({id_col: "id_a", "_h": "_h_a"}), "id_a")
+        survivors.join(sh.withColumnsRenamed({id_col: "id_a", "_h": "_h_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "_h": "_h_b"}), "id_b")
     )
     # asNondeterministic stops Catalyst cloning the UDF into the filter
