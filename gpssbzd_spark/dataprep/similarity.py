@@ -33,8 +33,10 @@ Two paths, both pure DataFrame ops:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -102,6 +104,44 @@ def hyperplane_bucket(
     return bucket
 
 
+def hyperplane_buckets_all(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42
+):
+    """Vectorized bucket ids for ALL tables at once: returns a pandas
+    UDF mapping ``array<float>`` → ``array<long>`` of ``n_tables``
+    bucket ids.
+
+    The native :func:`hyperplane_bucket` evaluates one interpreted
+    ``zip_with``/``aggregate`` fold per plane — n_tables·n_planes folds
+    per vector made it the dominant cost of :func:`lsh_topk`. Here the
+    whole Arrow batch is one (batch × dim) @ (dim × n_tables·n_planes)
+    matmul + sign reshape. Plane family matches the native fn exactly
+    (same seeded ``RandomState(seed+t)`` per table, same ``>= 0`` sign,
+    same bit order), so the two paths differ only on dot products within
+    float rounding of zero.
+    """
+    planes = np.stack(
+        [
+            np.random.RandomState(seed + t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+    )  # (T, P, D)
+    proj = planes.reshape(n_tables * n_planes, dim).T  # (D, T·P)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)  # bit i = plane i
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, D)
+        bits = (v @ proj) >= 0  # (n, T·P)
+        b = bits.reshape(len(v), n_tables, n_planes).astype(np.int64)
+        vals = (b * weights).sum(axis=2)  # (n, T)
+        return pd.Series(list(vals))
+
+    return buckets
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -127,44 +167,38 @@ def lsh_topk(
     Duplicate candidate pairs from different tables are deduped BEFORE
     scoring so each pair's cosine is computed once.
     """
+    buckets = hyperplane_buckets_all(dim, n_planes, n_tables, seed)
+
     emb_b = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_bucket(
-                            F.col(vec_col), dim, n_planes, seed + t
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("_tb"),
-    ).select(id_col, vec_col, "_tb.tbl", "_tb.bucket")
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
 
-    def probe_set(t: int) -> list[Column]:
-        base = hyperplane_bucket(F.col(query_vec_col), dim, n_planes, seed + t)
-        out = [base]
-        if probes >= 1:
-            out += [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-        if probes >= 2:
-            out += [
-                base.bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                for i in range(n_planes)
-                for j in range(i + 1, n_planes)
-            ]
-        return [F.struct(F.lit(t).alias("tbl"), b.alias("bucket")) for b in out]
-
-    q_b = queries.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        F.explode(
-            F.array(*[s for t in range(n_tables) for s in probe_set(t)])
-        ).alias("_tb"),
-    ).select(query_id_col, query_vec_col, "_tb.tbl", "_tb.bucket")
+    # query side: base bucket per table, then the multi-probe fan-out
+    # (bit-flip neighbors) expands natively from the base
+    xors = [F.col("_base")]
+    if probes >= 1:
+        xors += [F.col("_base").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    if probes >= 2:
+        xors += [
+            F.col("_base").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    q_b = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.posexplode(buckets(F.col(query_vec_col))).alias("tbl", "_base"),
+        )
+        .select(
+            query_id_col,
+            query_vec_col,
+            "tbl",
+            F.explode(F.array_distinct(F.array(*xors))).alias("bucket"),
+        )
+    )
 
     cands = (
         emb_b.join(F.broadcast(q_b), ["tbl", "bucket"])

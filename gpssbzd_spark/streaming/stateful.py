@@ -25,6 +25,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -57,20 +58,25 @@ def _segmenter(gap_seconds: float):
             epoch_us = (
                 pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
             )
-            gaps, segs = [], []
-            for t in epoch_us:
-                t = int(t)
-                gap_us = 0 if last_us is None else t - last_us
-                if last_us is None or gap_us > gap_us_threshold:
-                    seg += 1
-                gaps.append(gap_us / _US)
-                segs.append(seg)
-                last_us = t
+            n = len(epoch_us)
+            if n == 0:
+                continue
+            # the recurrence is diff + cumsum with a scalar carry-in
+            # (last_ts, seg) — vectorized, no per-row Python
+            gaps_us = np.empty(n, dtype=np.int64)
+            gaps_us[1:] = epoch_us[1:] - epoch_us[:-1]
+            gaps_us[0] = 0 if last_us is None else epoch_us[0] - last_us
+            starts = gaps_us > gap_us_threshold
+            if last_us is None:
+                starts[0] = True
+            segs = seg + np.cumsum(starts.astype(np.int64))
+            seg = int(segs[-1])
+            last_us = int(epoch_us[-1])
             yield pd.DataFrame(
                 {
                     "user_id": key[0],
                     "ts": pdf["ts"].values,
-                    "gap_s": gaps,
+                    "gap_s": gaps_us / _US,
                     "segment_id": segs,
                 }
             )
@@ -105,14 +111,51 @@ def streaming_gap_sessionize(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
-    # batch twin via the same per-key kernel (applyInPandas, no state)
+    # Batch twin via the same per-key kernel, but over mapInPandas on
+    # key-sorted partitions instead of applyInPandas: applyInPandas
+    # round-trips ONE Arrow batch per GROUP, and with many small groups
+    # (sessionization keys are users) the per-group dispatch dominated
+    # the stage ~10× over the actual kernel work. Here the shuffle is
+    # the same hash-by-key exchange, but each partition streams through
+    # Python as whole Arrow chunks; groups are contiguous after the
+    # within-partition sort, and a chunk-boundary carry keeps a key
+    # split across chunks intact. The kernel call per group is
+    # unchanged — stream/batch parity stays structural.
     seg_fn = _segmenter(gap_seconds)
+    base = df.select(df[key_col].alias("user_id"), df[ts_col].alias("ts"))
 
-    def batch_fn(key: tuple[Any, ...], pdf: pd.DataFrame) -> pd.DataFrame:
-        out = list(seg_fn(key, iter([pdf]), _NullState()))
-        return pd.concat(out, ignore_index=True)
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = (pdf["user_id"].iloc[0],)
+        return pd.concat(
+            list(seg_fn(key, iter([pdf]), _NullState())), ignore_index=True
+        )
 
-    return grouped.applyInPandas(batch_fn, OUTPUT_SCHEMA)
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        leftover: pd.DataFrame | None = None
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if len(pdf) == 0:
+                continue
+            vals = pdf["user_id"].values
+            # the last key's rows are the contiguous tail (sorted by key)
+            cut = len(vals) - int(np.count_nonzero(vals == vals[-1]))
+            leftover = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                yield pd.concat(
+                    [run_group(g) for _, g in head.groupby("user_id", sort=False)],
+                    ignore_index=True,
+                )
+        if leftover is not None and len(leftover):
+            yield run_group(leftover)
+
+    return (
+        base.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .mapInPandas(map_fn, OUTPUT_SCHEMA)
+    )
 
 
 class _NullState:
