@@ -159,6 +159,7 @@ from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
 from gpssbzd_spark.dataprep.multimodal import (  # noqa: E402
     extract_features,
     media_from_binary,
+    resize_images,
 )
 from gpssbzd_spark.dataprep.similarity import brute_force_topk, lsh_topk  # noqa: E402
 from gpssbzd_spark.dataprep.text import STOPWORDS, doc_fingerprint, language_id  # noqa: E402
@@ -392,4 +393,30 @@ def mm_feature_extract(spark, sf_dir):
         _F.count("*").alias("n_media"),
         _F.sum("n_bytes").alias("total_bytes"),
         _F.min(_F.size("feature")).alias("feat_dim"),
+    )
+
+
+@query(
+    "mm_resize_pipeline",
+    oracle=None,
+    note="multimodal resize plumbing: media schema in, media schema out "
+    "(meta width/height retagged, content re-encoded by the fake kernel; "
+    "real decoder is a drop-in), then feature extraction over the resized "
+    "batch — rows-only (binary content is engine-generated)",
+)
+def mm_resize_pipeline(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = media_from_binary(
+        d.withColumn("blob", _F.col("text").cast("binary")),
+        id_col="doc_id",
+        content_col="blob",
+        kind="image",
+        mime="image/png",
+    )
+    resized = resize_images(media, width=64, height=64, decode="fake")
+    feats = extract_features(resized, decode="fake")
+    return feats.groupBy("kind").agg(
+        _F.count("*").alias("n_media"),
+        _F.min("n_bytes").alias("min_bytes"),
+        _F.max("n_bytes").alias("max_bytes"),
     )

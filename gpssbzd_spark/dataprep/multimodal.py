@@ -105,6 +105,55 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     return df.mapInPandas(batches, FEATURES_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, width: int, height: int, decode: str = "fake"
+) -> DataFrame:
+    """Resize image rows to ``width × height``, preserving the media
+    schema (content replaced, meta.width/height updated).
+
+    Same plumbing contract as :func:`extract_features`: ``mapInPandas``
+    streams Arrow batches of binary blobs through the kernel, so the
+    real decoder (Pillow/libvips) is a drop-in for the ``fake`` kernel —
+    which here is a deterministic byte transform (sha256-seeded bytes of
+    length width·height÷64, stand-in for a re-encoded thumbnail) so
+    output sizes, schema, and batch shapes are real. Non-image rows pass
+    through untouched.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real image resize needs Pillow/libvips, not available in this "
+            "environment; use decode='fake' for plumbing tests"
+        )
+    assert decode == "fake"
+    n_out = max(1, width * height // 64)
+
+    def fake_resize(b: bytes | None) -> bytes | None:
+        if b is None:
+            return None
+        seed = hashlib.sha256(b).digest()
+        reps = -(-n_out // len(seed))  # ceil
+        return (seed * reps)[:n_out]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            is_img = meta["kind"] == "image"
+            content = pdf["content"].where(
+                ~is_img.values, pdf["content"].map(fake_resize)
+            )
+            meta.loc[is_img, "width"] = width
+            meta.loc[is_img, "height"] = height
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": content,
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return df.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, max_frames: int = 16
 ) -> DataFrame:

@@ -26,6 +26,7 @@ from gpssbzd_spark.dataprep.dedup import (
 from gpssbzd_spark.dataprep.multimodal import (
     extract_features,
     media_from_binary,
+    resize_images,
     sample_frames,
 )
 from gpssbzd_spark.dataprep.similarity import brute_force_topk, lsh_topk
@@ -266,6 +267,31 @@ def test_media_real_decode_is_stubbed(spark):
     media = media_from_binary(df, "media_id", "blob", kind="image", mime="img/x")
     with pytest.raises(NotImplementedError):
         extract_features(media, decode="real")
+
+
+def test_resize_images_retags_meta_and_passes_nonimages(spark):
+    df = spark.createDataFrame(
+        [(1, b"image-bytes"), (2, None)], "media_id long, blob binary"
+    )
+    img = media_from_binary(df, "media_id", "blob", kind="image", mime="image/png")
+    aud = media_from_binary(
+        spark.createDataFrame([(3, b"pcm")], "media_id long, blob binary"),
+        "media_id",
+        "blob",
+        kind="audio",
+        mime="audio/wav",
+    )
+    out = {r.media_id: r for r in resize_images(img.union(aud), 64, 64).collect()}
+    assert len(out[1].content) == 64 * 64 // 64
+    assert (out[1].meta.width, out[1].meta.height) == (64, 64)
+    assert out[2].content is None  # null blob stays null
+    assert out[3].content == b"pcm"  # non-image passes through untouched
+    assert out[3].meta.width is None
+    # deterministic: same bytes → same fake thumbnail
+    again = {r.media_id: r for r in resize_images(img, 64, 64).collect()}
+    assert again[1].content == out[1].content
+    with pytest.raises(NotImplementedError):
+        resize_images(img, 64, 64, decode="real")
 
 
 def test_sample_frames_explodes_video_only(spark):
