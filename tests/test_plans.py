@@ -76,7 +76,9 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         "dd_minhash_lsh_pairs",    # perm-family + verify numpy kernels
         "tx_fingerprint_groups",   # winnowing rolling-hash numpy kernel
         "mm_feature_extract",      # mapInPandas media kernel (by design)
-        "st_stateful_sessionize",  # applyInPandas(WithState) kernel
+        "mm_resize_pipeline",      # mapInPandas resize kernel (by design)
+        "st_stateful_sessionize",  # mapInPandas sessionize kernel
+        "sim_topk_lsh",            # vectorized hyperplane-bucket kernel
     }
     for name in sorted(corpus.CORPUS):
         if name in pandas_backed:
