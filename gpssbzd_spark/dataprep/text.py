@@ -52,17 +52,26 @@ def language_id(text_col: Column) -> Column:
     list matches at all)."""
     toks = tokens(text_col, distinct=True)
     cjk = F.length(F.regexp_replace(text_col, r"[^一-鿿]", ""))
-    scores = [
-        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
-        for lang, words in STOPWORDS.items()
+    # argmax via array_max over (score, priority, lang) structs — struct
+    # ordering is lexicographic, so ties go to the higher-priority (i.e.
+    # earlier-listed) language, matching the when-cascade the oracle SQL
+    # spells out. One struct per language ⇒ each intersect evaluates
+    # once; the cascade form re-evaluated every score inside the nested
+    # CASE branches (~6× per row).
+    entries = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias("score"),
+            F.lit(len(STOPWORDS) - i).alias("pri"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, words) in enumerate(STOPWORDS.items())
     ]
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang, score in scores:
-        is_better = score > best_score
-        best = F.when(is_better, lang).otherwise(best)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return F.when(cjk * 2 > F.length(text_col), "zh").otherwise(best)
+    best = F.array_max(F.array(*entries))
+    return F.when(cjk * 2 > F.length(text_col), "zh").otherwise(
+        F.when(best["score"] > 0, best["lang"]).otherwise("und")
+    )
 
 
 def quality_features(text_col: Column) -> dict[str, Column]:
