@@ -70,8 +70,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
+        # time construction + execution: some pipelines eagerly
+        # materialize a reused intermediate (e.g. MinHash prep) at
+        # construction, and that work must count
         t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 from gpssbzd_spark.corpus import query
 from gpssbzd_spark.functions.geo import haversine_m, haversine_sql
 from gpssbzd_spark.operators.aggregates import any_flag, group_all_subgroups
-from gpssbzd_spark.operators.joins import anti_join_keys, pair_join, semi_join_keys
+from gpssbzd_spark.operators.joins import (
+    anti_join_keys,
+    asof_join_backward,
+    pair_join,
+    range_join_broadcast,
+    semi_join_keys,
+)
 from gpssbzd_spark.sources.tables import load_table
 
 
@@ -283,6 +289,71 @@ def j6_anti_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return anti_join_keys(c, o, on=["c_custkey"]).select("c_custkey", "c_name")
+
+
+@query(
+    "j7_asof_join_backward",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+           ROUND(r.value, 4) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    note="J7 (extension): point-in-time join — latest purchase value "
+    "at-or-before each click, per user; Spark side is the union+window "
+    "forward-fill plan (one shuffle, no range explosion) vs DuckDB's "
+    "native ASOF LEFT JOIN",
+)
+def j7_asof_join_backward(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        clicks, purchases, on="user_id", time_col="ts", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+@query(
+    "j8_range_join_broadcast",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('low', 0.0, 100.0), ('mid', 100.0, 250.0),
+             ('high', 250.0, 500.0)
+    )
+    SELECT t.tier, e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(e.value), 4) AS avg_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier, e.event_type
+    """,
+    note="J8 (extension): interval-containment join against a tiny tier "
+    "dimension — explicit broadcast nested-loop (the only non-exploding "
+    "physical strategy for a pure theta predicate; at 100 TB the facts "
+    "side streams past the broadcast intervals)",
+)
+def j8_range_join_broadcast(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 500.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join_broadcast(ev, tiers, value_col="value")
+    return joined.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
 
 
 # --------------------------------------------------------------------------

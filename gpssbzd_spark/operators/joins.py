@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def semi_join_keys(df: DataFrame, keys: DataFrame, on: Sequence[str]) -> DataFrame:
@@ -58,3 +59,86 @@ def pair_join(
     )
     cond = F.col(f"{item_key}{left_suffix}") < F.col(f"{item_key}{right_suffix}")
     return left.join(right, on=group_key, how="inner").filter(cond)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    time_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of (point-in-time) join: for each ``left`` row, attach the
+    ``value_cols`` of the latest ``right`` row with the same ``on`` key
+    and ``right.time_col <= left.time_col`` (backward, inclusive —
+    DuckDB ``ASOF LEFT JOIN … ON l.k = r.k AND l.t >= r.t`` semantics).
+
+    Absent from the reference (SURVEY.md §2.3 notes the shape is faked
+    with lag/lead); a first-class operator here because training-data
+    and market-data pipelines lean on it.
+
+    Spark-first plan: NOT a range theta-join (which Catalyst can only
+    run as a broadcast nested loop or an exploding sort-merge with a
+    residual). Instead: union both sides with a side tag, one window
+    per key ordered by (t, tag) — right rows sort before left rows at
+    equal t — and forward-fill the right payload with
+    ``last(ignorenulls)``; then keep only left rows. ONE shuffle on the
+    key, linear in |left| + |right|, per-key skew handled the same way
+    any window op is. Right rows are first deduped to one per (key, t)
+    (latest wins via max) so ties are deterministic on both engines.
+    """
+    lcols = [c for c in left.columns]
+    r1 = right.groupBy(on, time_col).agg(
+        *[F.max(c).alias(c) for c in value_cols]
+    )
+    tagged_r = r1.select(
+        F.col(on),
+        F.col(time_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols if c not in (on, time_col)],
+    )
+    tagged_l = left.select(
+        F.col(on),
+        F.col(time_col),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(t.dataType).alias(f"_r_{t.name}")
+          for t in r1.schema if t.name in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (on, time_col)],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(time_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_r.unionByName(tagged_l).select(
+        F.col(on),
+        F.col(time_col),
+        F.col("_side"),
+        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (on, time_col)],
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_broadcast(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join: each fact row pairs with every
+    interval where ``lo <= value < hi``. ``intervals`` must be small
+    (a banding/tier dimension): the plan is an explicit
+    ``broadcast()`` nested-loop join — the correct physical strategy
+    when one side is tiny, and the only non-exploding one Catalyst has
+    for pure theta predicates. For large interval sets, bucket both
+    sides to a common grid first and equi-join on the bucket id.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(intervals), on=cond, how=how)
