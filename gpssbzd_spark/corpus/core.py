@@ -362,6 +362,31 @@ def j8_range_join_broadcast(spark, sf_dir):
 
 
 @query(
+    "a8_rollup_grouping",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    note="A8 (extension): hierarchical ROLLUP with grouping_id — SURVEY "
+    "§2.4 lists grouping sets absent from the reference; one pass "
+    "produces (priority, status), (priority), and grand-total rows, "
+    "map-side partial agg intact. gid disambiguates rolled-up NULLs "
+    "from data NULLs on both engines (same SQL-standard bitmask).",
+)
+def a8_rollup_grouping(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
     "a1_count_distinct_group",
     oracle="""
     SELECT o_orderpriority,

@@ -190,3 +190,39 @@ def w7_sessionize_gap(spark, sf_dir):
         F.col("is_new"), partition_by=["user_id"], order_by=[F.col("ts"), F.col("event_id")]
     )
     return flagged.select("event_id", sid.cast("long").alias("session_id"))
+
+
+@query(
+    "w8_range_frame_trailing",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+             AS order_day,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+             AS trailing_30d_spend
+    FROM orders
+    """,
+    note="W8 (extension): RANGE frame — trailing-30-day spend per "
+    "customer. SURVEY §2.5 lists range frames absent from the "
+    "reference; exposed because value-based frames are the natural "
+    "form of time-decayed rollups. The frame includes ALL peers of "
+    "the current order-day, so the result is deterministic without a "
+    "tie-break key (unlike ROWS frames).",
+)
+def w8_range_frame_trailing(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("order_day"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.withColumn("order_day", day).select(
+        "o_orderkey",
+        "o_custkey",
+        "order_day",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
