@@ -28,6 +28,7 @@ HEADLINE = [
     "j2_join_left_broadcast_dim",
     "j4_self_theta_pair_join",
     "j5_semi_join",
+    "j7_asof_join_backward",
     "a1_count_distinct_group",
     "a4_percentile_exact",
     "a4_percentile_approx",
