@@ -80,18 +80,19 @@ def asof_join_backward(
     Spark-first plan: NOT a range theta-join (which Catalyst can only
     run as a broadcast nested loop or an exploding sort-merge with a
     residual). Instead: union both sides with a side tag, one window
-    per key ordered by (t, tag) — right rows sort before left rows at
-    equal t — and forward-fill the right payload with
-    ``last(ignorenulls)``; then keep only left rows. ONE shuffle on the
-    key, linear in |left| + |right|, per-key skew handled the same way
-    any window op is. Right rows are first deduped to one per (key, t)
-    (latest wins via max) so ties are deterministic on both engines.
+    per key ordered by (t, tag, right payload) — right rows sort before
+    left rows at equal t — and forward-fill the right payload with
+    ``last(ignorenulls)``; then keep only left rows. ONE shuffle total
+    (the window's), linear in |left| + |right|, per-key skew handled
+    the same way any window op is. Duplicate right (key, t) rows are
+    disambiguated by the window order itself — the payload-greatest row
+    sorts last, so ``last`` picks it — which keeps the plan free of the
+    pre-dedup groupBy (and its second exchange) an aggregate-based
+    tie-break would cost.
     """
     lcols = [c for c in left.columns]
-    r1 = right.groupBy(on, time_col).agg(
-        *[F.max(c).alias(c) for c in value_cols]
-    )
-    tagged_r = r1.select(
+    rtypes = {f.name: f.dataType for f in right.schema}
+    tagged_r = right.select(
         F.col(on),
         F.col(time_col),
         F.lit(0).alias("_side"),
@@ -102,13 +103,12 @@ def asof_join_backward(
         F.col(on),
         F.col(time_col),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(t.dataType).alias(f"_r_{t.name}")
-          for t in r1.schema if t.name in value_cols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in value_cols],
         *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (on, time_col)],
     )
     w = (
         Window.partitionBy(on)
-        .orderBy(time_col, "_side")
+        .orderBy(time_col, "_side", *[f"_r_{c}" for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = tagged_r.unionByName(tagged_l).select(
