@@ -16,6 +16,7 @@ from gpssbzd_spark.operators.aggregates import any_flag, group_all_subgroups
 from gpssbzd_spark.operators.joins import (
     anti_join_keys,
     asof_join_backward,
+    asof_join_forward,
     pair_join,
     range_join_broadcast,
     semi_join_keys,
@@ -322,6 +323,38 @@ def j7_asof_join_backward(spark, sf_dir):
         "user_id",
         F.unix_millis("ts").alias("ts_ms"),
         F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+@query(
+    "j7b_asof_join_forward",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, MIN(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+           ROUND(r.value, 4) AS next_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    note="J7 forward variant: earliest purchase value at-or-after each "
+    "click, per user — same union+window plan, fill direction reversed",
+)
+def j7b_asof_join_forward(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_forward(
+        clicks, purchases, on="user_id", time_col="ts", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("asof_value", 4).alias("next_value"),
     )
 
 

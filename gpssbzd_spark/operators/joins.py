@@ -142,3 +142,55 @@ def range_join_broadcast(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(intervals), on=cond, how=how)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    time_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Forward as-of join: for each ``left`` row, attach the
+    ``value_cols`` of the EARLIEST ``right`` row with the same ``on``
+    key and ``right.time_col >= left.time_col`` (inclusive — DuckDB
+    ``ASOF LEFT JOIN … ON l.k = r.k AND l.t <= r.t``).
+
+    Mirror of :func:`asof_join_backward`: left rows sort before right
+    rows at equal t, the fill runs over ``(currentRow,
+    unboundedFollowing)`` with ``first(ignorenulls)``, and duplicate
+    right (key, t) ties resolve to the payload-least row via the window
+    order — still one shuffle, no join node.
+    """
+    lcols = [c for c in left.columns]
+    rtypes = {f.name: f.dataType for f in right.schema}
+    tagged_l = left.select(
+        F.col(on),
+        F.col(time_col),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (on, time_col)],
+    )
+    tagged_r = right.select(
+        F.col(on),
+        F.col(time_col),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols if c not in (on, time_col)],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(time_col, "_side", *[f"_r_{c}" for c in value_cols])
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = tagged_l.unionByName(tagged_r).select(
+        F.col(on),
+        F.col(time_col),
+        F.col("_side"),
+        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (on, time_col)],
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 0).drop("_side")

@@ -13,7 +13,11 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from gpssbzd_spark.operators.joins import asof_join_backward, range_join_broadcast
+from gpssbzd_spark.operators.joins import (
+    asof_join_backward,
+    asof_join_forward,
+    range_join_broadcast,
+)
 
 
 def _ts(s: str) -> dt.datetime:
@@ -48,6 +52,34 @@ def test_asof_backward_semantics(spark):
     assert out[2] == 50.0  # inclusive match at equal ts; max wins the dup
     assert out[3] == 60.0  # latest preceding, not first
     assert out[4] is None  # key absent from right
+
+
+def test_asof_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", _ts("2026-01-01 10:00:00"), 1),  # before both right rows
+            ("a", _ts("2026-01-01 10:05:00"), 2),  # exact tie with right
+            ("a", _ts("2026-01-01 10:30:00"), 3),  # after all right rows
+        ],
+        "k string, t timestamp, row_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2026-01-01 10:05:00"), 50.0),
+            ("a", _ts("2026-01-01 10:05:00"), 40.0),  # duplicate ts: min wins
+            ("a", _ts("2026-01-01 10:20:00"), 60.0),
+        ],
+        "k string, t timestamp, v double",
+    )
+    out = {
+        r["row_id"]: r["asof_v"]
+        for r in asof_join_forward(
+            left, right, on="k", time_col="t", value_cols=["v"]
+        ).collect()
+    }
+    assert out[1] == 40.0  # earliest at-or-after; min wins the dup
+    assert out[2] == 40.0  # inclusive match at equal ts
+    assert out[3] is None  # nothing at-or-after
 
 
 def test_asof_plan_one_shuffle_no_join(spark):
