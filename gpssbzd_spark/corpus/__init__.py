@@ -21,30 +21,50 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     note: str = ""
+    tier: int = 0
+    seq: int = 0
 
 
 CORPUS: dict[str, Query] = {}
 
+# The driver's correctness gate compares the FIRST `DRIVER_WINDOW`
+# registered queries against their DuckDB oracles; later registrations
+# still run under pytest (tests/test_corpus_oracle.py) but get no
+# driver CORRECTNESS row. Tier 0 is therefore the curated 50-query
+# diagnostic set — exactly one (or one merged) query per SURVEY.md §2
+# component — and higher tiers are extra evidence sorted past the cap.
+DRIVER_WINDOW = 50
 
-def query(name: str, oracle: str | None = None, note: str = ""):
-    """Register a corpus query. ``oracle=None`` → rows-only check."""
+
+def query(name: str, oracle: str | None = None, note: str = "", tier: int = 0):
+    """Register a corpus query. ``oracle=None`` → rows-only check.
+
+    ``tier`` orders the registry the driver sees: tier 0 sorts into the
+    driver's correctness window, tier >= 1 past it (stable by
+    registration order within a tier).
+    """
 
     def deco(fn):
         assert name not in CORPUS, f"duplicate corpus query {name}"
-        CORPUS[name] = Query(name=name, fn=fn, oracle=oracle, note=note)
+        CORPUS[name] = Query(
+            name=name, fn=fn, oracle=oracle, note=note, tier=tier, seq=len(CORPUS)
+        )
         return fn
 
     return deco
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _ordered() -> list[Query]:
     _load_all()
-    return {name: q.fn for name, q in CORPUS.items()}
+    return sorted(CORPUS.values(), key=lambda q: (q.tier, q.seq))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {name: q.oracle for name, q in CORPUS.items() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 _LOADED = False

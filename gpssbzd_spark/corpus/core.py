@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpssbzd_spark.corpus import query
-from gpssbzd_spark.functions.geo import haversine_m, haversine_sql
+from gpssbzd_spark.functions.geo import haversine_m, haversine_sql, register_sql_fns
 from gpssbzd_spark.operators.aggregates import any_flag, group_all_subgroups
 from gpssbzd_spark.operators.joins import (
     anti_join_keys,
@@ -36,17 +36,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "p1_scan_project_filter",
     oracle="""
-    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(l_orderkey AS VARCHAR) AS key_str
     FROM lineitem
     WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
     """,
-    note="P1/P4/P12: projection + pushdown filter reach the parquet scan",
+    note="P1/P4/P12: projection + pushdown filter reach the parquet scan; "
+    "numeric/string casts ride the same projection (P12 — the reference "
+    "casts stringly CSV on use)",
 )
 def p1_scan_project_filter(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") < F.lit("1995-06-01 00:00:00").cast("timestamp"))
-        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            F.col("l_orderkey").cast("string").alias("key_str"),
+        )
     )
 
 
@@ -77,6 +87,7 @@ def p5_filter_in_list(spark, sf_dir):
        OR (l_tax IS NULL)
     """,
     note="P7/P13: 3-way OR with null-safe branch (SPE:157-161)",
+    tier=2,
 )
 def p7_filter_compound_bool(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -96,6 +107,7 @@ def p7_filter_compound_bool(spark, sf_dir):
     WHERE o_orderstatus = 'F' AND o_totalprice > 100000
     """,
     note="P8: SQL-string predicate path (SPE:117 filter(\"cond1 = 1 AND ...\"))",
+    tier=2,
 )
 def p8_sql_string_filter(spark, sf_dir):
     return (
@@ -109,6 +121,7 @@ def p8_sql_string_filter(spark, sf_dir):
     "p10_distinct_projection",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     note="P9/P10: distinct over a column subset (PPE:81 dropDuplicates)",
+    tier=2,
 )
 def p10_distinct_projection(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
@@ -127,6 +140,41 @@ def p9_dedup_keep_first(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.min("c_custkey").alias("first_custkey")
+    )
+
+
+@query(
+    "p7_filter_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS INTEGER) AS qty
+    FROM lineitem
+    WHERE ((l_returnflag = 'R' AND l_quantity > 45)
+           OR (l_linestatus = 'O' AND l_discount < 0.02)
+           OR (l_tax IS NULL))
+      AND l_extendedprice > 5000 AND l_discount <= 0.08
+    """,
+    note="P7+P8+P10 merged (driver-window diagnostic): native compound "
+    "boolean filter (3-way OR with null-safe branch, SPE:157-161) chained "
+    "with a SQL-string predicate (SPE:117) and a distinct projection over "
+    "a column subset (PPE:81) — Catalyst folds both filters into one "
+    "pushed-down conjunction",
+)
+def p7_filter_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45))
+        | ((F.col("l_linestatus") == "O") & (F.col("l_discount") < 0.02))
+        | F.col("l_tax").isNull()
+    )
+    return (
+        li.filter(cond)
+        .filter("l_extendedprice > 5000 AND l_discount <= 0.08")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("int").alias("qty"),
+        )
+        .distinct()
     )
 
 
@@ -160,6 +208,7 @@ def p13_null_handling(spark, sf_dir):
     FROM lineitem
     """,
     note="P12: numeric/string casts (reference casts stringly CSV on use)",
+    tier=2,
 )
 def p12_cast_types(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -267,6 +316,7 @@ def j4_self_theta_pair_join(spark, sf_dir):
     """,
     note="J5: left_semi replaces the reference's collect+broadcast+isin "
     "driver round-trip (PPE:47-50) — stays distributed at 100 TB",
+    tier=2,
 )
 def j5_semi_join(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -282,14 +332,55 @@ def j5_semi_join(spark, sf_dir):
     "j6_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
     """,
-    note="left_anti (NOT EXISTS) — absent in reference, required surface",
+    note="left_anti (NOT EXISTS) — absent in reference, required surface; "
+    "the subtracted side is filtered so the result is non-empty at every "
+    "SF (the r01 all-customers variant anti-joined to zero rows, proving "
+    "only that the plan compiled)",
+    tier=2,
 )
 def j6_anti_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return anti_join_keys(c, o, on=["c_custkey"]).select("c_custkey", "c_name")
+
+
+@query(
+    "j5_semi_anti_join",
+    oracle="""
+    SELECT c_custkey, 'semi' AS side FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    UNION ALL
+    SELECT c_custkey, 'anti' AS side FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+    """,
+    note="J5+J6 merged (driver-window diagnostic): left_semi and left_anti "
+    "against the same filtered key set, tag-unioned so both sides are "
+    "provably non-empty and every customer lands on exactly one side. "
+    "left_semi replaces the reference's collect+broadcast+isin round-trip "
+    "(PPE:47-50); the threshold keeps the anti side non-vacuous at sf0.01",
+)
+def j5_semi_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    semi = semi_join_keys(c, keys, on=["c_custkey"]).select(
+        "c_custkey", F.lit("semi").alias("side")
+    )
+    anti = anti_join_keys(c, keys, on=["c_custkey"]).select(
+        "c_custkey", F.lit("anti").alias("side")
+    )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -340,6 +431,7 @@ def j7_asof_join_backward(spark, sf_dir):
     """,
     note="J7 forward variant: earliest purchase value at-or-after each "
     "click, per user — same union+window plan, fill direction reversed",
+    tier=2,
 )
 def j7b_asof_join_forward(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -400,21 +492,26 @@ def j8_range_join_broadcast(spark, sf_dir):
     SELECT o_orderpriority, o_orderstatus,
            GROUPING(o_orderpriority, o_orderstatus) AS gid,
            COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
            ROUND(SUM(o_totalprice), 2) AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
-    note="A8 (extension): hierarchical ROLLUP with grouping_id — SURVEY "
-    "§2.4 lists grouping sets absent from the reference; one pass "
-    "produces (priority, status), (priority), and grand-total rows, "
-    "map-side partial agg intact. gid disambiguates rolled-up NULLs "
-    "from data NULLs on both engines (same SQL-standard bitmask).",
+    note="A1+A6+A8 merged (driver-window diagnostic): hierarchical ROLLUP "
+    "with grouping_id — SURVEY §2.4 lists grouping sets absent from the "
+    "reference; one pass produces (priority, status), (priority), and "
+    "grand-total rows, map-side partial agg intact. gid disambiguates "
+    "rolled-up NULLs from data NULLs on both engines (same SQL-standard "
+    "bitmask). The exact countDistinct rides the rollup: per-group rows "
+    "are A1 (PBZ:102-104 vehicles/cluster), the grand-total row is A6's "
+    "global distinct count (SBZ:58 total-vehicle N).",
 )
 def a8_rollup_grouping(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.grouping_id().alias("gid"),
         F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
 
@@ -428,6 +525,7 @@ def a8_rollup_grouping(spark, sf_dir):
     FROM orders GROUP BY o_orderpriority
     """,
     note="A1: exact countDistinct per group (PBZ:102-104 vehicles/cluster)",
+    tier=2,
 )
 def a1_count_distinct_group(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -446,6 +544,7 @@ def a1_count_distinct_group(spark, sf_dir):
     FROM lineitem GROUP BY l_returnflag
     """,
     note="A2: max(when(pred,1)) 'any row satisfies' + count_if (SPE:104-118)",
+    tier=2,
 )
 def a2_conditional_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -467,6 +566,7 @@ def a2_conditional_agg(spark, sf_dir):
     """,
     note="A3: two-level cascaded agg — 'do ALL subgroups satisfy' "
     "(SBZ:112-143 signal escalation)",
+    tier=2,
 )
 def a3_cascaded_agg(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -476,6 +576,42 @@ def a3_cascaded_agg(spark, sf_dir):
         subgroup_by=["c_custkey"],
         pred=F.col("c_acctbal") > 0,
         flag_name="all_active",
+    )
+
+
+@query(
+    "a2_cascaded_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           MIN(has_big) AS all_cust_have_big,
+           MAX(has_big) AS any_cust_has_big,
+           CAST(COUNT(CASE WHEN has_big = 1 THEN 1 END) AS BIGINT)
+             AS n_custs_with_big,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders
+    FROM (
+      SELECT o_orderpriority, o_custkey,
+             MAX(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS has_big,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority, o_custkey
+    ) GROUP BY o_orderpriority
+    """,
+    note="A2+A3 merged (driver-window diagnostic): inner conditional agg "
+    "per (priority, customer) — max(when(pred,1)) 'any row satisfies' "
+    "(SPE:104-118) — cascaded into an outer 'do ALL / does ANY subgroup "
+    "satisfy' + count_if rollup, the exact two-level escalation shape of "
+    "the blind-zone signal cascade (SBZ:112-143)",
+)
+def a2_cascaded_conditional(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    inner = o.groupBy("o_orderpriority", "o_custkey").agg(
+        any_flag(F.col("o_totalprice") > 300000).alias("has_big"),
+        F.count("*").alias("n_inner"),
+    )
+    return inner.groupBy("o_orderpriority").agg(
+        F.min("has_big").alias("all_cust_have_big"),
+        F.max("has_big").alias("any_cust_has_big"),
+        F.count_if(F.col("has_big") == 1).alias("n_custs_with_big"),
+        F.sum("n_inner").alias("n_orders"),
     )
 
 
@@ -523,6 +659,7 @@ def a5_collect_list_ordered(spark, sf_dir):
     FROM orders
     """,
     note="A6: global distinct count (SBZ:58 total-vehicle count N)",
+    tier=2,
 )
 def a6_global_distinct_count(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -601,6 +738,7 @@ def o1_global_topk(spark, sf_dir):
     """,
     note="§2.7: union + distinct (replaces reference's filesystem-level "
     "union of per-line output dirs, PPE:255-256)",
+    tier=2,
 )
 def set_union_distinct(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -615,6 +753,7 @@ def set_union_distinct(spark, sf_dir):
     INTERSECT
     SELECT o_custkey AS custkey FROM orders
     """,
+    tier=2,
 )
 def set_intersect(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
@@ -627,13 +766,71 @@ def set_intersect(spark, sf_dir):
     oracle="""
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS custkey FROM orders
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
     """,
+    note="EXCEPT against a filtered subtrahend — non-empty at sf0.01 (the "
+    "r01 all-orders variant subtracted to zero rows)",
+    tier=2,
 )
 def set_except(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.exceptAll(o).distinct()
+
+
+@query(
+    "set_ops_tagged",
+    oracle="""
+    SELECT 'union' AS op, nationkey AS key FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      UNION
+      SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, custkey AS key FROM (
+      SELECT c_custkey AS custkey FROM customer
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'except' AS op, custkey AS key FROM (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+    note="§2.7 merged (driver-window diagnostic): union-distinct, "
+    "intersect, and except in one tag-union — union replaces the "
+    "reference's filesystem-level union of per-line output dirs "
+    "(PPE:255-256); the except subtrahend is filtered so all three "
+    "branches are non-empty at sf0.01",
+)
+def set_ops_tagged(spark, sf_dir):
+    c_nat = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("key")
+    )
+    s_nat = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("key")
+    )
+    c_keys = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o_keys = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    o_big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    u = c_nat.unionByName(s_nat).distinct().select(F.lit("union").alias("op"), "key")
+    i = c_keys.intersect(o_keys).select(F.lit("intersect").alias("op"), "key")
+    e = (
+        c_keys.exceptAll(o_big)
+        .distinct()
+        .select(F.lit("except").alias("op"), "key")
+    )
+    return u.unionByName(i).unionByName(e)
 
 
 # --------------------------------------------------------------------------
@@ -702,6 +899,7 @@ def f1_timestamp_arithmetic(spark, sf_dir):
     FROM customer
     """,
     note="F2: concat_ws composite key (PTC:227-228) + zero-padded ids",
+    tier=2,
 )
 def f2_string_fns(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -714,6 +912,42 @@ def f2_string_fns(spark, sf_dir):
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.length("c_name").alias("name_len"),
         F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("custkey_padded"),
+    )
+
+
+@query(
+    "f2_string_case",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS custkey_padded,
+           CASE WHEN c_acctbal >= 5000 THEN 'high'
+                WHEN c_acctbal >= 0 THEN 'mid'
+                ELSE 'neg' END AS bal_band
+    FROM customer
+    """,
+    note="F2+F4 merged (driver-window diagnostic): concat_ws composite key "
+    "(PTC:227-228), case transforms, zero-padded ids, plus a multi-branch "
+    "CASE WHEN band (SPE:82-102 gap classification) in the same projection",
+)
+def f2_string_case(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("_", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("custkey_padded"),
+        F.when(F.col("c_acctbal") >= 5000, "high")
+        .when(F.col("c_acctbal") >= 0, "mid")
+        .otherwise("neg")
+        .alias("bal_band"),
     )
 
 
@@ -746,6 +980,33 @@ def f3_haversine_native(spark, sf_dir):
 
 
 @query(
+    "f3b_haversine_sql_registered",
+    oracle=f"""
+    SELECT c_custkey,
+           ROUND({_HAVERSINE_ORACLE}, 2) AS dist_m
+    FROM customer
+    WHERE {_HAVERSINE_ORACLE} < 8000
+    """,
+    note="U2: SQL-string parity for the registered haversine — the "
+    "reference registers fastHaversine as a Scala UDF for expr() strings "
+    "(Parallel/Pattern Extraction.scala:56-65, called at :103,111); here "
+    "it is a CREATE TEMPORARY FUNCTION SQL scalar function that Catalyst "
+    "inlines into codegen, called via expr() in both select and filter",
+)
+def f3b_haversine_sql_registered(spark, sf_dir):
+    register_sql_fns(spark)
+    c = _t(spark, sf_dir, "customer")
+    call = (
+        "fast_haversine(22.5 + (c_custkey % 100) * 0.001, "
+        "113.8 + (c_nationkey % 50) * 0.002, 22.5, 113.8)"
+    )
+    return (
+        c.filter(F.expr(f"{call} < 8000"))
+        .select("c_custkey", F.expr(f"ROUND({call}, 2)").alias("dist_m"))
+    )
+
+
+@query(
     "f4_case_when",
     oracle="""
     SELECT l_orderkey, l_linenumber,
@@ -756,6 +1017,7 @@ def f3_haversine_native(spark, sf_dir):
     FROM lineitem
     """,
     note="F4/P3: multi-branch CASE WHEN (SPE:82-102 gap classification)",
+    tier=2,
 )
 def f4_case_when(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -779,6 +1041,7 @@ def f4_case_when(spark, sf_dir):
     """,
     note="§2.11 F5: from_json/get_json_object over events.props "
     "(engine extension — reference has no JSON surface)",
+    tier=2,
 )
 def f5_json_extract(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -827,6 +1090,7 @@ def f5_array_struct_math(spark, sf_dir):
     "state instead of the full sort exact percentile needs. Rows-only "
     "(sketch internals are engine-specific); tests pin |approx − exact| "
     "within the sketch's accuracy bound",
+    tier=2,
 )
 def a4_percentile_approx(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -843,6 +1107,7 @@ def a4_percentile_approx(spark, sf_dir):
     note="A1 at scale: HyperLogLog++ countDistinct — fixed-size sketch per "
     "group vs the exact variant's per-key dedup shuffle. Rows-only; tests "
     "pin relative error under the configured rsd",
+    tier=2,
 )
 def a1_approx_count_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")

@@ -17,21 +17,35 @@ from gpssbzd_spark.sources.tables import load_table
 @query(
     "dd_exact_dup_groups",
     oracle="""
+    WITH seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    )
     SELECT md5(text) AS text_hash,
            CAST(COUNT(*) AS BIGINT) AS n_copies,
            MIN(doc_id) AS canonical_doc_id
-    FROM documents
+    FROM seeded
     GROUP BY md5(text)
     HAVING COUNT(*) > 1
     """,
     note="exact dedup: hash-groupBy duplicate groups with deterministic "
     "canonical survivor (min doc_id); at 100 TB the md5 shuffle key keeps "
-    "the groupBy balanced",
+    "the groupBy balanced. The fixture corpus has no exact dups at small "
+    "SF (the r01 run green-lit an EMPTY result), so the query seeds known "
+    "duplicates via a deterministic self-union (every 10th doc re-inserted "
+    "under a shifted id) and must recover exactly those groups",
 )
 def dd_exact_dup_groups(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
     return (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        seeded.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
         .filter(F.col("n_copies") > 1)
     )
@@ -45,6 +59,7 @@ def dd_exact_dup_groups(spark, sf_dir):
     FROM documents
     """,
     note="exact dedup cardinality: rows vs distinct text hashes",
+    tier=2,
 )
 def dd_exact_dedup_survivors(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -66,6 +81,7 @@ def dd_exact_dedup_survivors(spark, sf_dir):
     """,
     note="text analysis: whitespace token counting + type counts — native "
     "split/array fns, no Python boundary",
+    tier=2,
 )
 def tx_token_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -92,6 +108,7 @@ def tx_token_stats(spark, sf_dir):
     """,
     note="text quality scoring: alpha/punct ratios + length gate "
     "(regexp_replace is JVM-side, codegen'd)",
+    tier=2,
 )
 def tx_quality_score(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -121,6 +138,7 @@ def tx_quality_score(spark, sf_dir):
     """,
     note="similarity search: cosine of every vector vs a query vector — "
     "native zip_with/aggregate dot product, broadcast query side",
+    tier=2,
 )
 def sim_cosine_to_centroid(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
@@ -152,6 +170,7 @@ from pyspark.sql import functions as _F  # noqa: E402
 
 from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
     embedding_cosine_pairs,
+    embedding_lsh_pairs,
     minhash_dedup_pairs,
     simhash64,
     hamming64,
@@ -271,6 +290,7 @@ def _lang_scores_sql() -> str:
     """,
     note="language-ID n-gram/stopword heuristic — native array_intersect "
     "scoring + CJK codepoint fast path, vs the same rule inlined in SQL",
+    tier=2,
 )
 def tx_language_id(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -287,6 +307,7 @@ def tx_language_id(spark, sf_dir):
     note="winnowing document fingerprint (k=7 shingle hashes → window "
     "minima → set hash); rows-only (xxhash64-based) — stability-under-"
     "edit is property-tested in pytest",
+    tier=1,
 )
 def tx_fingerprint_groups(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -294,6 +315,58 @@ def tx_fingerprint_groups(spark, sf_dir):
         d.withColumn("fp", doc_fingerprint(_F.col("text")))
         .groupBy("fp")
         .agg(_F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "tx_doc_features",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, {_lang_scores_sql()}
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                AS BIGINT) AS n_unique_tokens,
+           ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / NULLIF(length(text), 0), 4) AS alpha_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                 / NULLIF(length(text), 0), 4) AS punct_ratio,
+           (length(text) BETWEEN 100 AND 20000) AS len_ok,
+           CASE
+             WHEN 2 * length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                  > length(text) THEN 'zh'
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_guess
+    FROM scored
+    """,
+    note="text analysis merged (driver-window diagnostic): token/type "
+    "counting, quality ratios + length gate, and the stopword/CJK "
+    "language-ID heuristic in ONE projection over documents — all native "
+    "(split/array fns, codegen'd regexp_replace, array_intersect argmax), "
+    "zero Python workers; the single-feature variants stay registered as "
+    "extra evidence",
+)
+def tx_doc_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = _F.split(_F.trim(_F.col("text")), r"\s+")
+    toks_lower = _F.split(_F.lower(_F.trim(_F.col("text"))), r"\s+")
+    n = _F.length("text")
+    alpha = _F.length(_F.regexp_replace("text", "[^a-zA-Z]", ""))
+    punct = _F.length(_F.regexp_replace("text", "[^.!?,;:]", ""))
+    return d.select(
+        "doc_id",
+        _F.size(toks).cast("long").alias("n_tokens"),
+        _F.size(_F.array_distinct(toks_lower)).cast("long").alias("n_unique_tokens"),
+        _F.round(alpha.cast("double") / _F.nullif(n, _F.lit(0)), 4).alias("alpha_ratio"),
+        _F.round(punct.cast("double") / _F.nullif(n, _F.lit(0)), 4).alias("punct_ratio"),
+        n.between(100, 20000).alias("len_ok"),
+        language_id(_F.col("text")).alias("lang_guess"),
     )
 
 
@@ -317,6 +390,27 @@ def dd_embedding_cosine_pairs(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     out = embedding_cosine_pairs(
         em, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+    return out.select("id_a", "id_b", _F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "dd_embedding_cosine_blocked",
+    oracle=None,
+    note="embedding-cosine near-dup pairs, LSH-BLOCKED — the 100 TB path: "
+    "OR-amplified hyperplane blocking (6 planes × 8 tables, candidates "
+    "only where some table agrees on every sign) turns the O(n²) "
+    "self-join into per-(table,bucket) joins over NARROW id rows, then "
+    "the exact cosine verify keeps precision at 1.0 vs the unblocked "
+    "twin. Rows-only (seeded hyperplanes have no DuckDB twin); pytest "
+    "pins recall vs the exact dd_embedding_cosine_pairs oracle and "
+    "pair-subset containment",
+)
+def dd_embedding_cosine_blocked(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    out = embedding_lsh_pairs(
+        em, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        n_planes=6, n_tables=8,
     )
     return out.select("id_a", "id_b", _F.round("cos_sim", 4).alias("cos_sim"))
 
@@ -378,6 +472,7 @@ def sim_topk_lsh(spark, sf_dir):
     note="multimodal plumbing: binary media column → mapInPandas feature "
     "extraction (deterministic fake decode kernel; real decode stubbed "
     "behind NotImplementedError)",
+    tier=2,
 )
 def mm_feature_extract(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")

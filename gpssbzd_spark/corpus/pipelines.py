@@ -12,7 +12,7 @@ bound-fill cascade is checked by dedicated pytest goldens instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpssbzd_spark.corpus import query
@@ -171,11 +171,7 @@ def pe_pipeline_segments(spark, sf_dir):
         F.date_format("ts", "yy-MM-dd HH:mm:ss").alias("t"),
         F.col("ts"),
     )
-    w = F.row_number().over(
-        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-            "linenumber"
-        ).orderBy("ts")
-    )
+    w = F.row_number().over(Window.partitionBy("linenumber").orderBy("ts"))
     ends = gps.withColumn("_rn", w).filter(F.col("_rn") == 1)
     bus_line = ends.select(
         F.col("linenumber").alias("existLine_id"),

@@ -402,6 +402,83 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """OR-amplified hyperplane-LSH embedding near-dup pairs — the 100 TB
+    form of :func:`embedding_cosine_pairs`.
+
+    Single-table sign-LSH blocking has low recall for moderate-cosine
+    pairs (collision probability ``(1-θ/π)^n_planes`` — ~6% at cosine
+    0.4 with 6 planes), so candidates are generated across ``n_tables``
+    independent plane sets (recall ``1-(1-p^k)^T``), the same
+    OR-amplification as MinHash banding. Shape mirrors
+    :func:`minhash_dedup_pairs`:
+
+    1. one vectorized Arrow kernel computes all table buckets per vector
+       (:func:`~gpssbzd_spark.dataprep.similarity.hyperplane_buckets_all`
+       — one matmul per batch);
+    2. the posexploded (table, bucket, id) rows — NARROW, no vectors —
+       self-join per (table, bucket) and dedup to distinct candidate
+       pairs, so the shuffle carries ids only;
+    3. L2-normalized vectors join back onto the candidates and the
+       native ``zip_with`` dot product verifies ``cos >= threshold`` —
+       precision 1.0 vs the unblocked exact baseline by construction,
+       LSH tuning affects recall only.
+
+    Bucketing uses the RAW vectors (normalization never flips a sign),
+    so the bucket kernel and the verify kernel can run in parallel
+    branches of the same cached prep.
+    """
+    from gpssbzd_spark.dataprep.similarity import hyperplane_buckets_all
+
+    buckets = hyperplane_buckets_all(dim, n_planes, n_tables, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    prepped = (
+        df.select(F.col(id_col), v.alias("_v"), buckets(F.col(vec_col)).alias("_bk"))
+        .withColumn("_norm", norm)
+        .filter(F.col("_norm") > 0)
+        .select(
+            id_col,
+            F.transform("_v", lambda x: x / F.col("_norm")).alias("_u"),
+            "_bk",
+        )
+        .persist()
+    )
+    banded = prepped.select(
+        F.col(id_col), F.posexplode("_bk").alias("tbl", "bucket")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cands = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    u = prepped.select(F.col(id_col), F.col("_u"))
+    dot = F.aggregate(
+        F.zip_with("_u_a", "_u_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(u.withColumnsRenamed({id_col: "id_a", "_u": "_u_a"}), "id_a")
+        .join(u.withColumnsRenamed({id_col: "id_b", "_u": "_u_b"}), "id_b")
+        .withColumn("cos_sim", dot)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 @F.pandas_udf(T.LongType())
 def _simhash64_udf(token_arrays: pd.Series) -> pd.Series:
     """64-bit SimHash over pre-hashed token arrays (numpy bit counting)."""

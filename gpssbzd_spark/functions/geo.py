@@ -38,6 +38,27 @@ def haversine_m(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Colum
     return F.lit(2.0 * EARTH_RADIUS_M) * F.atan2(F.sqrt(a), F.sqrt(1 - a))
 
 
+def register_sql_fns(spark) -> None:
+    """Register ``fast_haversine`` for SQL-string use (SURVEY.md §2.10 U2).
+
+    The reference registers a Scala UDF so SQL-string snippets can call
+    ``fastHaversine(...)`` inside ``expr()`` / ``spark.sql`` (``Parallel/
+    Pattern Extraction.scala:56-65``, called at ``:103,111``). Here it is
+    a Spark SQL *scalar function* (``CREATE TEMPORARY FUNCTION ... RETURN
+    <expr>``) whose body is the same native trig expression as
+    :func:`haversine_m` — Catalyst inlines it into whole-stage codegen
+    (constant-folding literal args), so SQL-string parity costs nothing:
+    no Python worker, no UDF black box, pushdown preserved. Idempotent
+    (CREATE OR REPLACE); call once per session.
+    """
+    body = haversine_sql("lat1", "lng1", "lat2", "lng2")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION fast_haversine("
+        "lat1 DOUBLE, lng1 DOUBLE, lat2 DOUBLE, lng2 DOUBLE) "
+        f"RETURNS DOUBLE RETURN {body}"
+    )
+
+
 def haversine_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
     """The same formula as an ANSI-SQL string (for oracles / spark.sql)."""
     return (

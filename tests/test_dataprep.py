@@ -77,6 +77,39 @@ def test_embedding_cosine_pairs_exact_and_blocked(spark):
     assert {(r.id_a, r.id_b) for r in blocked.collect()} == {(1, 2)}
 
 
+def test_embedding_blocked_recall_vs_unblocked_oracle(spark):
+    """The LSH-bucketed corpus entry (dd_embedding_cosine_blocked) must be
+    a strict subset of the exact unblocked pairs (precision 1.0 by
+    construction — same threshold, same kernel) and keep recall of the
+    high-cosine tail: near-dups agree on most hyperplane signs, so
+    6-plane blocking should retain the large majority of >= 0.4 pairs
+    on the fixture embeddings."""
+    from gpssbzd_spark.corpus.dataprep import (
+        dd_embedding_cosine_blocked,
+        dd_embedding_cosine_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dd_embedding_cosine_pairs(spark, SF).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dd_embedding_cosine_blocked(spark, SF).collect()
+    }
+    assert blocked, "blocked variant found no pairs at all"
+    assert set(blocked) <= set(exact), "blocked emitted a pair the oracle lacks"
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.3, f"blocked recall collapsed: {recall:.3f}"
+    # the strongest near-dups must survive blocking: every exact pair in
+    # the top cosine decile should be found
+    top = sorted(exact.values(), reverse=True)
+    cutoff = top[max(0, len(top) // 10 - 1)]
+    strong = {p for p, s in exact.items() if s >= cutoff}
+    strong_recall = len(strong & set(blocked)) / len(strong)
+    assert strong_recall >= 0.6, f"high-cosine recall too low: {strong_recall:.3f}"
+
+
 def test_char_shingles_basic(spark):
     row = (
         spark.range(1)

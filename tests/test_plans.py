@@ -35,13 +35,25 @@ def q(spark, name):
 
 
 def test_filter_and_projection_reach_parquet_scan(spark):
-    plan = final_plan(q(spark, "p1_scan_project_filter"))
+    # the scan's ReadSchema string is truncated at 100 chars by default,
+    # which hides columns once the projection grows past ~4 fields
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = final_plan(q(spark, "p1_scan_project_filter"))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "LessThan(l_shipdate" in m.group(1), plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     # 16-column lineitem pruned to exactly what the query touches
-    assert read_cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"}
+    assert read_cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    }
 
 
 def test_small_dim_join_is_broadcast_not_shuffled(spark):
@@ -79,6 +91,7 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         "mm_resize_pipeline",      # mapInPandas resize kernel (by design)
         "st_stateful_sessionize",  # mapInPandas sessionize kernel
         "sim_topk_lsh",            # vectorized hyperplane-bucket kernel
+        "dd_embedding_cosine_blocked",  # same bucket kernel (by design)
     }
     for name in sorted(corpus.CORPUS):
         if name in pandas_backed:

@@ -1,0 +1,88 @@
+"""Registry-shape tests: the driver's correctness gate only checks the
+first ``DRIVER_WINDOW`` registered queries, so the tier-0 set must stay
+exactly that size and cover every SURVEY.md §2 family. Round 1 lost all
+window/streaming/pipeline/multimodal driver rows to registration order;
+this pins the fix.
+"""
+
+from __future__ import annotations
+
+from gpssbzd_spark import corpus
+
+
+def _window_names() -> list[str]:
+    return list(corpus.queries())[: corpus.DRIVER_WINDOW]
+
+
+def test_tier0_exactly_fills_driver_window():
+    corpus._load_all()
+    tier0 = [q for q in corpus.CORPUS.values() if q.tier == 0]
+    assert len(tier0) == corpus.DRIVER_WINDOW, (
+        f"tier-0 must have exactly {corpus.DRIVER_WINDOW} queries "
+        f"(got {len(tier0)}): the driver checks exactly that many, "
+        "so fewer wastes correctness slots and more silently drops "
+        "queries past the cap"
+    )
+    assert set(_window_names()) == {q.name for q in tier0}
+
+
+def test_driver_window_covers_every_family():
+    """Each SURVEY §2 family (and each §2.11 dataprep family) must have at
+    least one query inside the driver window."""
+    names = _window_names()
+
+    def has(prefix: str) -> bool:
+        return any(n.startswith(prefix) for n in names)
+
+    # relational core
+    for prefix in ["p1", "p5", "p7", "p9", "p13", "o1", "set_"]:
+        assert has(prefix), f"projection/order/set family {prefix} fell out"
+    for j in ["j1", "j2", "j3", "j4", "j5", "j7", "j8"]:
+        assert has(j), f"join family {j} fell out of the driver window"
+    for a in ["a2", "a4", "a5", "a7", "a8"]:
+        assert has(a), f"aggregate family {a} fell out of the driver window"
+    for f in ["f1", "f2", "f3", "f3b", "f5"]:
+        assert has(f), f"function family {f} fell out of the driver window"
+    # the whole window-function family W1-W8 (r01's biggest gap)
+    for w in ["w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8"]:
+        assert has(w), f"window family {w} fell out of the driver window"
+    # streaming, pipelines, dataprep, similarity, multimodal
+    assert sum(n.startswith("st_") for n in names) == 4
+    for p in ["bz_pipeline", "pe_pipeline", "tc_pipeline"]:
+        assert has(p), f"pipeline composite {p} fell out"
+    for d in [
+        "dd_exact",
+        "dd_minhash",
+        "dd_simhash",
+        "dd_embedding_cosine_pairs",
+        "dd_embedding_cosine_blocked",
+        "tx_doc_features",
+        "tx_token_jaccard",
+        "sim_topk_brute",
+        "sim_topk_lsh",
+        "mm_",
+    ]:
+        assert has(d), f"dataprep family {d} fell out of the driver window"
+
+
+def test_oracle_share_in_window():
+    """Most in-window queries must carry a real DuckDB oracle (rows-only
+    rows prove far less); only the genuinely non-SQL-expressible ops
+    (seeded-hash LSH families, multimodal binary kernels, clustering)
+    may omit one."""
+    corpus._load_all()
+    names = _window_names()
+    no_oracle = [n for n in names if corpus.CORPUS[n].oracle is None]
+    allowed = {
+        "dd_minhash_lsh_pairs",
+        "dd_simhash_buckets",
+        "dd_embedding_cosine_blocked",
+        "sim_topk_lsh",
+        "mm_resize_pipeline",
+        "pe_pipeline_segments",
+        "tc_pipeline_dbscan",
+    }
+    assert set(no_oracle) <= allowed, (
+        f"unexpected rows-only queries in the driver window: "
+        f"{sorted(set(no_oracle) - allowed)}"
+    )
