@@ -153,8 +153,16 @@ def dbscan_precomputed(dist: np.ndarray, eps: float, min_samples: int) -> np.nda
     return labels
 
 
+# The label join-back key is (linenumber, id, patternID). The reference
+# joins labels back on (id, patternID) only (PTC:326-330) — patternID is
+# a per-vehicle 1-based counter, so a vehicle serving two lines in one
+# day collides across lines and every colliding pattern row picks up
+# BOTH lines' labels (duplicated rows, wrong clusters). That is a latent
+# reference bug we pin rather than inherit: linenumber rides through the
+# DBSCAN output schema and the join.
 _CLUSTER_SCHEMA = T.StructType(
     [
+        T.StructField("linenumber", T.StringType()),
         T.StructField("id", T.StringType()),
         T.StructField("patternID", T.StringType()),
         T.StructField("cluster", T.IntegerType()),
@@ -242,7 +250,9 @@ def cluster_trajectories(
             _cluster_via_pairs(big, params, corrected, max_group_pairs)
         )
 
-    return patterns.join(labels, on=["id", "patternID"], how="left")
+    # all three keys: joining on (id, patternID) alone — the reference's
+    # PTC:326 shape — duplicates rows when two lines share a vehicle+counter
+    return patterns.join(labels, on=["linenumber", "id", "patternID"], how="left")
 
 
 def _cluster_via_pairs(
@@ -293,7 +303,7 @@ def _cluster_via_pairs(
     def run_dbscan(pdf: pd.DataFrame) -> pd.DataFrame:
         line = pdf["linenumber"].iloc[0]
         if line not in params:
-            return pd.DataFrame(columns=["id", "patternID", "cluster"])
+            return pd.DataFrame(columns=["linenumber", "id", "patternID", "cluster"])
         if len(pdf) > max_group_pairs:
             raise ValueError(
                 f"line {line}: {len(pdf)} pairs exceeds max_group_pairs="
@@ -315,14 +325,21 @@ def _cluster_via_pairs(
         for row in pdf.itertuples(index=False):
             i = idx[(row.id_1, row.patternID_1)]
             j = idx[(row.id_2, row.patternID_2)]
-            if not np.isinf(row.distance):
+            # isfinite, not "not isinf": a NaN distance (degenerate
+            # kernel output) must read as FAR like inf, never land in
+            # the matrix
+            if np.isfinite(row.distance):
                 dist[i, j] = dist[j, i] = row.distance
         finite = dist[~np.isinf(dist)]
-        cap = np.max(finite) if finite.size and np.max(finite) > 0 else eps * 10
+        # the fill must exceed eps even when every real distance is tiny
+        # (2×max-finite alone can land INSIDE eps and glue failed pairs
+        # into clusters) — anchor it to eps as well
+        cap = max(np.max(finite) if finite.size else 0.0, eps * 10)
         dist[np.isinf(dist)] = cap * 2
         labels = dbscan_precomputed(dist, eps, min_samples)
         return pd.DataFrame(
             {
+                "linenumber": line,
                 "id": [k[0] for k in keys],
                 "patternID": [k[1] for k in keys],
                 "cluster": labels.astype("int32"),
@@ -338,25 +355,34 @@ def _cluster_local(
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         line = pdf["linenumber"].iloc[0]
         if line not in params:
-            return pd.DataFrame(columns=["id", "patternID", "cluster"])
+            return pd.DataFrame(columns=["linenumber", "id", "patternID", "cluster"])
         eps, min_samples = params[line]
         pdf = pdf.sort_values(["id", "patternID"]).reset_index(drop=True)
         trajs = [
             np.array([[p["lng"], p["lat"]] for p in pts]) for pts in pdf["points"]
         ]
         n = len(trajs)
-        dist = np.zeros((n, n))
+        # failed/degenerate distances must read as FAR, not 0: a zero
+        # matrix entry means "identical" and would glue an empty
+        # trajectory onto every cluster — same cap-fill as pairs mode
+        dist = np.full((n, n), np.inf)
+        np.fill_diagonal(dist, 0.0)
         for i in range(n):
             for j in range(i + 1, n):
                 try:
                     d = trajectory_distance(trajs[i], trajs[j], corrected=corrected)
                 except Exception:
-                    d = float("nan")
-                if not math.isnan(d) and not math.isinf(d):
+                    d = float("inf")
+                if math.isfinite(d):
                     dist[i, j] = dist[j, i] = d
+        finite = dist[~np.isinf(dist)]
+        # same eps anchor as the pairs mode (see run_dbscan)
+        cap = max(np.max(finite) if finite.size else 0.0, eps * 10)
+        dist[np.isinf(dist)] = cap * 2
         labels = dbscan_precomputed(dist, eps, min_samples)
         return pd.DataFrame(
             {
+                "linenumber": line,
                 "id": pdf["id"],
                 "patternID": pdf["patternID"],
                 "cluster": labels.astype("int32"),

@@ -107,6 +107,12 @@ def patterns(spark):
     # line LB: two similar
     add_traj("LB", "v4", 1, 113.900, 22.650, 0.002, 0.0)
     add_traj("LB", "v5", 1, 113.900, 22.6502, 0.002, 0.0)
+    # line LB degenerate: all-null coordinates (GPS dropout) — the
+    # distance kernel raises on these, and BOTH modes must cap-fill the
+    # failure as FAR (noise), not 0 (identical); r01's local mode
+    # zero-filled and glued such rows onto every cluster
+    for i in range(6):
+        rows.append(("v7", None, None, f"2019-02-01 08:{i:02d}:00", "1", "LB"))
     # line LC: has trajectories but no params → label null
     add_traj("LC", "v6", 1, 113.950, 22.640, 0.002, 0.0)
     df = spark.createDataFrame(
@@ -148,6 +154,8 @@ def test_cluster_modes(spark, patterns, line_params, mode):
     assert labels[("LA", "v9", "1")] == -1
     # LB pair clusters
     assert labels[("LB", "v4", "1")] == labels[("LB", "v5", "1")] != -1
+    # LB degenerate all-null trajectory is noise, never glued to a cluster
+    assert labels[("LB", "v7", "1")] == -1
     # LC has no params → null label
     assert labels[("LC", "v6", "1")] is None
 
@@ -179,6 +187,46 @@ def test_modes_agree(spark, patterns, line_params):
         return {frozenset(v) for v in groups.values()}
 
     assert partition(pa) == partition(pb)
+
+
+def test_cross_line_shared_id_pattern_no_duplication(spark, line_params):
+    """A vehicle serving two lines in one day reuses its per-vehicle
+    patternID counter, so (id, patternID) collides across lines. The
+    label join-back must key on (linenumber, id, patternID) — the
+    reference joins on (id, patternID) only (PTC:326-330) and duplicates
+    every colliding row with both lines' labels."""
+    rows = []
+
+    def add_traj(line, vid, pid, lng0, lat0, dlng, dlat, n=6):
+        for i in range(n):
+            rows.append(
+                (vid, lng0 + i * dlng, lat0 + i * dlat,
+                 f"2019-02-01 08:{i:02d}:00", str(pid), line)
+            )
+
+    # v1/pattern 1 exists on BOTH lines, at different places
+    add_traj("LA", "v1", 1, 114.000, 22.600, 0.002, 0.0)
+    add_traj("LA", "v2", 1, 114.000, 22.6005, 0.002, 0.0)
+    add_traj("LB", "v1", 1, 113.900, 22.650, 0.002, 0.0)
+    add_traj("LB", "v5", 1, 113.900, 22.6502, 0.002, 0.0)
+    patterns = spark.createDataFrame(
+        rows,
+        "id string, lng double, lat double, t string, patternID string, linenumber string",
+    ).withColumn("ts", F.to_timestamp("t"))
+
+    out = cluster_trajectories(patterns, line_params, mode="pairs").cache()
+    # no row duplication: one output row per input ping
+    assert out.count() == patterns.count()
+    # each line's copy of (v1, 1) got exactly one label, from its own line
+    per_line = {
+        r["linenumber"]: r["cluster"]
+        for r in out.filter("id = 'v1' AND patternID = '1'")
+        .select("linenumber", "cluster")
+        .distinct()
+        .collect()
+    }
+    assert set(per_line) == {"LA", "LB"}
+    assert all(c is not None and c != -1 for c in per_line.values())
 
 
 def test_auto_mode_mixed_routing_matches_forced_modes(spark, patterns, line_params):
