@@ -253,13 +253,17 @@ def _sig_agreement(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.DoubleType())
-def _hash_set_jaccard(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
-    """Exact Jaccard of two SORTED distinct-hash arrays.
+def _sorted_hash_jaccard(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
+    """Exact Jaccard of two SORTED-ASCENDING distinct-hash arrays.
 
-    Inputs must be sorted ascending (they are: np.unique output from
-    :func:`shingle_hash_signature`). ``searchsorted`` membership beats
-    ``np.intersect1d``'s concat+sort ~3× at the ~400-element sizes the
-    candidate pairs carry.
+    The contract is in the name AND enforced: ``searchsorted`` silently
+    returns garbage on unsorted input (the kept native differential path
+    — char_shingles + xxhash64 — emits unsorted arrays), so the probe
+    side is monotonicity-checked (one vectorized diff pass, a few % of
+    the searchsorted cost) and violations raise instead of mis-scoring.
+    Sorted inputs come from :func:`shingle_hash_signature` (np.unique
+    output); ``searchsorted`` membership beats ``np.intersect1d``'s
+    concat+sort ~3× at the ~400-element sizes the candidate pairs carry.
     """
     out = np.zeros(len(a_col))
     for i, (a, b) in enumerate(zip(a_col, b_col)):
@@ -269,6 +273,12 @@ def _hash_set_jaccard(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
         b = np.asarray(b, dtype=np.int64)
         if len(b) < len(a):  # probe the smaller side into the larger
             a, b = b, a
+        if np.any(np.diff(b) < 0):
+            raise ValueError(
+                "_sorted_hash_jaccard requires sorted-ascending hash "
+                "arrays (got an unsorted input; sort upstream or use "
+                "array_intersect semantics)"
+            )
         idx = np.searchsorted(b, a)
         idx[idx == len(b)] = len(b) - 1
         inter = int(np.count_nonzero(b[idx] == a))
@@ -344,7 +354,7 @@ def minhash_dedup_pairs(
     )
     # asNondeterministic stops Catalyst cloning the UDF into the filter
     # (it would score every candidate twice); it is in fact deterministic
-    jac = _hash_set_jaccard.asNondeterministic()(F.col("_h_a"), F.col("_h_b"))
+    jac = _sorted_hash_jaccard.asNondeterministic()(F.col("_h_a"), F.col("_h_b"))
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)

@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -89,39 +90,100 @@ def asof_join_backward(
     sorts last, so ``last`` picks it — which keeps the plan free of the
     pre-dedup groupBy (and its second exchange) an aggregate-based
     tie-break would cost.
+
+    NULL semantics (DuckDB ASOF parity):
+
+    - the whole right payload is filled as ONE struct — a matched right
+      row whose payload is NULL still attaches (the struct wrapper is
+      non-null for every right row), instead of ``last(ignorenulls)``
+      per column skipping it and stitching stale values from OLDER
+      right rows (with multiple value_cols, even from different rows);
+    - rows with a NULL key or NULL timestamp never match: they bypass
+      the window entirely (left rows come back with NULL ``asof_*``;
+      right rows are dropped), matching equality-join semantics instead
+      of the window's NULL-groups-together partitioning.
     """
-    lcols = [c for c in left.columns]
+    return _asof_join(left, right, on, time_col, value_cols, direction="backward")
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    direction: str,
+) -> DataFrame:
+    backward = direction == "backward"
+    passthrough = [c for c in left.columns if c not in (on, time_col)]
     rtypes = {f.name: f.dataType for f in right.schema}
-    tagged_r = right.select(
+    payload_type = T.StructType(
+        [T.StructField(c, rtypes[c]) for c in value_cols]
+    )
+
+    # NULL key/time rows can never match under join semantics; route
+    # them around the window (they'd otherwise pair NULL with NULL, and
+    # a NULL-ts left row would sort to an end and grab a fill)
+    matchable = F.col(on).isNotNull() & F.col(time_col).isNotNull()
+    r = right.filter(matchable)
+    l_good = left.filter(matchable)
+    l_bypass = left.filter(~matchable).select(
         F.col(on),
         F.col(time_col),
-        F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        *[F.lit(None).alias(f"_l_{c}") for c in lcols if c not in (on, time_col)],
+        *[F.col(c) for c in passthrough],
+        *[F.lit(None).cast(rtypes[c]).alias(f"asof_{c}") for c in value_cols],
     )
-    tagged_l = left.select(
+
+    # right rows sort adjacent to left rows at equal t on the fill side
+    r_tag, l_tag = (0, 1) if backward else (1, 0)
+    tagged_r = r.select(
         F.col(on),
         F.col(time_col),
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in value_cols],
-        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (on, time_col)],
+        F.lit(r_tag).alias("_side"),
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
+        *[F.lit(None).alias(f"_l_{c}") for c in passthrough],
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy(time_col, "_side", *[f"_r_{c}" for c in value_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = tagged_r.unionByName(tagged_l).select(
+    tagged_l = l_good.select(
         F.col(on),
         F.col(time_col),
-        F.col("_side"),
-        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (on, time_col)],
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        F.lit(l_tag).alias("_side"),
+        F.lit(None).cast(payload_type).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in passthrough],
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    # duplicate right (key, t) tie-break via the window order: backward
+    # `last` must land on the payload-greatest row (NULL fields first so
+    # real values win); forward `first` on the payload-least (NULL
+    # fields last, or a NULL field would beat every real value)
+    if backward:
+        order_payload = [F.col("_r").getField(c).asc_nulls_first() for c in value_cols]
+        w = Window.partitionBy(on).orderBy(
+            time_col, "_side", *order_payload
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = F.last("_r", ignorenulls=True).over(w)
+    else:
+        order_payload = [F.col("_r").getField(c).asc_nulls_last() for c in value_cols]
+        w = Window.partitionBy(on).orderBy(
+            time_col, "_side", *order_payload
+        ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = F.first("_r", ignorenulls=True).over(w)
+    filled = (
+        tagged_r.unionByName(tagged_l)
+        .select(
+            F.col(on),
+            F.col(time_col),
+            F.col("_side"),
+            *[F.col(f"_l_{c}").alias(c) for c in passthrough],
+            fill.alias("_rf"),
+        )
+        .filter(F.col("_side") == l_tag)
+        .select(
+            F.col(on),
+            F.col(time_col),
+            *[F.col(c) for c in passthrough],
+            *[F.col("_rf").getField(c).alias(f"asof_{c}") for c in value_cols],
+        )
+    )
+    return filled.unionByName(l_bypass)
 
 
 def range_join_broadcast(
@@ -160,37 +222,7 @@ def asof_join_forward(
     rows at equal t, the fill runs over ``(currentRow,
     unboundedFollowing)`` with ``first(ignorenulls)``, and duplicate
     right (key, t) ties resolve to the payload-least row via the window
-    order — still one shuffle, no join node.
+    order — still one shuffle, no join node. Same NULL semantics as the
+    backward variant (struct-atomic payload, NULL key/time bypass).
     """
-    lcols = [c for c in left.columns]
-    rtypes = {f.name: f.dataType for f in right.schema}
-    tagged_l = left.select(
-        F.col(on),
-        F.col(time_col),
-        F.lit(0).alias("_side"),
-        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in value_cols],
-        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (on, time_col)],
-    )
-    tagged_r = right.select(
-        F.col(on),
-        F.col(time_col),
-        F.lit(1).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        *[F.lit(None).alias(f"_l_{c}") for c in lcols if c not in (on, time_col)],
-    )
-    w = (
-        Window.partitionBy(on)
-        .orderBy(time_col, "_side", *[f"_r_{c}" for c in value_cols])
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    filled = tagged_l.unionByName(tagged_r).select(
-        F.col(on),
-        F.col(time_col),
-        F.col("_side"),
-        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (on, time_col)],
-        *[
-            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-    )
-    return filled.filter(F.col("_side") == 0).drop("_side")
+    return _asof_join(left, right, on, time_col, value_cols, direction="forward")

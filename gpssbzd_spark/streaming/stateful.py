@@ -139,13 +139,26 @@ def streaming_gap_sessionize(
             if len(pdf) == 0:
                 continue
             vals = pdf["user_id"].values
-            # the last key's rows are the contiguous tail (sorted by key)
-            cut = len(vals) - int(np.count_nonzero(vals == vals[-1]))
+            # the last key's rows are the contiguous tail (sorted by key);
+            # a nullable key column surfaces as NaN here and NaN != NaN,
+            # so the null tail needs an isna mask or it is never detected
+            tail_mask = (
+                pd.isna(vals) if pd.isna(vals[-1]) else vals == vals[-1]
+            )
+            cut = len(vals) - int(np.count_nonzero(tail_mask))
             leftover = pdf.iloc[cut:]
             head = pdf.iloc[:cut]
             if len(head):
+                # dropna=False: Spark's groupBy keeps null keys (and the
+                # streaming twin sees them as a real group) — pandas'
+                # default would silently drop null-key rows mid-chunk
                 yield pd.concat(
-                    [run_group(g) for _, g in head.groupby("user_id", sort=False)],
+                    [
+                        run_group(g)
+                        for _, g in head.groupby(
+                            "user_id", sort=False, dropna=False
+                        )
+                    ],
                     ignore_index=True,
                 )
         if leftover is not None and len(leftover):

@@ -82,6 +82,61 @@ def test_asof_forward_semantics(spark):
     assert out[3] is None  # nothing at-or-after
 
 
+def test_asof_null_payload_attaches_not_stale(spark):
+    """DuckDB ASOF parity: a matched right row whose payload is NULL must
+    attach its NULL — not be skipped in favor of a stale older value.
+    With multiple value_cols the attached values must come from ONE
+    right row (struct-atomic fill)."""
+    left = spark.createDataFrame(
+        [("a", _ts("2026-01-01 10:30:00"), 1)],
+        "k string, t timestamp, row_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2026-01-01 10:00:00"), 7.0, 70.0),
+            ("a", _ts("2026-01-01 10:20:00"), None, 80.0),  # latest: v NULL
+        ],
+        "k string, t timestamp, v double, u double",
+    )
+    row = asof_join_backward(
+        left, right, on="k", time_col="t", value_cols=["v", "u"]
+    ).first()
+    assert row["asof_v"] is None  # the matched row's NULL, not stale 7.0
+    assert row["asof_u"] == 80.0  # same right row
+
+
+def test_asof_null_key_and_ts_rows_bypass(spark):
+    """NULL keys never match (equality-join semantics, not NULL-groups-
+    together window partitioning); NULL-ts left rows match nothing."""
+    left = spark.createDataFrame(
+        [
+            (None, _ts("2026-01-01 10:30:00"), 1),
+            ("a", None, 2),
+            ("a", _ts("2026-01-01 10:30:00"), 3),
+        ],
+        "k string, t timestamp, row_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2026-01-01 10:00:00"), 1.0),  # NULL-key right row
+            ("a", None, 2.0),                          # NULL-ts right row
+            ("a", _ts("2026-01-01 10:00:00"), 3.0),
+        ],
+        "k string, t timestamp, v double",
+    )
+    for fn in (asof_join_backward, asof_join_forward):
+        out = {
+            r["row_id"]: r["asof_v"]
+            for r in fn(left, right, on="k", time_col="t", value_cols=["v"]).collect()
+        }
+        assert len(out) == 3  # every left row exactly once
+        assert out[1] is None, fn.__name__  # NULL key matches nothing
+        assert out[2] is None, fn.__name__  # NULL ts matches nothing
+    assert asof_join_backward(
+        left, right, on="k", time_col="t", value_cols=["v"]
+    ).filter("row_id = 3").first()["asof_v"] == 3.0
+
+
 def test_asof_plan_one_shuffle_no_join(spark):
     left = spark.range(100).select(
         (F.col("id") % 5).alias("k"),
@@ -98,9 +153,11 @@ def test_asof_plan_one_shuffle_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "Join" not in plan, plan  # union+window, not a range theta-join
-    # the right-side per-(k,t) dedup agg reuses the window's partitioning;
-    # allow its exchange but nothing beyond key-hash exchanges
     assert "CartesianProduct" not in plan
+    # the ONE-shuffle contract, pinned: the window's key-hash exchange is
+    # the only exchange in the plan (the NULL-key bypass branch is a
+    # shuffle-free filter union)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_range_join_is_broadcast_nested_loop(spark):

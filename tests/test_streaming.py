@@ -152,3 +152,27 @@ def test_stateful_sessionize_matches_window_formulation(spark):
     stateful = streaming_gap_sessionize(ev, gap_seconds=1800.0)
     cols = ("user_id", "ts", "segment_id")
     assert _rows(stateful, *cols) == _rows(windowed, *cols)
+
+
+def test_stateful_sessionize_keeps_null_keys(spark):
+    """Spark's groupBy keeps NULL grouping keys; the batch sessionizer's
+    pandas groupby must too (dropna=False), and the chunk-tail carry must
+    detect a NaN tail — r01 dropped null-key rows depending on where in
+    the Arrow chunk they landed."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+    rows = [
+        (None, t0),
+        (None, t0 + dt.timedelta(hours=2)),  # gap > 30 min → new segment
+        (7, t0),
+        (7, t0 + dt.timedelta(minutes=5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = streaming_gap_sessionize(ev, gap_seconds=1800.0)
+    got = [
+        (r["user_id"], r["segment_id"])
+        for r in out.orderBy(F.col("user_id").asc_nulls_first(), "ts").collect()
+    ]
+    # all 4 rows survive; null key sessionizes as its own group
+    assert got == [(None, 1), (None, 2), (7, 1), (7, 1)]
