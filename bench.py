@@ -21,15 +21,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # Headline set: one per operator family — scan-agg, join, window, pair-join,
-# dedup, similarity, text, streaming-twin, stateful. Keep total minutes-scale.
+# dedup, similarity, text, streaming-twin, stateful, plus the three GPS
+# pipeline composites (the product — stage-level regressions must be
+# visible round-over-round, not just their pieces). Keep total
+# minutes-scale.
 HEADLINE = [
     "a7_tpch_q1_rollup",
     "j1_join_inner",
     "j2_join_left_broadcast_dim",
     "j4_self_theta_pair_join",
-    "j5_semi_join",
+    "j5_semi_anti_join",
     "j7_asof_join_backward",
-    "a1_count_distinct_group",
+    "a8_rollup_grouping",
     "a4_percentile_exact",
     "a4_percentile_approx",
     "w2_running_sum",
@@ -37,13 +40,16 @@ HEADLINE = [
     "w7_sessionize_gap",
     "dd_exact_dup_groups",
     "dd_minhash_lsh_pairs",
-    "tx_token_stats",
-    "tx_language_id",
+    "dd_embedding_cosine_blocked",
+    "tx_doc_features",
     "tx_fingerprint_groups",
-    "sim_cosine_to_centroid",
+    "sim_topk_brute",
     "sim_topk_lsh",
     "st_tumbling_window",
     "st_stateful_sessionize",
+    "bz_pipeline_cascade",
+    "pe_pipeline_segments",
+    "tc_pipeline_dbscan",
 ]
 
 

@@ -135,10 +135,19 @@ def minhash_signature(
 
 
 def shingle_hash_signature(
-    text_col: Column, k: int = 5, num_perm: int = 64, seed: int = 42
+    text_col: Column,
+    k: int = 5,
+    num_perm: int = 64,
+    seed: int = 42,
+    bands: int | None = None,
 ) -> Column:
     """Fused shingle→hash→minhash kernel: one Arrow batch per partition
-    computes ``struct<hashes: array<bigint>, signature: array<bigint>>``.
+    computes ``struct<hashes: array<bigint>, signature: array<bigint>>``
+    (plus ``band_hashes: array<bigint>`` when ``bands`` is given — the
+    LSH band keys folded into the same kernel, so the banding step needs
+    no per-band interpreted ``slice``/``concat_ws``/``xxhash64`` pass
+    over the signature; a reshape + one vectorized polynomial hash per
+    band is ~free next to the shingle work).
 
     The all-native shingle path (:func:`char_shingles` + ``xxhash64``)
     evaluates interpreted higher-order functions — ~µs per shingle, and
@@ -156,12 +165,15 @@ def shingle_hash_signature(
     :func:`minhash_signature`'s null contract).
     """
     a_params, b_params = _perm_params(num_perm, seed)
-    out_type = T.StructType(
-        [
-            T.StructField("hashes", T.ArrayType(T.LongType())),
-            T.StructField("signature", T.ArrayType(T.LongType())),
-        ]
-    )
+    fields = [
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("signature", T.ArrayType(T.LongType())),
+    ]
+    if bands is not None:
+        assert num_perm % bands == 0, "num_perm must divide into bands"
+        fields.append(T.StructField("band_hashes", T.ArrayType(T.LongType())))
+    out_type = T.StructType(fields)
+    r = num_perm // bands if bands else 0
 
     @F.pandas_udf(out_type)
     def prep(texts: pd.Series) -> pd.DataFrame:
@@ -170,15 +182,18 @@ def shingle_hash_signature(
         b = b_params[np.newaxis, :]
         hashes_out: list = []
         sig_out: list = []
+        bh_out: list = []
         for t in texts:
             if t is None:
                 hashes_out.append(None)
                 sig_out.append(None)
+                bh_out.append(None)
                 continue
             cp = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
             if cp.size < k:
                 hashes_out.append(np.empty(0, dtype=np.int64))
                 sig_out.append(None)
+                bh_out.append(None)
                 continue
             w = np.lib.stride_tricks.sliding_window_view(cp, k)
             h = np.zeros(w.shape[0], dtype=np.uint64)
@@ -188,8 +203,18 @@ def shingle_hash_signature(
             # unique sorts as uint64; re-sort the int64 VIEW (top-bit
             # values go negative) so the verify merge can searchsorted
             hashes_out.append(np.sort(h.view(np.int64)))
-            sig_out.append((h[:, np.newaxis] * a + b).min(axis=0).view(np.int64))
-        return pd.DataFrame({"hashes": hashes_out, "signature": sig_out})
+            sig = (h[:, np.newaxis] * a + b).min(axis=0)
+            sig_out.append(sig.view(np.int64))
+            if bands is not None:
+                seg = sig.reshape(bands, r)
+                bh = np.zeros(bands, dtype=np.uint64)
+                for j in range(r):
+                    bh = bh * base + seg[:, j]
+                bh_out.append(bh.view(np.int64))
+        cols = {"hashes": hashes_out, "signature": sig_out}
+        if bands is not None:
+            cols["band_hashes"] = bh_out
+        return pd.DataFrame(cols)
 
     return prep(text_col)
 
@@ -258,14 +283,17 @@ def _sorted_hash_jaccard(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
 
     The contract is in the name AND enforced: ``searchsorted`` silently
     returns garbage on unsorted input (the kept native differential path
-    — char_shingles + xxhash64 — emits unsorted arrays), so the probe
-    side is monotonicity-checked (one vectorized diff pass, a few % of
-    the searchsorted cost) and violations raise instead of mis-scoring.
-    Sorted inputs come from :func:`shingle_hash_signature` (np.unique
-    output); ``searchsorted`` membership beats ``np.intersect1d``'s
-    concat+sort ~3× at the ~400-element sizes the candidate pairs carry.
+    — char_shingles + xxhash64 — emits unsorted arrays), so the first
+    pair of every Arrow batch is monotonicity-checked — all rows of a
+    batch come from the same upstream expression, so one check catches a
+    wrong caller without taxing the per-pair hot loop — and violations
+    raise instead of mis-scoring. Sorted inputs come from
+    :func:`shingle_hash_signature` (np.unique output); ``searchsorted``
+    membership beats ``np.intersect1d``'s concat+sort ~3× at the
+    ~400-element sizes the candidate pairs carry.
     """
     out = np.zeros(len(a_col))
+    checked = False
     for i, (a, b) in enumerate(zip(a_col, b_col)):
         if a is None or b is None or len(a) == 0 or len(b) == 0:
             continue
@@ -273,12 +301,14 @@ def _sorted_hash_jaccard(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
         b = np.asarray(b, dtype=np.int64)
         if len(b) < len(a):  # probe the smaller side into the larger
             a, b = b, a
-        if np.any(np.diff(b) < 0):
-            raise ValueError(
-                "_sorted_hash_jaccard requires sorted-ascending hash "
-                "arrays (got an unsorted input; sort upstream or use "
-                "array_intersect semantics)"
-            )
+        if not checked:
+            if np.any(np.diff(a) < 0) or np.any(np.diff(b) < 0):
+                raise ValueError(
+                    "_sorted_hash_jaccard requires sorted-ascending hash "
+                    "arrays (got an unsorted input; sort upstream or use "
+                    "array_intersect semantics)"
+                )
+            checked = True
         idx = np.searchsorted(b, a)
         idx[idx == len(b)] = len(b) - 1
         inter = int(np.count_nonzero(b[idx] == a))
@@ -311,28 +341,51 @@ def minhash_dedup_pairs(
     """
     prepped = df.select(
         F.col(id_col),
-        shingle_hash_signature(F.col(text_col), k, num_perm, seed).alias("_p"),
+        shingle_hash_signature(F.col(text_col), k, num_perm, seed, bands=bands).alias(
+            "_p"
+        ),
     ).select(
         id_col,
         F.col("_p.hashes").alias("_h"),
         F.col("_p.signature").alias("signature"),
+        F.col("_p.band_hashes").alias("_bh"),
     )
-    # the prep feeds 4 join branches (band self-join ×2, verify ×2) —
-    # cache it or the fused shingle+signature kernel runs 4× (reference
-    # tactic kept per SURVEY §4: persist iteratively-reused inputs)
+    # the prep feeds 6 join branches (band self-join ×2, prefilter ×2,
+    # verify ×2) — cache it or the fused shingle+signature kernel reruns
+    # per branch (reference tactic kept per SURVEY §4: persist
+    # iteratively-reused inputs)
     prepped = prepped.persist()
 
-    cands = lsh_candidate_pairs(prepped, id_col, "signature", bands)
+    # banding straight off the kernel's band_hashes: posexplode of a
+    # 16-element long array — no interpreted slice/concat/xxhash64 pass
+    banded = prepped.filter(F.col("_bh").isNotNull()).select(
+        F.col(id_col), F.posexplode("_bh").alias("band", "band_hash")
+    )
+    cands = (
+        banded.withColumnsRenamed({id_col: "id_a"})
+        .join(banded.withColumnsRenamed({id_col: "id_b"}), ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Measured dead end (r2): repartitioning the candidate set to
+    # defaultParallelism before the UDF stages made the one-shot run
+    # 2.5× SLOWER — each task chains two Python workers, so 32 tasks
+    # oversubscribe 32 cores with ~64 Arrow+numpy processes; the
+    # few-partition layout AQE picks keeps the worker count sane.
 
     # Signature-agreement prefilter: on a shared-vocabulary corpus the
-    # banding join emits ~3% of ALL pairs as candidates, and shipping
-    # every candidate's full shingle-hash arrays (KBs/row) into the
-    # exact verify dominated the stage. The MinHash estimator (fraction
-    # of agreeing slots) is one vectorized matrix op over the 512-byte
-    # signatures already in hand; pairs estimated ≥ 4σ below the
-    # threshold (σ = √(t(1−t)/num_perm)) cannot plausibly clear it —
-    # P(miss | true j ≥ threshold) ≈ 3e-5 at the defaults. Precision is
-    # untouched: survivors still get the exact verify.
+    # banding join emits ~3% of ALL pairs as candidates (443k candidates
+    # for 256 true pairs at sf0.1 — the template-similarity noise mass
+    # sits at ĵ≈0.19–0.44), and shipping every candidate's full
+    # shingle-hash arrays (KBs/row) into the exact verify dominated the
+    # whole pipeline. The MinHash estimator (fraction of agreeing slots)
+    # is one vectorized matrix op over the 512-byte signatures already
+    # in hand; the cutoff is threshold − 2σ (σ = √(t(1−t)/num_perm)):
+    # P(miss | true j = threshold) ≈ 2.3% — small next to the banding
+    # s-curve's own ~36% boundary loss — and ≈ 0.3% one σ above it,
+    # while cutting the verify input ~5× on the noise-heavy corpus.
+    # Precision is untouched: survivors still get the exact verify.
     sigma = (threshold * (1.0 - threshold) / num_perm) ** 0.5
     sig = prepped.select(F.col(id_col), F.col("signature"))
     survivors = (
@@ -342,7 +395,7 @@ def minhash_dedup_pairs(
         .join(sig.withColumnsRenamed({id_col: "id_b", "signature": "_s_b"}), "id_b")
         .filter(
             _sig_agreement.asNondeterministic()(F.col("_s_a"), F.col("_s_b"))
-            >= threshold - 4 * sigma
+            >= threshold - 2 * sigma
         )
         .select("id_a", "id_b")
     )

@@ -60,6 +60,27 @@ def _great_circle_km(a: np.ndarray, b: np.ndarray) -> float:
     return 2 * EARTH_RADIUS_KM * math.asin(min(1.0, math.sqrt(h)))
 
 
+def _polyline_length_km(tr: np.ndarray) -> float:
+    """Vectorized great-circle length of an (n,2) lng/lat polyline.
+
+    One numpy pass over all segments — the per-segment Python-loop
+    version was the pair kernel's dominant cost (length is recomputed
+    per PAIR, so a 1 200-point trajectory in 100 pairs burned 120 000
+    interpreted great-circle calls where two vector ops suffice).
+    """
+    if len(tr) < 2:
+        return 0.0
+    lng = np.radians(tr[:, 0])
+    lat = np.radians(tr[:, 1])
+    h = (
+        np.sin(np.diff(lat) / 2) ** 2
+        + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(np.diff(lng) / 2) ** 2
+    )
+    return float(
+        2 * EARTH_RADIUS_KM * np.arcsin(np.minimum(1.0, np.sqrt(h))).sum()
+    )
+
+
 def _project_on_chord(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Project p onto segment a→b in lng/lat coordinate space (as the
     reference does — planar projection on raw degrees), clamped to the
@@ -85,8 +106,16 @@ def trajectory_distance(
     duplication); d_angular per the reference. ``corrected=True``
     replaces the duplicated term with the mean chord-endpoint distance in
     the perpendicular/parallel split of Lee et al.
+
+    Degenerate inputs (empty, or any non-finite/None coordinate) return
+    ``inf`` — "cannot be compared" must read as FAR, and both cluster
+    modes cap-fill inf accordingly.
     """
     if len(tr1) == 0 or len(tr2) == 0:
+        return float("inf")
+    tr1 = np.asarray(tr1, dtype=np.float64)
+    tr2 = np.asarray(tr2, dtype=np.float64)
+    if not (np.isfinite(tr1).all() and np.isfinite(tr2).all()):
         return float("inf")
     a2, b2 = tr2[0], tr2[-1]
     p1, p2 = tr1[0], tr1[-1]
@@ -112,8 +141,8 @@ def trajectory_distance(
     else:
         cos_t = float(np.dot(v1, v2) / (np.linalg.norm(v1) * np.linalg.norm(v2)))
         theta = math.degrees(math.acos(max(-1.0, min(1.0, cos_t))))
-    len1 = sum(_great_circle_km(tr1[i - 1], tr1[i]) for i in range(1, len(tr1)))
-    len2 = sum(_great_circle_km(tr2[i - 1], tr2[i]) for i in range(1, len(tr2)))
+    len1 = _polyline_length_km(tr1)
+    len2 = _polyline_length_km(tr2)
     if 0 < theta <= 90:
         d_angular = min(len1, len2) * math.sin(math.radians(theta))
     elif theta > 90:
@@ -171,10 +200,21 @@ _CLUSTER_SCHEMA = T.StructType(
 
 
 def assemble_trajectories(patterns: DataFrame, order_col: str = "ts") -> DataFrame:
-    """(linenumber, id, patternID) → ordered point array.
+    """(linenumber, id, patternID) → ordered point arrays.
 
     One shuffle; ``array_sort`` on a (order, lng, lat) struct imposes the
     explicit time ordering the reference leaves to chance.
+
+    Emits BOTH representations of the polyline:
+
+    - ``points`` (array<struct<lng,lat>>) — the structural form, kept
+      for callers that want per-point records;
+    - ``lngs``/``lats`` (array<double> each) — the columnar form the
+      distance kernels consume: Arrow hands a list<double> to pandas as
+      a numpy float array directly, where the struct form arrives as a
+      list of per-point dicts that cost an interpreted comprehension
+      per pair (at 1 200-point trajectories that unpacking dominated
+      the whole pair stage).
     """
     pt = F.struct(
         F.col(order_col).alias("o"),
@@ -184,14 +224,17 @@ def assemble_trajectories(patterns: DataFrame, order_col: str = "ts") -> DataFra
     return (
         patterns.groupBy("linenumber", "id", "patternID")
         .agg(F.array_sort(F.collect_list(pt)).alias("pts_ordered"))
-        .withColumn(
-            "points",
+        .select(
+            "linenumber",
+            "id",
+            "patternID",
             F.transform(
                 "pts_ordered",
                 lambda s: F.struct(s["lng"].alias("lng"), s["lat"].alias("lat")),
-            ),
+            ).alias("points"),
+            F.transform("pts_ordered", lambda s: s["lng"]).alias("lngs"),
+            F.transform("pts_ordered", lambda s: s["lat"]).alias("lats"),
         )
-        .drop("pts_ordered")
     )
 
 
@@ -235,6 +278,9 @@ def cluster_trajectories(
 
     traj = assemble_trajectories(patterns)
     traj = traj.filter(F.col("linenumber").isin(*params.keys()) if params else F.lit(False))
+    # the clustering kernels consume only the columnar lngs/lats form;
+    # don't ship the struct points through the pair join / group shuffle
+    traj = traj.drop("points")
 
     if mode == "pairs":
         labels = _cluster_via_pairs(traj, params, corrected, max_group_pairs)
@@ -268,23 +314,27 @@ def _cluster_via_pairs(
         F.col("traj_id").alias("traj_id_1"),
         F.col("id").alias("id_1"),
         F.col("patternID").alias("patternID_1"),
-        F.col("points").alias("points_1"),
+        F.col("lngs").alias("lngs_1"),
+        F.col("lats").alias("lats_1"),
     )
     right = traj.select(
         "linenumber",
         F.col("traj_id").alias("traj_id_2"),
         F.col("id").alias("id_2"),
         F.col("patternID").alias("patternID_2"),
-        F.col("points").alias("points_2"),
+        F.col("lngs").alias("lngs_2"),
+        F.col("lats").alias("lats_2"),
     )
     pairs = left.join(right, "linenumber").filter(F.col("traj_id_1") < F.col("traj_id_2"))
 
     @F.pandas_udf(T.DoubleType())
-    def pair_distance(p1: pd.Series, p2: pd.Series) -> pd.Series:
-        out = np.empty(len(p1))
-        for i in range(len(p1)):
-            t1 = np.array([[p["lng"], p["lat"]] for p in p1.iloc[i]])
-            t2 = np.array([[p["lng"], p["lat"]] for p in p2.iloc[i]])
+    def pair_distance(
+        lngs1: pd.Series, lats1: pd.Series, lngs2: pd.Series, lats2: pd.Series
+    ) -> pd.Series:
+        out = np.empty(len(lngs1))
+        for i in range(len(lngs1)):
+            t1 = np.column_stack((lngs1.iloc[i], lats1.iloc[i]))
+            t2 = np.column_stack((lngs2.iloc[i], lats2.iloc[i]))
             try:
                 out[i] = trajectory_distance(t1, t2, corrected=corrected)
             except Exception:
@@ -297,7 +347,7 @@ def _cluster_via_pairs(
         "patternID_1",
         "id_2",
         "patternID_2",
-        pair_distance("points_1", "points_2").alias("distance"),
+        pair_distance("lngs_1", "lats_1", "lngs_2", "lats_2").alias("distance"),
     )
 
     def run_dbscan(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -359,7 +409,8 @@ def _cluster_local(
         eps, min_samples = params[line]
         pdf = pdf.sort_values(["id", "patternID"]).reset_index(drop=True)
         trajs = [
-            np.array([[p["lng"], p["lat"]] for p in pts]) for pts in pdf["points"]
+            np.column_stack((lngs, lats))
+            for lngs, lats in zip(pdf["lngs"], pdf["lats"])
         ]
         n = len(trajs)
         # failed/degenerate distances must read as FAR, not 0: a zero

@@ -43,6 +43,13 @@ def get_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: the driver JVM IS the executor; the stock 1g heap
+        # (and its matching 1g netty direct-memory cap) OOMs on wide
+        # shuffle fetch fan-in at local[32]. Only applies at JVM launch;
+        # harmless when the session already exists.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

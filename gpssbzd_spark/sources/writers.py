@@ -10,6 +10,7 @@ from a driver thread pool (``Parallel/Pattern Extraction.scala:255-256``
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -18,7 +19,31 @@ def write_partitioned(
     partition_cols: tuple[str, ...] = (),
     fmt: str = "parquet",
     mode: str = "overwrite",
+    target_files: int | None = None,
 ) -> None:
+    """Write ``df``, optionally hive-partitioned by ``partition_cols``.
+
+    ``target_files`` is the §2.1 S7 file-layout control, expressing both
+    of the reference's hand-rolled layouts under one knob
+    (``Parallel/Pattern Extraction.scala:127`` ``repartition(1)`` per
+    line; ``:256`` ``repartition(200)`` fan-out):
+
+    - without partition_cols: ``coalesce(target_files)`` — shrink to N
+      output files without a shuffle (or ``repartition`` when growing);
+    - with partition_cols: ``repartition(target_files, *partition_cols)``
+      — every partition value's rows land in one task, so each hive dir
+      gets ONE file (the reference's repartition(1)-per-line layout)
+      while total write tasks stay bounded at ``target_files``; without
+      it, every task writes a file into every value's dir — the
+      small-files explosion at scale.
+    """
+    if target_files is not None:
+        if partition_cols:
+            df = df.repartition(target_files, *[F.col(c) for c in partition_cols])
+        elif target_files <= df.rdd.getNumPartitions():
+            df = df.coalesce(target_files)
+        else:
+            df = df.repartition(target_files)
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

@@ -67,6 +67,35 @@ def test_layout_control_coalesce_single_file(spark, tmp_path):
     assert len(files) == 1
 
 
+def test_layout_control_target_files_knob(spark, tmp_path):
+    """S7 via the writer API: target_files bounds output file count both
+    unpartitioned (coalesce) and per hive dir (one file per partition
+    value — the reference's repartition(1)-per-line layout under one
+    knob, PPE:127,256)."""
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    flat = str(tmp_path / "flat")
+    write_partitioned(li.repartition(8), flat, target_files=2)
+    files = [f for f in os.listdir(flat) if f.endswith(".parquet")]
+    assert len(files) == 2
+
+    by_flag = str(tmp_path / "by_flag_bounded")
+    write_partitioned(
+        li, by_flag, partition_cols=("l_returnflag",), target_files=4
+    )
+    dirs = [d for d in os.listdir(by_flag) if d.startswith("l_returnflag=")]
+    assert len(dirs) >= 2
+    for d in dirs:
+        files = [
+            f for f in os.listdir(os.path.join(by_flag, d)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d} got {len(files)} files"
+    # values round-trip, partition pruning intact
+    back = spark.read.parquet(by_flag).filter(F.col("l_returnflag") == "R")
+    assert back.count() == li.filter("l_returnflag = 'R'").count()
+
+
 def test_ping_time_parses_two_and_four_digit_years(spark):
     df = spark.createDataFrame(
         [("19-02-01 05:26:15",), ("2019-02-01 05:26:15",), ("garbage",)],

@@ -154,6 +154,26 @@ def test_stateful_sessionize_matches_window_formulation(spark):
     assert _rows(stateful, *cols) == _rows(windowed, *cols)
 
 
+def test_sliding_window_corpus_aggregates_sum_not_avg():
+    """Pins the st_sliding_window rounding-tie decision: an AVG of
+    2-decimal inputs over small per-window counts lands on the x.xx5
+    rounding boundary so often that last-ulp summation-order differences
+    between Spark and the DuckDB oracle flip round() either way — the
+    corpus entry therefore aggregates SUM (a safe 1e-10 from any
+    boundary). A change back to avg would reintroduce the flake
+    silently; this fails it loudly."""
+    from gpssbzd_spark import corpus
+
+    corpus._load_all()
+    q = corpus.CORPUS["st_sliding_window"]
+    import inspect
+
+    src = inspect.getsource(q.fn)
+    assert "sum" in src and 'alias("sum_value")' in src
+    assert "avg" not in src.replace("# sum, not avg", "")
+    assert "AVG" not in (q.oracle or "")
+
+
 def test_stateful_sessionize_keeps_null_keys(spark):
     """Spark's groupBy keeps NULL grouping keys; the batch sessionizer's
     pandas groupby must too (dropna=False), and the chunk-tail carry must
