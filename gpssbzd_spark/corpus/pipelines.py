@@ -188,6 +188,13 @@ def pe_pipeline_segments(spark, sf_dir):
             F.lit(1).alias("position"),
         )
     )
+    # the derived terminal dimension is O(lines) rows but its lineage is
+    # a full-scan window that prepare_pings reads from ~5 join branches;
+    # persist pins one materialization (exchange reuse catches most of
+    # the duplication already — measured neutral at sf0.1 — but reuse is
+    # best-effort and the cache makes it structural). A real
+    # deployment's bus_line is a static tiny table.
+    bus_line = bus_line.persist()
     prepared = prepare_pings(gps, bus_line)
     return extract_patterns(prepared, start_marker="pre_gap")
 

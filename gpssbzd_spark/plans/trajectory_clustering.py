@@ -43,13 +43,28 @@ from collections.abc import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # geopy's great_circle (used by the reference) is a mean-earth-radius
 # great-circle distance; same formula, R in km.
 EARTH_RADIUS_KM = 6371.009
+
+# np.allclose defaults — the native distance expressions replicate the
+# numpy kernel's degenerate-chord checks bit-for-bit
+_ATOL, _RTOL = 1e-8, 1e-5
+
+
+def _gc_km_col(lng1: Column, lat1: Column, lng2: Column, lat2: Column) -> Column:
+    """Native great-circle km — same formula and R as
+    :func:`_great_circle_km`, as a codegen-able column expression."""
+    h = (
+        F.sin(F.radians(lat2 - lat1) / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(F.radians(lng2 - lng1) / 2) ** 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
 
 
 def _great_circle_km(a: np.ndarray, b: np.ndarray) -> float:
@@ -153,6 +168,83 @@ def trajectory_distance(
     return float(d_h + d_v + d_angular)
 
 
+def native_pair_distance(
+    p1: tuple[Column, Column, Column, Column, Column],
+    p2: tuple[Column, Column, Column, Column, Column],
+    corrected: bool = False,
+    extra_bad: Column | None = None,
+) -> Column:
+    """:func:`trajectory_distance` as a pure column expression.
+
+    The TRACLUS-style distance depends ONLY on each trajectory's
+    endpoints, chord, and polyline length — never on interior points —
+    so once those five scalars per trajectory are precomputed
+    (:func:`assemble_trajectories` emits them), the whole pair distance
+    is native arithmetic: no Python worker in the pair stage, and the
+    pair join ships 5 doubles per side instead of the full point arrays
+    (~19 KB/row at 1 200-point trajectories — the arrays were the entire
+    shuffle payload, and the per-pair Arrow round-trip the entire stage
+    cost).
+
+    ``p1``/``p2``: (x0, y0, x1, y1, length_km) with x=lng, y=lat.
+    Mirrors the numpy kernel exactly, including np.allclose tolerances
+    on the degenerate chord/zero-vector checks and the inf result for
+    NULL/NaN endpoints (``extra_bad`` ORs in e.g. an interior-point
+    validity flag so degenerate interiors also read as inf/far).
+    Differential parity with the kernel is pinned by
+    test_modes_agree / test_native_distance_matches_kernel.
+    """
+    x0_1, y0_1, x1_1, y1_1, len1 = p1
+    a_x, a_y, b_x, b_y, len2 = p2  # tr2's chord is a→b
+
+    # endpoint → clamped projection on tr2's chord, planar in degrees
+    # (np.allclose(a2, b2) ⇒ the chord is a point ⇒ project to a)
+    ident = (F.abs(b_x - a_x) <= _ATOL + _RTOL * F.abs(b_x)) & (
+        F.abs(b_y - a_y) <= _ATOL + _RTOL * F.abs(b_y)
+    )
+    vx, vy = b_x - a_x, b_y - a_y
+    vv = vx * vx + vy * vy
+
+    def proj_dist(px: Column, py: Column) -> Column:
+        t = ((px - a_x) * vx + (py - a_y) * vy) / vv
+        tc = F.greatest(F.lit(0.0), F.least(F.lit(1.0), t))
+        projx = F.when(ident, a_x).otherwise(a_x + tc * vx)
+        projy = F.when(ident, a_y).otherwise(a_y + tc * vy)
+        return _gc_km_col(px, py, projx, projy)
+
+    d1 = proj_dist(x0_1, y0_1)
+    d2 = proj_dist(x1_1, y1_1)
+    d_component = (d1 + d2) / 2.0
+    if corrected:
+        denom = d1 + d2
+        d_perp = F.when(denom > 0, (d1 * d1 + d2 * d2) / denom).otherwise(0.0)
+        d_hv = d_component + d_perp
+    else:
+        d_hv = d_component + d_component
+
+    # angular: angle between end-to-end chords (np.allclose(v, 0) ⇒ 90°)
+    v1x, v1y = x1_1 - x0_1, y1_1 - y0_1
+    v1zero = (F.abs(v1x) <= _ATOL) & (F.abs(v1y) <= _ATOL)
+    v2zero = (F.abs(vx) <= _ATOL) & (F.abs(vy) <= _ATOL)
+    cos_t = (v1x * vx + v1y * vy) / (
+        F.sqrt(v1x * v1x + v1y * v1y) * F.sqrt(vv)
+    )
+    theta = F.degrees(F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), cos_t))))
+    theta_eff = F.when(v1zero | v2zero, F.lit(90.0)).otherwise(theta)
+    d_ang = (
+        F.when(theta_eff == 0.0, F.lit(0.0))
+        .when(theta_eff > 90.0, F.greatest(len1, len2))
+        .otherwise(F.least(len1, len2) * F.sin(F.radians(theta_eff)))
+    )
+
+    bad = F.lit(False)
+    for c in (x0_1, y0_1, x1_1, y1_1, len1, a_x, a_y, b_x, b_y, len2):
+        bad = bad | c.isNull() | F.isnan(c)
+    if extra_bad is not None:
+        bad = bad | extra_bad
+    return F.when(bad, F.lit(float("inf"))).otherwise(d_hv + d_ang)
+
+
 def dbscan_precomputed(dist: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     """Classic DBSCAN (Ester et al., KDD'96) on a precomputed distance
     matrix. A point's own distance (0) counts toward min_samples, as in
@@ -215,15 +307,39 @@ def assemble_trajectories(patterns: DataFrame, order_col: str = "ts") -> DataFra
       list of per-point dicts that cost an interpreted comprehension
       per pair (at 1 200-point trajectories that unpacking dominated
       the whole pair stage).
+
+    Also emits the per-trajectory scalars the native pair distance
+    consumes — endpoints (x0,y0,x1,y1), ``len_km`` (polyline great-
+    circle length, computed with a codegen'd lead-window haversine that
+    shares the groupBy's hash partitioning: no extra shuffle, no
+    Python), and ``bad_pts`` (any NULL/NaN interior coordinate ⇒ the
+    kernel would return inf).
     """
+    lng_d = F.col("lng").cast("double")
+    lat_d = F.col("lat").cast("double")
+    w = Window.partitionBy("linenumber", "id", "patternID").orderBy(
+        order_col, lng_d, lat_d
+    )
+    nlng, nlat = F.lead(lng_d).over(w), F.lead(lat_d).over(w)
+    seg = F.when(
+        nlng.isNotNull(), _gc_km_col(lng_d, lat_d, nlng, nlat)
+    ).otherwise(0.0)
     pt = F.struct(
         F.col(order_col).alias("o"),
-        F.col("lng").cast("double").alias("lng"),
-        F.col("lat").cast("double").alias("lat"),
+        lng_d.alias("lng"),
+        lat_d.alias("lat"),
     )
+    nanish = lambda c: c.isNull() | F.isnan(c)  # noqa: E731
     return (
-        patterns.groupBy("linenumber", "id", "patternID")
-        .agg(F.array_sort(F.collect_list(pt)).alias("pts_ordered"))
+        patterns.withColumn("_seg_km", seg)
+        .groupBy("linenumber", "id", "patternID")
+        .agg(
+            F.array_sort(F.collect_list(pt)).alias("pts_ordered"),
+            F.sum("_seg_km").alias("len_km"),
+            F.max(
+                (nanish(lng_d) | nanish(lat_d)).cast("int")
+            ).alias("_bad"),
+        )
         .select(
             "linenumber",
             "id",
@@ -234,6 +350,12 @@ def assemble_trajectories(patterns: DataFrame, order_col: str = "ts") -> DataFra
             ).alias("points"),
             F.transform("pts_ordered", lambda s: s["lng"]).alias("lngs"),
             F.transform("pts_ordered", lambda s: s["lat"]).alias("lats"),
+            F.element_at("pts_ordered", 1)["lng"].alias("x0"),
+            F.element_at("pts_ordered", 1)["lat"].alias("y0"),
+            F.element_at("pts_ordered", -1)["lng"].alias("x1"),
+            F.element_at("pts_ordered", -1)["lat"].alias("y1"),
+            "len_km",
+            (F.col("_bad") == 1).alias("bad_pts"),
         )
     )
 
@@ -278,8 +400,8 @@ def cluster_trajectories(
 
     traj = assemble_trajectories(patterns)
     traj = traj.filter(F.col("linenumber").isin(*params.keys()) if params else F.lit(False))
-    # the clustering kernels consume only the columnar lngs/lats form;
-    # don't ship the struct points through the pair join / group shuffle
+    # the pairs path consumes only the per-trajectory scalars; the local
+    # path the columnar lngs/lats — never ship the struct points
     traj = traj.drop("points")
 
     if mode == "pairs":
@@ -309,45 +431,40 @@ def _cluster_via_pairs(
 ) -> DataFrame:
     traj = traj.withColumn("traj_id", F.concat_ws("_", "id", "patternID"))
 
+    # the distance needs only the 5 per-trajectory scalars (endpoints +
+    # length) and the validity flag — the pair join ships ~48 bytes per
+    # side instead of the full point arrays, and the distance itself is
+    # whole-stage-codegen arithmetic (see native_pair_distance)
+    scalars = ["x0", "y0", "x1", "y1", "len_km", "bad_pts"]
     left = traj.select(
         "linenumber",
         F.col("traj_id").alias("traj_id_1"),
         F.col("id").alias("id_1"),
         F.col("patternID").alias("patternID_1"),
-        F.col("lngs").alias("lngs_1"),
-        F.col("lats").alias("lats_1"),
+        *[F.col(c).alias(f"{c}_1") for c in scalars],
     )
     right = traj.select(
         "linenumber",
         F.col("traj_id").alias("traj_id_2"),
         F.col("id").alias("id_2"),
         F.col("patternID").alias("patternID_2"),
-        F.col("lngs").alias("lngs_2"),
-        F.col("lats").alias("lats_2"),
+        *[F.col(c).alias(f"{c}_2") for c in scalars],
     )
     pairs = left.join(right, "linenumber").filter(F.col("traj_id_1") < F.col("traj_id_2"))
 
-    @F.pandas_udf(T.DoubleType())
-    def pair_distance(
-        lngs1: pd.Series, lats1: pd.Series, lngs2: pd.Series, lats2: pd.Series
-    ) -> pd.Series:
-        out = np.empty(len(lngs1))
-        for i in range(len(lngs1)):
-            t1 = np.column_stack((lngs1.iloc[i], lats1.iloc[i]))
-            t2 = np.column_stack((lngs2.iloc[i], lats2.iloc[i]))
-            try:
-                out[i] = trajectory_distance(t1, t2, corrected=corrected)
-            except Exception:
-                out[i] = float("inf")
-        return pd.Series(out)
-
+    dist_col = native_pair_distance(
+        tuple(F.col(f"{c}_1") for c in ("x0", "y0", "x1", "y1", "len_km")),
+        tuple(F.col(f"{c}_2") for c in ("x0", "y0", "x1", "y1", "len_km")),
+        corrected=corrected,
+        extra_bad=F.col("bad_pts_1") | F.col("bad_pts_2"),
+    )
     distances = pairs.select(
         "linenumber",
         "id_1",
         "patternID_1",
         "id_2",
         "patternID_2",
-        pair_distance("lngs_1", "lats_1", "lngs_2", "lats_2").alias("distance"),
+        dist_col.alias("distance"),
     )
 
     def run_dbscan(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -13,6 +13,7 @@ from gpssbzd_spark.plans.trajectory_clustering import (
     assemble_trajectories,
     cluster_trajectories,
     dbscan_precomputed,
+    native_pair_distance,
     trajectory_distance,
 )
 
@@ -187,6 +188,60 @@ def test_modes_agree(spark, patterns, line_params):
         return {frozenset(v) for v in groups.values()}
 
     assert partition(pa) == partition(pb)
+
+
+def test_native_distance_matches_kernel(spark):
+    """The pairs mode computes the TRACLUS distance as a native column
+    expression over per-trajectory scalars; it must agree with the numpy
+    kernel to float precision on regular AND degenerate trajectories
+    (single point, zero chord, parallel, perpendicular)."""
+    rng = np.random.RandomState(7)
+    rows = []
+
+    def add(vid, pts):
+        for i, (lng, lat) in enumerate(pts):
+            rows.append((vid, float(lng), float(lat),
+                         f"2019-02-01 08:{i:02d}:00", "1", "L"))
+
+    kernels = {}
+    for t in range(5):
+        n = int(rng.randint(2, 8))
+        pts = np.column_stack(
+            (114 + rng.rand(n) * 0.1, 22.6 + rng.rand(n) * 0.1)
+        )
+        kernels[f"v{t}"] = pts
+        add(f"v{t}", pts)
+    kernels["vsingle"] = np.array([[114.05, 22.65]])
+    add("vsingle", kernels["vsingle"])
+    kernels["vzero"] = np.array([[114.02, 22.62], [114.02, 22.62]])
+    add("vzero", kernels["vzero"])
+
+    patterns = spark.createDataFrame(
+        rows,
+        "id string, lng double, lat double, t string, patternID string, linenumber string",
+    ).withColumn("ts", F.to_timestamp("t"))
+    traj = assemble_trajectories(patterns)
+
+    scalars = ["x0", "y0", "x1", "y1", "len_km", "bad_pts"]
+    a = traj.select(F.col("id").alias("id_1"),
+                    *[F.col(c).alias(f"{c}_1") for c in scalars])
+    b = traj.select(F.col("id").alias("id_2"),
+                    *[F.col(c).alias(f"{c}_2") for c in scalars])
+    dist = native_pair_distance(
+        tuple(F.col(f"{c}_1") for c in ("x0", "y0", "x1", "y1", "len_km")),
+        tuple(F.col(f"{c}_2") for c in ("x0", "y0", "x1", "y1", "len_km")),
+        extra_bad=F.col("bad_pts_1") | F.col("bad_pts_2"),
+    )
+    got = {
+        (r["id_1"], r["id_2"]): r["d"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_1") != F.col("id_2"))
+        .select("id_1", "id_2", dist.alias("d"))
+        .collect()
+    }
+    for (i1, i2), d_native in got.items():
+        d_kernel = trajectory_distance(kernels[i1], kernels[i2])
+        assert d_native == pytest.approx(d_kernel, rel=1e-9, abs=1e-9), (i1, i2)
 
 
 def test_cross_line_shared_id_pattern_no_duplication(spark, line_params):
