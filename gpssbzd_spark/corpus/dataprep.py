@@ -180,7 +180,11 @@ from gpssbzd_spark.dataprep.multimodal import (  # noqa: E402
     media_from_binary,
     resize_images,
 )
-from gpssbzd_spark.dataprep.similarity import brute_force_topk, lsh_topk  # noqa: E402
+from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from gpssbzd_spark.dataprep.text import STOPWORDS, doc_fingerprint, language_id  # noqa: E402
 
 
@@ -464,6 +468,26 @@ def sim_topk_lsh(spark, sf_dir):
         _F.col("vec_id").alias("query_id"), _F.col("embedding").alias("query_vec")
     )
     return lsh_topk(em, queries, dim=64, k=5, n_planes=8, n_tables=8, probes=1)
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=None,
+    note="IVF approximate top-k — the inverted-file ANN scale path "
+    "(coarse k-means codebook, inverted lists per centroid, n_probe "
+    "nearest lists scanned per query) alongside sim_topk_lsh's "
+    "hyperplane buckets; recall vs brute force pinned in pytest, "
+    "rows-only here (codebook is engine-seeded)",
+    tier=1,
+)
+def sim_topk_ivf(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    queries_df = em.filter(_F.col("vec_id") < 10).select(
+        _F.col("vec_id").alias("query_id"), _F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(
+        em, queries_df, dim=64, k=5, n_centroids=16, n_probe=4, iters=2
+    )
 
 
 @query(

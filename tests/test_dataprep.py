@@ -29,7 +29,7 @@ from gpssbzd_spark.dataprep.multimodal import (
     resize_images,
     sample_frames,
 )
-from gpssbzd_spark.dataprep.similarity import brute_force_topk, lsh_topk
+from gpssbzd_spark.dataprep.similarity import brute_force_topk, ivf_topk, lsh_topk
 from gpssbzd_spark.dataprep.text import doc_fingerprint, language_id
 from gpssbzd_spark.sources.tables import load_table
 
@@ -227,6 +227,33 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     # self-neighbor (cos=1) collides in every table — never missed
     assert all((i, i) in approx for i in range(20))
     assert all(truth[p] == approx[p] for p in hits)  # same scoring kernel
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF (coarse k-means + n_probe inverted lists) must recover most
+    of the true top-k while scanning only ~n_probe/n_centroids of the
+    corpus; like the LSH test, hits must score identically to brute
+    force (same cosine kernel), and the self-neighbor is never missed
+    (a vector's own list is always its nearest centroid's)."""
+    em = load_table(spark, SF, "embeddings")
+    q = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 10
+    truth = {
+        (r.query_id, r.vec_id): round(r.cos_sim, 6)
+        for r in brute_force_topk(em, q, k=k).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id): round(r.cos_sim, 6)
+        for r in ivf_topk(
+            em, q, dim=64, k=k, n_centroids=8, n_probe=3, iters=2
+        ).collect()
+    }
+    hits = set(truth) & set(approx)
+    assert len(hits) / len(truth) >= 0.5
+    assert all((i, i) in approx for i in range(20))
+    assert all(truth[p] == approx[p] for p in hits)
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,7 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         "st_stateful_sessionize",  # mapInPandas sessionize kernel
         "sim_topk_lsh",            # vectorized hyperplane-bucket kernel
         "dd_embedding_cosine_blocked",  # same bucket kernel (by design)
+        "sim_topk_ivf",            # centroid-assignment matmul kernel
     }
     for name in sorted(corpus.CORPUS):
         if name in pandas_backed:
