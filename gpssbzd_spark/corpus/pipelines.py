@@ -162,28 +162,67 @@ def bz_pipeline_cascade(spark, sf_dir):
 )
 def pe_pipeline_segments(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # Fixture geometry must satisfy the pipeline's physical premises or
+    # it green-lights an empty result (the r1 fixture did exactly that
+    # at every SF):
+    # - pings snap to a 8×5 grid of "stops" ~220-300 km apart, so a
+    #   gap's spatial displacement is either 0 (same stop — demoted as
+    #   plausible) or beyond the plausible-speed radius
+    #   11.11·(threshold−1), which reaches ~150 km at sf0.01 and
+    #   ~1 500 km at sf0.001 (same timespan, 10× sparser pings ⇒ 10×
+    #   the p95 gap) — the r1 city-block-scale box demoted EVERY gap;
+    # - the terminals are the line's real first/last ping locations, so
+    #   the 100 m proximity retag and the seen-at-both-terminals
+    #   qualification actually fire (the r1 terminal-2 was an offset
+    #   point no ping ever visited → zero vehicles qualified).
+    stop_lng = (F.col("event_id") % 8).cast("double")
+    stop_lat = ((F.col("event_id") / F.lit(8)).cast("long") % 5).cast("double")
     gps = ev.select(
         (F.col("user_id") % 20).cast("string").alias("id"),
         (F.col("user_id") % 5).cast("string").alias("linenumber"),
         F.lit("x").alias("opath"),
-        (F.lit(114.0) + (F.col("value") % 1.0) / 100).alias("lng"),
-        (F.lit(22.6) + (F.col("event_id") % 100) / 10000.0).alias("lat"),
+        (F.lit(114.0) + stop_lng * 3.0).alias("lng"),
+        (F.lit(22.6) + stop_lat * 2.0).alias("lat"),
         F.date_format("ts", "yy-MM-dd HH:mm:ss").alias("t"),
         F.col("ts"),
     )
-    w = F.row_number().over(Window.partitionBy("linenumber").orderBy("ts"))
-    ends = gps.withColumn("_rn", w).filter(F.col("_rn") == 1)
-    bus_line = ends.select(
+    w_first = F.row_number().over(Window.partitionBy("linenumber").orderBy("ts", "event_id"))
+    w_last = F.row_number().over(
+        Window.partitionBy("linenumber").orderBy(F.col("ts").desc(), F.col("event_id"))
+    )
+    ends1 = (
+        ev.select(
+            (F.col("user_id") % 5).cast("string").alias("linenumber"),
+            (F.lit(114.0) + stop_lng * 3.0).alias("lng"),
+            (F.lit(22.6) + stop_lat * 2.0).alias("lat"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("_rn", w_first)
+        .filter(F.col("_rn") == 1)
+    )
+    ends2 = (
+        ev.select(
+            (F.col("user_id") % 5).cast("string").alias("linenumber"),
+            (F.lit(114.0) + stop_lng * 3.0).alias("lng"),
+            (F.lit(22.6) + stop_lat * 2.0).alias("lat"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("_rn", w_last)
+        .filter(F.col("_rn") == 1)
+    )
+    bus_line = ends1.select(
         F.col("linenumber").alias("existLine_id"),
         F.col("lat").alias("x"),
         F.col("lng").alias("y"),
         F.lit(1).alias("direction"),
         F.lit(1).alias("position"),
     ).unionByName(
-        ends.select(
+        ends2.select(
             F.col("linenumber").alias("existLine_id"),
-            (F.col("lat") + 0.001).alias("x"),
-            (F.col("lng") + 0.001).alias("y"),
+            F.col("lat").alias("x"),
+            F.col("lng").alias("y"),
             F.lit(2).alias("direction"),
             F.lit(1).alias("position"),
         )

@@ -47,3 +47,29 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
     for r in joined:
         assert abs(r.approx_p - r.exact_p) / r.exact_p < 0.01
         assert abs(r.approx_n - r.exact_n) / r.exact_n < 0.03
+
+
+# Queries whose passing check proves nothing when the result is empty: a
+# rows-only pipeline that filters everything out "passes" while testing
+# no stage downstream of the filter (r1 shipped pe_pipeline_segments
+# green and vacuous at every SF — the demotion rule killed every gap).
+_MUST_BE_NONEMPTY = [
+    "pe_pipeline_segments",
+    "tc_pipeline_dbscan",
+    "bz_pipeline_cascade",
+    "dd_exact_dup_groups",
+    "dd_minhash_lsh_pairs",
+    "dd_embedding_cosine_pairs",
+    "dd_embedding_cosine_blocked",
+    "j5_semi_anti_join",
+    "set_ops_tagged",
+]
+
+
+@pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
+def test_diagnostic_queries_are_not_vacuous(spark, name):
+    # checked at sf0.01 — the scale the round driver's correctness gate
+    # actually runs (some fixtures legitimately thin out at sf0.001)
+    assert corpus.CORPUS[name].fn(spark, "/root/testdata/sf0.01").count() > 0, (
+        f"{name} returned an empty result — its green check is vacuous"
+    )
