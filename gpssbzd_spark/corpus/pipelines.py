@@ -3,11 +3,12 @@
 The GPS pipelines' native inputs (pings, bus_line) aren't among the
 driver's fixture tables, so each entry derives a deterministic
 GPS-shaped table from ``events`` first, then runs the real pipeline
-code. The blind-zone cascade — the flagship — carries a full DuckDB
-oracle that re-implements qualification, speed, and the 0.5→0.75→1.0
-escalation in ANSI SQL; pattern extraction and clustering are
-rows-only (clustering is not SQL-expressible; pattern extraction's
-bound-fill cascade is checked by dedicated pytest goldens instead).
+code. Two of the three composites carry complete ANSI-SQL oracles: the
+blind-zone cascade (qualification → speed → 0.5/0.75/1.0 escalation)
+and pattern extraction (prepare + the full bound-fill cascade, also
+pinned by pytest goldens on the reference's own sample data);
+trajectory clustering is rows-only (DBSCAN is not SQL-expressible —
+structural checks live in pytest).
 """
 
 from __future__ import annotations
@@ -153,12 +154,191 @@ def bz_pipeline_cascade(spark, sf_dir):
     )
 
 
+_HAV_T1 = haversine_sql("f.lat", "f.lng", "t1.lat", "t1.lng")
+_HAV_T2 = haversine_sql("f.lat", "f.lng", "t2.lat", "t2.lng")
+_HAV_PREV = haversine_sql("last_lat", "last_lng", "lat", "lng")
+_HAV_NEXT_PE = haversine_sql("lat", "lng", "next_lat", "next_lng")
+
+# Full ANSI re-implementation of prepare_pings + extract_patterns over
+# the same derived fixture. Bounds are carried as epoch-second BIGINTs
+# and compared against epoch_us(ts) (Spark's timestamp_seconds(
+# unix_timestamp ± int(threshold)) in exact integer arithmetic);
+# thresholds use quantile_cont = Spark's exact F.percentile.
+_PE_ORACLE = f"""
+WITH gps AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS id,
+         CAST(user_id % 5 AS VARCHAR) AS linenumber,
+         114.0 + CAST(event_id % 8 AS DOUBLE) * 3.0 AS lng,
+         22.6 + CAST((event_id // 8) % 5 AS DOUBLE) * 2.0 AS lat,
+         make_timestamp(epoch_us(ts) + event_id % 999983) AS ts,
+         event_id
+  FROM events
+),
+e1 AS (
+  SELECT linenumber, lat, lng FROM (
+    SELECT linenumber, lat, lng,
+           row_number() OVER (PARTITION BY linenumber ORDER BY ts, event_id) AS rn
+    FROM gps) WHERE rn = 1
+),
+e2 AS (
+  SELECT linenumber, lat, lng FROM (
+    SELECT linenumber, lat, lng,
+           row_number() OVER (PARTITION BY linenumber ORDER BY ts DESC, event_id) AS rn
+    FROM gps) WHERE rn = 1
+),
+wd AS (
+  SELECT *,
+         CAST(ABS(COALESCE(
+           CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY id ORDER BY ts))) AS BIGINT),
+           0)) AS DOUBLE) AS time_diff
+  FROM gps
+),
+dd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, linenumber, lng, lat ORDER BY ts) AS rn2
+    FROM wd) WHERE rn2 = 1
+),
+ft AS (
+  SELECT linenumber, id, lng, lat, ts, time_diff,
+         CASE WHEN row_number() OVER (PARTITION BY id ORDER BY ts) = 1 THEN 1 ELSE 0 END AS direction,
+         CASE WHEN row_number() OVER (PARTITION BY id ORDER BY ts) = 1 THEN 1 ELSE 0 END AS position
+  FROM dd
+),
+r1 AS (
+  SELECT f.linenumber, f.id, f.lng, f.lat, f.ts, f.time_diff,
+         CASE WHEN t1.linenumber IS NOT NULL AND {_HAV_T1} < 100.0
+              THEN 1 ELSE f.direction END AS direction,
+         CASE WHEN t1.linenumber IS NOT NULL AND {_HAV_T1} < 100.0
+              THEN 1 ELSE f.position END AS position
+  FROM ft f LEFT JOIN (SELECT e1.* FROM e1 SEMI JOIN e2 USING (linenumber)) t1
+    ON f.linenumber = t1.linenumber
+),
+r2 AS (
+  SELECT f.linenumber, f.id, f.lng, f.lat, f.ts, f.time_diff,
+         CASE WHEN t2.linenumber IS NOT NULL AND {_HAV_T2} < 100.0
+              THEN 2 ELSE f.direction END AS direction,
+         CASE WHEN t2.linenumber IS NOT NULL AND {_HAV_T2} < 100.0
+              THEN 2 ELSE f.position END AS position
+  FROM r1 f LEFT JOIN e2 t2 ON f.linenumber = t2.linenumber
+),
+th AS (SELECT id, quantile_cont(time_diff, 0.95) AS threshold FROM r2 GROUP BY id),
+p AS (SELECT r2.*, th.threshold FROM r2 LEFT JOIN th USING (id)),
+s0 AS (SELECT *, CASE WHEN time_diff >= threshold THEN 1 ELSE 0 END AS _base FROM p),
+s1 AS (
+  SELECT *, CASE WHEN _base = 0 AND lead(_base) OVER w = 1 THEN 2 ELSE _base END AS lag_state
+  FROM s0 WINDOW w AS (PARTITION BY linenumber, id ORDER BY ts)
+),
+s2 AS (
+  SELECT *,
+         lead(lag_state) OVER w AS next_state, lag(lag_state) OVER w AS last_state,
+         lead(lat) OVER w AS next_lat, lead(lng) OVER w AS next_lng,
+         lag(lat) OVER w AS last_lat, lag(lng) OVER w AS last_lng
+  FROM s1 WINDOW w AS (PARTITION BY linenumber, id ORDER BY ts)
+),
+s3 AS (
+  SELECT *,
+         CASE WHEN lag_state = 2 AND next_state = 1 THEN {_HAV_NEXT_PE}
+              WHEN lag_state = 1 AND (last_state = 2 OR next_state = 1 OR last_state = 1)
+              THEN {_HAV_PREV} END AS gap_distance
+  FROM s2
+),
+s4 AS (
+  SELECT * REPLACE (
+    CASE WHEN gap_distance IS NOT NULL AND gap_distance < 11.11 * (threshold - 1)
+         THEN 0 ELSE lag_state END AS lag_state)
+  FROM s3
+),
+q AS (
+  SELECT linenumber, id FROM s4 GROUP BY linenumber, id
+  HAVING MAX(CASE WHEN (direction = 1 AND position = 1)
+                    OR (direction = 1 AND position = 0 AND lag_state IN (1, 2))
+             THEN 1 ELSE 0 END) = 1
+     AND MAX(CASE WHEN (direction = 2 AND position = 2)
+                    OR (direction = 2 AND position = 0 AND lag_state IN (1, 2))
+             THEN 1 ELSE 0 END) = 1
+),
+s5 AS (SELECT s4.* FROM s4 SEMI JOIN q USING (linenumber, id)),
+s6 AS (
+  SELECT *, lead(lag_state) OVER w AS next_state2,
+         CASE WHEN lag_state = 2 THEN 1 ELSE 0 END AS pattern_start
+  FROM s5 WINDOW w AS (PARTITION BY linenumber, id ORDER BY ts)
+),
+s7 AS (
+  SELECT *,
+         SUM(pattern_start) OVER (PARTITION BY linenumber, id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pattern_id,
+         CASE WHEN lag_state = 1 AND (next_state2 = 0 OR next_state2 = 2)
+              THEN 1 ELSE 0 END AS is_end
+  FROM s6
+),
+s8 AS (
+  SELECT *,
+         CASE WHEN lag_state = 2
+              THEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(threshold) AS BIGINT)
+         END AS lb_s,
+         CASE WHEN is_end = 1
+              THEN CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(threshold) AS BIGINT)
+         END AS ub_s
+  FROM s7
+),
+s9 AS (
+  SELECT *,
+         COALESCE(ub_s, first_value(ub_s IGNORE NULLS) OVER (
+           PARTITION BY linenumber, id, pattern_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ub1,
+         COALESCE(lb_s, first_value(lb_s IGNORE NULLS) OVER (
+           PARTITION BY linenumber, id ORDER BY pattern_id, ts
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) AS lb1
+  FROM s8
+),
+s10 AS (
+  SELECT *,
+         CASE WHEN ub1 IS NULL AND pattern_id != 0
+              THEN lead(ub1) OVER (PARTITION BY linenumber, id ORDER BY ts)
+              ELSE ub1 END AS ub2,
+         lag(pattern_id) OVER (PARTITION BY linenumber, id ORDER BY ts) AS prev_pattern_id
+  FROM s9
+),
+s11 AS (
+  SELECT * FROM s10
+  WHERE (pattern_id = 0 AND epoch_us(ts) > lb1 * 1000000)
+     OR (pattern_id > 0 AND epoch_us(ts) < ub2 * 1000000)
+     OR (prev_pattern_id > 0 AND epoch_us(ts) > lb1 * 1000000)
+),
+s12 AS (
+  SELECT *,
+         CASE WHEN ub2 IS NULL OR lag_state = 2 THEN 1
+              WHEN epoch_us(ts) > lb1 * 1000000 AND epoch_us(ts) >= ub2 * 1000000 THEN 1
+              WHEN epoch_us(ts) < ub2 * 1000000 AND epoch_us(ts) <= lb1 * 1000000 THEN 0
+         END AS test
+  FROM s11
+),
+s13 AS (
+  SELECT *,
+         CASE WHEN lag(test) OVER w = 0 AND test = 1 THEN 1 ELSE 0 END AS change_marker
+  FROM s12 WINDOW w AS (PARTITION BY linenumber, id ORDER BY ts)
+)
+SELECT id, linenumber, lng, lat,
+       strftime(ts, '%y-%m-%d %H:%M:%S') AS t,
+       epoch_ms(ts) AS ts_ms,
+       time_diff, direction, position,
+       CAST(SUM(change_marker) OVER (PARTITION BY linenumber, id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS VARCHAR)
+         AS patternID
+FROM s13
+"""
+
+
 @query(
     "pe_pipeline_segments",
-    oracle=None,
+    oracle=_PE_ORACLE,
     note="stage-1 pattern extraction end-to-end on events-derived pings "
-    "(bus_line derived from the pings' own endpoints); rows-only — the "
-    "bound-fill cascade is covered by pytest goldens",
+    "(bus_line = the lines' real first/last ping terminals), vs a "
+    "complete ANSI-SQL re-implementation of prepare (pre-dedup gaps, "
+    "deterministic dedup, terminal retag, exact-p95 thresholds) and "
+    "extract (pre_gap marker, plausible-speed demotion, two-terminal "
+    "qualification, bound fills, in-bounds filter, patternID numbering)",
 )
 def pe_pipeline_segments(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -177,41 +357,35 @@ def pe_pipeline_segments(spark, sf_dir):
     #   point no ping ever visited → zero vehicles qualified).
     stop_lng = (F.col("event_id") % 8).cast("double")
     stop_lat = ((F.col("event_id") / F.lit(8)).cast("long") % 5).cast("double")
+    # event_id-keyed sub-second jitter makes ts unique per vehicle: the
+    # fixture merges ~25 users into one vehicle id, and colliding ts
+    # values would make every lag/lead window (time_diff, gap states)
+    # nondeterministic across engines
+    ts_j = F.timestamp_micros(
+        F.unix_micros(F.col("ts")) + F.col("event_id") % 999983
+    )
     gps = ev.select(
         (F.col("user_id") % 20).cast("string").alias("id"),
         (F.col("user_id") % 5).cast("string").alias("linenumber"),
         F.lit("x").alias("opath"),
         (F.lit(114.0) + stop_lng * 3.0).alias("lng"),
         (F.lit(22.6) + stop_lat * 2.0).alias("lat"),
-        F.date_format("ts", "yy-MM-dd HH:mm:ss").alias("t"),
-        F.col("ts"),
+        F.date_format(ts_j, "yy-MM-dd HH:mm:ss").alias("t"),
+        ts_j.alias("ts"),
     )
     w_first = F.row_number().over(Window.partitionBy("linenumber").orderBy("ts", "event_id"))
     w_last = F.row_number().over(
         Window.partitionBy("linenumber").orderBy(F.col("ts").desc(), F.col("event_id"))
     )
-    ends1 = (
-        ev.select(
-            (F.col("user_id") % 5).cast("string").alias("linenumber"),
-            (F.lit(114.0) + stop_lng * 3.0).alias("lng"),
-            (F.lit(22.6) + stop_lat * 2.0).alias("lat"),
-            "ts",
-            "event_id",
-        )
-        .withColumn("_rn", w_first)
-        .filter(F.col("_rn") == 1)
+    ends_base = ev.select(
+        (F.col("user_id") % 5).cast("string").alias("linenumber"),
+        (F.lit(114.0) + stop_lng * 3.0).alias("lng"),
+        (F.lit(22.6) + stop_lat * 2.0).alias("lat"),
+        ts_j.alias("ts"),
+        "event_id",
     )
-    ends2 = (
-        ev.select(
-            (F.col("user_id") % 5).cast("string").alias("linenumber"),
-            (F.lit(114.0) + stop_lng * 3.0).alias("lng"),
-            (F.lit(22.6) + stop_lat * 2.0).alias("lat"),
-            "ts",
-            "event_id",
-        )
-        .withColumn("_rn", w_last)
-        .filter(F.col("_rn") == 1)
-    )
+    ends1 = ends_base.withColumn("_rn", w_first).filter(F.col("_rn") == 1)
+    ends2 = ends_base.withColumn("_rn", w_last).filter(F.col("_rn") == 1)
     bus_line = ends1.select(
         F.col("linenumber").alias("existLine_id"),
         F.col("lat").alias("x"),
@@ -234,8 +408,22 @@ def pe_pipeline_segments(spark, sf_dir):
     # best-effort and the cache makes it structural). A real
     # deployment's bus_line is a static tiny table.
     bus_line = bus_line.persist()
-    prepared = prepare_pings(gps, bus_line)
-    return extract_patterns(prepared, start_marker="pre_gap")
+    # exact percentile (not the sketch): the per-vehicle threshold must
+    # be bit-identical across engines for the DuckDB oracle
+    prepared = prepare_pings(gps, bus_line, exact_percentile=True)
+    out = extract_patterns(prepared, start_marker="pre_gap")
+    return out.select(
+        "id",
+        "linenumber",
+        "lng",
+        "lat",
+        "t",
+        F.unix_millis("ts").alias("ts_ms"),
+        "time_diff",
+        "direction",
+        "position",
+        "patternID",
+    )
 
 
 @query(

@@ -282,10 +282,18 @@ def extract_patterns(
 
     # Bound fills (SPE:138-148): upper bound back-filled within
     # (id, pattern_id); lower bound taken from the NEXT pattern's start.
+    # The lower fill orders by (pattern_id, ts), not pattern_id alone:
+    # with only pattern_id, rows INSIDE a pattern tie and the frame's
+    # "rows after me" set is arbitrary — a row could see its OWN
+    # pattern's start bound instead of the next pattern's, and the
+    # result varied run to run. With ts as tiebreak, a pattern's
+    # state-2 start row (earliest ts of the run) precedes its other
+    # rows, so their first-non-null lookahead lands on the NEXT
+    # pattern's bound — the reference's intent, now deterministic.
     w_upper = Window.partitionBy("linenumber", "id", "pattern_id").orderBy("ts")
     w_lower = (
         Window.partitionBy("linenumber", "id")
-        .orderBy("pattern_id")
+        .orderBy("pattern_id", "ts")
         .rowsBetween(1, Window.unboundedFollowing)
     )
     df = (

@@ -79,7 +79,6 @@ def test_oracle_share_in_window():
         "dd_embedding_cosine_blocked",
         "sim_topk_lsh",
         "mm_resize_pipeline",
-        "pe_pipeline_segments",
         "tc_pipeline_dbscan",
     }
     assert set(no_oracle) <= allowed, (
