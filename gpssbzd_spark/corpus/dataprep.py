@@ -235,7 +235,11 @@ def dd_simhash_buckets(spark, sf_dir):
           / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8
     """,
     note="n-gram(1) token Jaccard dedup within source groups — native "
-    "array_intersect/union vs DuckDB list fns",
+    "array_intersect/union vs DuckDB list fns. ORACLE BASELINE: the "
+    "all-pairs-within-group join with full token arrays is exact and "
+    "SQL-checkable but O(n²) per group — at 100 TB the same semantics "
+    "run through the MinHash-LSH path (dd_minhash_lsh_pairs), whose "
+    "banded candidate generation is the scale-safe form of this query",
 )
 def tx_token_jaccard_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
