@@ -331,9 +331,10 @@ def j5_semi_join(spark, sf_dir):
 @query(
     "j6_anti_join",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-                            WHERE o_totalprice > 400000)
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
     note="left_anti (NOT EXISTS) — absent in reference, required surface; "
     "the subtracted side is filtered so the result is non-empty at every "
@@ -354,18 +355,23 @@ def j6_anti_join(spark, sf_dir):
 @query(
     "j5_semi_anti_join",
     oracle="""
-    SELECT c_custkey, 'semi' AS side FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    SELECT c_custkey, 'semi' AS side FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     UNION ALL
-    SELECT c_custkey, 'anti' AS side FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-                            WHERE o_totalprice > 400000)
+    SELECT c_custkey, 'anti' AS side FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
     note="J5+J6 merged (driver-window diagnostic): left_semi and left_anti "
     "against the same filtered key set, tag-unioned so both sides are "
     "provably non-empty and every customer lands on exactly one side. "
     "left_semi replaces the reference's collect+broadcast+isin round-trip "
-    "(PPE:47-50); the threshold keeps the anti side non-vacuous at sf0.01",
+    "(PPE:47-50); the threshold keeps the anti side non-vacuous at sf0.01. "
+    "Oracle uses EXISTS/NOT EXISTS, the forms whose NULL-key semantics "
+    "match left_semi/left_anti (NOT IN would return zero rows if the "
+    "subtracted key column ever carried a NULL)",
 )
 def j5_semi_anti_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -779,7 +785,9 @@ def set_except(spark, sf_dir):
         .filter(F.col("o_totalprice") > 400000)
         .select(F.col("o_custkey").alias("custkey"))
     )
-    return c.exceptAll(o).distinct()
+    # subtract = EXCEPT DISTINCT, matching the oracle; exceptAll+distinct
+    # would re-emit a key whose left multiplicity exceeds its right one
+    return c.subtract(o)
 
 
 @query(
@@ -825,11 +833,9 @@ def set_ops_tagged(spark, sf_dir):
     )
     u = c_nat.unionByName(s_nat).distinct().select(F.lit("union").alias("op"), "key")
     i = c_keys.intersect(o_keys).select(F.lit("intersect").alias("op"), "key")
-    e = (
-        c_keys.exceptAll(o_big)
-        .distinct()
-        .select(F.lit("except").alias("op"), "key")
-    )
+    # subtract = EXCEPT DISTINCT, matching the oracle; exceptAll+distinct
+    # would re-emit a key whose left multiplicity exceeds its right one
+    e = c_keys.subtract(o_big).select(F.lit("except").alias("op"), "key")
     return u.unionByName(i).unionByName(e)
 
 

@@ -238,6 +238,11 @@ def ivf_topk(
     vs :func:`brute_force_topk` is pinned in pytest. Raising
     ``n_probe`` trades scan fraction for recall.
     """
+    # the embeddings feed the seed sample, every Lloyd round, and the
+    # final index assignment — persist once or each pass re-scans and
+    # re-decodes the source (the repo's persist-iteratively-reused-
+    # inputs tactic, SURVEY §4)
+    embeddings = embeddings.persist()
     cents = kmeans_centroids(
         embeddings, dim, n_centroids, iters, seed, id_col, vec_col
     )

@@ -28,8 +28,14 @@ def write_partitioned(
     (``Parallel/Pattern Extraction.scala:127`` ``repartition(1)`` per
     line; ``:256`` ``repartition(200)`` fan-out):
 
-    - without partition_cols: ``coalesce(target_files)`` — shrink to N
-      output files without a shuffle (or ``repartition`` when growing);
+    - without partition_cols: ``coalesce(target_files)`` — shrink to ≤ N
+      output files without a shuffle. coalesce is a no-op when the plan
+      already has fewer partitions, which is the semantics wanted (the
+      knob BOUNDS files; to fan out instead, repartition upstream).
+      Deliberately NOT inspecting ``df.rdd.getNumPartitions()`` to pick
+      coalesce-vs-repartition: under AQE that materializes the final
+      physical plan, executing every upstream shuffle once just to read
+      a partition count, and then the write re-runs the whole query;
     - with partition_cols: ``repartition(target_files, *partition_cols)``
       — every partition value's rows land in one task, so each hive dir
       gets ONE file (the reference's repartition(1)-per-line layout)
@@ -40,10 +46,8 @@ def write_partitioned(
     if target_files is not None:
         if partition_cols:
             df = df.repartition(target_files, *[F.col(c) for c in partition_cols])
-        elif target_files <= df.rdd.getNumPartitions():
-            df = df.coalesce(target_files)
         else:
-            df = df.repartition(target_files)
+            df = df.coalesce(target_files)
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

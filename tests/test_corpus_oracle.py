@@ -68,8 +68,10 @@ _MUST_BE_NONEMPTY = [
 
 @pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
 def test_diagnostic_queries_are_not_vacuous(spark, name):
-    # checked at sf0.01 — the scale the round driver's correctness gate
-    # actually runs (some fixtures legitimately thin out at sf0.001)
-    assert corpus.CORPUS[name].fn(spark, "/root/testdata/sf0.01").count() > 0, (
+    # checked at the oracle scale — where the round driver's correctness
+    # gate actually runs (some fixtures legitimately thin out at sf0.001)
+    from tests.conftest import ORACLE_SF_DIR
+
+    assert corpus.CORPUS[name].fn(spark, ORACLE_SF_DIR).count() > 0, (
         f"{name} returned an empty result — its green check is vacuous"
     )
