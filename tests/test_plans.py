@@ -122,6 +122,46 @@ def test_exact_dedup_aggregates_before_exchange(spark):
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
 
 
+def test_semi_anti_diagnostic_broadcasts_both_sides(spark):
+    """The merged semi+anti diagnostic must run both joins as broadcast
+    LeftSemi/LeftAnti over the filtered key set — a shuffled key side
+    here would mean the filter stopped pruning before the exchange."""
+    plan = final_plan(q(spark, "j5_semi_anti_join"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_blocked_embedding_pairs_never_cartesian(spark):
+    """The 100 TB embedding-dedup path must generate candidates via the
+    (table, bucket) equi-join — a CartesianProduct/BroadcastNestedLoop
+    node would mean the blocking silently degraded to all-pairs. The
+    unblocked oracle twin IS allowed its nested-loop (that's the point
+    of keeping both)."""
+    plan = final_plan(q(spark, "dd_embedding_cosine_blocked"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan  # the banded equi-join exists
+
+
+def test_minhash_candidates_equi_join_not_cartesian(spark):
+    """MinHash banding must candidate-generate through the
+    (band, band_hash) equi-join; any nested-loop/cartesian node means
+    the O(n²) similarity join came back."""
+    plan = final_plan(q(spark, "dd_minhash_lsh_pairs"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_streaming_twin_windows_partial_agg(spark):
+    """Tumbling-window agg: map-side partial aggregation around one
+    exchange, exactly like any groupBy — the window expression must not
+    force a pre-shuffle of raw rows."""
+    plan = final_plan(q(spark, "st_tumbling_window"))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
 def test_window_pipeline_single_sort_per_window(spark):
     """w2 running sum: one exchange on the partition key and one sort —
     the reference's redundant pre-window global orderBy (PPE:69) must
