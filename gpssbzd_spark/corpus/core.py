@@ -37,7 +37,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "p1_scan_project_filter",
     oracle="""
     SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price,
-           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(floor(l_quantity) AS INTEGER) AS qty_int,
            CAST(l_orderkey AS VARCHAR) AS key_str
     FROM lineitem
     WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
@@ -146,8 +146,18 @@ def p9_dedup_keep_first(spark, sf_dir):
 @query(
     "p7_filter_distinct",
     oracle="""
-    SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS INTEGER) AS qty
-    FROM lineitem
+    WITH seeded AS (
+      SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+             l_discount, NULL
+      FROM lineitem WHERE l_orderkey % 101 = 0
+    )
+    SELECT DISTINCT l_returnflag, l_linestatus,
+           CAST(floor(l_quantity) AS INTEGER) AS qty
+    FROM seeded
     WHERE ((l_returnflag = 'R' AND l_quantity > 45)
            OR (l_linestatus = 'O' AND l_discount < 0.02)
            OR (l_tax IS NULL))
@@ -157,17 +167,33 @@ def p9_dedup_keep_first(spark, sf_dir):
     "boolean filter (3-way OR with null-safe branch, SPE:157-161) chained "
     "with a SQL-string predicate (SPE:117) and a distinct projection over "
     "a column subset (PPE:81) — Catalyst folds both filters into one "
-    "pushed-down conjunction",
+    "pushed-down conjunction. The fixture has no NULL l_tax, so the "
+    "IS NULL branch is exercised via deterministically seeded rows; the "
+    "oracle floors the qty cast (DuckDB int-cast rounds, Spark's "
+    "truncates)",
 )
 def p7_filter_distinct(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+    seeded = li.unionByName(
+        li.filter(F.col("l_orderkey") % 101 == 0).withColumn(
+            "l_tax", F.lit(None).cast("double")
+        )
+    )
     cond = (
         ((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45))
         | ((F.col("l_linestatus") == "O") & (F.col("l_discount") < 0.02))
         | F.col("l_tax").isNull()
     )
     return (
-        li.filter(cond)
+        seeded.filter(cond)
         .filter("l_extendedprice > 5000 AND l_discount <= 0.08")
         .select(
             "l_returnflag",
@@ -181,17 +207,39 @@ def p7_filter_distinct(spark, sf_dir):
 @query(
     "p13_null_handling",
     oracle="""
+    WITH seeded AS (
+      SELECT event_id, value FROM events
+      UNION ALL
+      SELECT event_id + 10000000, NULL FROM events WHERE event_id % 7 = 0
+      UNION ALL
+      SELECT event_id + 20000000, 0.0 FROM events WHERE event_id % 11 = 0
+    )
     SELECT event_id,
            ROUND(COALESCE(NULLIF(value, 0.0), -1.0), 2) AS value_filled,
            (value IS NULL OR value = 0.0) AS was_nullish
-    FROM events
+    FROM seeded
     """,
-    note="P13/P14: nullif/coalesce/literal null handling",
+    note="P13/P14: nullif/coalesce/literal null handling. The fixture's "
+    "value column carries no NULLs or zeros, which made the NULL paths "
+    "vacuously green — the query seeds NULL and 0.0 rows via a "
+    "deterministic self-union so every branch is exercised on both "
+    "engines",
 )
 def p13_null_handling(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    seeded = ev.unionByName(
+        ev.filter(F.col("event_id") % 7 == 0).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    ).unionByName(
+        ev.filter(F.col("event_id") % 11 == 0).select(
+            (F.col("event_id") + 20_000_000).alias("event_id"),
+            F.lit(0.0).alias("value"),
+        )
+    )
     nullish = F.nullif(F.col("value"), F.lit(0.0))
-    return ev.select(
+    return seeded.select(
         "event_id",
         F.round(F.coalesce(nullish, F.lit(-1.0)), 2).alias("value_filled"),
         (F.col("value").isNull() | (F.col("value") == 0.0)).alias("was_nullish"),
@@ -202,12 +250,15 @@ def p13_null_handling(spark, sf_dir):
     "p12_cast_types",
     oracle="""
     SELECT l_orderkey,
-           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(floor(l_quantity) AS INTEGER) AS qty_int,
            CAST(l_orderkey AS VARCHAR) AS key_str,
            CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS price_long
     FROM lineitem
     """,
-    note="P12: numeric/string casts (reference casts stringly CSV on use)",
+    note="P12: numeric/string casts (reference casts stringly CSV on use). "
+    "Oracle floors before the int cast: DuckDB CAST(double AS INTEGER) "
+    "rounds-to-nearest while Spark's truncates — whole-valued fixture "
+    "quantities masked the divergence",
     tier=2,
 )
 def p12_cast_types(spark, sf_dir):
@@ -1042,18 +1093,25 @@ def f4_case_when(spark, sf_dir):
     "f5_json_extract",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+           CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                AS INTEGER) AS prop_k
     FROM events
     """,
     note="§2.11 F5: from_json/get_json_object over events.props "
-    "(engine extension — reference has no JSON surface)",
+    "(engine extension — reference has no JSON surface). The cast goes "
+    "try_cast→double→floor→int on BOTH engines: Spark 4 runs ANSI-on, "
+    "so a direct string→int cast would CRASH on a non-integral k while "
+    "DuckDB rounds it — try_cast nulls malformed values and floor pins "
+    "one truncation rule",
     tier=2,
 )
 def f5_json_extract(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.floor(F.get_json_object("props", "$.k").try_cast("double"))
+        .cast("int")
+        .alias("prop_k"),
     )
 
 

@@ -135,15 +135,29 @@ def tx_quality_score(spark, sf_dir):
              list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 4) AS cos_sim
     FROM embeddings e, q
     WHERE e.vec_id <> 0
+      AND list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE))) > 0
     """,
     note="similarity search: cosine of every vector vs a query vector — "
-    "native zip_with/aggregate dot product, broadcast query side",
+    "native zip_with/aggregate dot product, broadcast query side. "
+    "Zero-norm vectors are excluded on BOTH sides: cosine is undefined "
+    "there and the engines disagree on the convention (DuckDB "
+    "list_cosine_similarity returns -1.0, a raw dot/norms gives NaN)",
     tier=2,
 )
 def sim_cosine_to_centroid(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     q = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    joined = em.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    joined = (
+        em.filter(F.col("vec_id") != 0)
+        .filter(sq_norm > 0)
+        .crossJoin(F.broadcast(q))
+    )
     dot = F.aggregate(
         F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
@@ -429,6 +443,8 @@ def dd_embedding_cosine_blocked(spark, sf_dir):
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
     ),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
@@ -446,10 +462,21 @@ def dd_embedding_cosine_blocked(spark, sf_dir):
     FROM ranked WHERE rank <= 5
     """,
     note="brute-force cosine top-k per query (10 queries × full corpus): "
-    "broadcast queries, native dot product, row_number top-k",
+    "broadcast queries, native dot product, row_number top-k. Zero-norm "
+    "vectors excluded on both sides (cosine undefined; engines disagree "
+    "on the fallback — DuckDB -1.0, our kernel 0.0 — which would shift "
+    "the ranking)",
 )
 def sim_topk_brute(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
+    sq_norm = _F.aggregate(
+        _F.transform(
+            _F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+        ),
+        _F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    em = em.filter(sq_norm > 0)
     queries = em.filter(_F.col("vec_id") < 10).select(
         _F.col("vec_id").alias("query_id"), _F.col("embedding").alias("query_vec")
     )

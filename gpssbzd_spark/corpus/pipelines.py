@@ -25,8 +25,18 @@ from gpssbzd_spark.sources.tables import load_table
 
 
 def _derived_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → deterministic stage-3-input-shaped table."""
+    """events → deterministic stage-3-input-shaped table.
+
+    ts carries an event_id-keyed sub-second jitter: the derivation folds
+    ~25 users into one vehicle id, and a raw-ts collision inside one
+    (id, patternID) would make the speed window's lead() — and with it
+    the whole signal cascade — nondeterministic on both engines (the
+    fixture's global ts-uniqueness is luck, not a contract).
+    """
     ev = load_table(spark, sf_dir, "events")
+    ts_j = F.timestamp_micros(
+        F.unix_micros(F.col("ts")) + F.col("event_id") % 999983
+    )
     return ev.select(
         (F.col("user_id") % 20).cast("string").alias("id"),
         (F.col("user_id") % 5).cast("string").alias("linenumber"),
@@ -36,7 +46,7 @@ def _derived_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", -1)
         .otherwise((F.col("user_id") % 7).cast("int"))
         .alias("cluster"),
-        F.col("ts"),
+        ts_j.alias("ts"),
     )
 
 
@@ -48,7 +58,7 @@ _DERIVED_CLUSTERS_SQL = """
          CAST(event_id % 5 AS VARCHAR) AS patternID,
          CASE WHEN event_type = 'error' THEN -1
               ELSE CAST(user_id % 7 AS INTEGER) END AS cluster,
-         ts
+         make_timestamp(epoch_us(ts) + event_id % 999983) AS ts
   FROM events
 """
 

@@ -99,7 +99,7 @@ def st_sliding_window(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -118,7 +118,10 @@ def st_sliding_window(spark, sf_dir):
     GROUP BY user_id, sid
     """,
     note="session window, 30 min gap (F.session_window) — session = "
-    "[min ts, max ts + gap); new session at diff >= gap. Oracle is the "
+    "[min ts, max ts + gap); Spark MERGES an event exactly gap after "
+    "the previous one (a new session needs diff STRICTLY > gap), so "
+    "the oracle's is_new uses > not >= — the >= variant diverges on "
+    "any two events exactly 1800 s apart. Oracle is the "
     "lag+running-sum sessionization, the same shape as the reference's "
     "pattern segmentation (SPE:128-129)",
 )

@@ -290,7 +290,13 @@ def extract_patterns(
     # state-2 start row (earliest ts of the run) precedes its other
     # rows, so their first-non-null lookahead lands on the NEXT
     # pattern's bound — the reference's intent, now deterministic.
-    w_upper = Window.partitionBy("linenumber", "id", "pattern_id").orderBy("ts")
+    # explicit ROWS frame: the orderBy-only default is a RANGE frame
+    # whose ts-tie peers would already see a later row's bound
+    w_upper = (
+        Window.partitionBy("linenumber", "id", "pattern_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     w_lower = (
         Window.partitionBy("linenumber", "id")
         .orderBy("pattern_id", "ts")

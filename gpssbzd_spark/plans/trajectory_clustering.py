@@ -403,13 +403,20 @@ def cluster_trajectories(
     # the pairs path consumes only the per-trajectory scalars; the local
     # path the columnar lngs/lats — never ship the struct points
     traj = traj.drop("points")
+    # every mode reads traj from multiple branches (pairs: left+right of
+    # the self-join plus the label join-back's lineage; auto: the size
+    # count plus both routes). AQE's exchange reuse dedupes the repeated
+    # shuffle stages within one action — measured neutral at sf0.1 — but
+    # reuse is best-effort plan matching; the persist makes the
+    # materialize-once guarantee structural (tiny: one scalar row per
+    # trajectory after the drop).
+    traj = traj.persist()
 
     if mode == "pairs":
         labels = _cluster_via_pairs(traj, params, corrected, max_group_pairs)
     elif mode == "local":
         labels = _cluster_local(traj, params, corrected)
     else:
-        traj = traj.persist()  # feeds the count + both branches
         sizes = traj.groupBy("linenumber").agg(F.count("*").alias("_n_traj"))
         traj_sized = traj.join(F.broadcast(sizes), "linenumber")
         small = traj_sized.filter(F.col("_n_traj") <= local_threshold).drop("_n_traj")
