@@ -300,6 +300,7 @@ def _lang_scores_sql() -> str:
     )
     SELECT doc_id, lang_declared,
            CASE
+             WHEN text IS NULL THEN NULL
              WHEN 2 * length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
                   > length(text) THEN 'zh'
              WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
@@ -357,6 +358,7 @@ def tx_fingerprint_groups(spark, sf_dir):
                  / NULLIF(length(text), 0), 4) AS punct_ratio,
            (length(text) BETWEEN 100 AND 20000) AS len_ok,
            CASE
+             WHEN text IS NULL THEN NULL
              WHEN 2 * length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
                   > length(text) THEN 'zh'
              WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'

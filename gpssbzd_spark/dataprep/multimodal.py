@@ -43,6 +43,18 @@ MEDIA_SCHEMA = T.StructType(
 
 _FEATURE_DIM = 8
 
+_META_FIELDS = ["kind", "mime", "width", "height", "duration_ms"]
+
+
+def _meta_frame(meta_col: pd.Series) -> pd.DataFrame:
+    """Meta structs → DataFrame, tolerating NULL structs (schema-legal:
+    meta is nullable). ``pd.DataFrame(list(...))`` raises on a None
+    element, and an all-None batch would lose the columns — substitute
+    empty dicts and pin the column set."""
+    return pd.DataFrame([(m if m is not None else {}) for m in meta_col]).reindex(
+        columns=_META_FIELDS
+    )
+
 FEATURES_SCHEMA = (
     "media_id long, kind string, n_bytes long, feature array<double>"
 )
@@ -90,7 +102,7 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = pd.DataFrame(list(pdf["meta"]))
+            meta = _meta_frame(pdf["meta"])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -136,7 +148,7 @@ def resize_images(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = pd.DataFrame(list(pdf["meta"]))
+            meta = _meta_frame(pdf["meta"])
             is_img = meta["kind"] == "image"
             content = pdf["content"].where(
                 ~is_img.values, pdf["content"].map(fake_resize)
@@ -159,7 +171,10 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sampling plan for video rows: explodes per-frame timestamps
     from metadata (native sequence — the decode of each frame would slot
-    into extract_features). Rows without a duration produce no frames."""
+    into extract_features). Rows without a duration, or with a corrupt
+    NEGATIVE duration, produce no frames — an unguarded negative bound
+    would crash the whole scan (``sequence(0, -n)`` throws), turning one
+    bad-metadata row into a failed 100 TB job."""
     ts = F.sequence(
         F.lit(0),
         F.least(
@@ -170,6 +185,6 @@ def sample_frames(
     )
     return (
         df.filter(F.col("meta.kind") == "video")
-        .filter(F.col("meta.duration_ms").isNotNull())
+        .filter(F.col("meta.duration_ms") >= 0)
         .select("media_id", F.explode(ts).alias("frame_ms"))
     )

@@ -49,7 +49,9 @@ def tokens(text_col: Column, distinct: bool = False) -> Column:
 def language_id(text_col: Column) -> Column:
     """Best-guess language code: 'zh' if CJK chars dominate, else the
     stopword list with the largest distinct-token overlap ('und' if no
-    list matches at all)."""
+    list matches at all). NULL text propagates as NULL — 'und' means a
+    real document whose language could not be determined, not a missing
+    one."""
     toks = tokens(text_col, distinct=True)
     cjk = F.length(F.regexp_replace(text_col, r"[^一-鿿]", ""))
     # argmax via array_max over (score, priority, lang) structs — struct
@@ -69,16 +71,25 @@ def language_id(text_col: Column) -> Column:
         for i, (lang, words) in enumerate(STOPWORDS.items())
     ]
     best = F.array_max(F.array(*entries))
-    return F.when(cjk * 2 > F.length(text_col), "zh").otherwise(
-        F.when(best["score"] > 0, best["lang"]).otherwise("und")
+    return (
+        F.when(text_col.isNull(), F.lit(None).cast("string"))
+        .when(cjk * 2 > F.length(text_col), "zh")
+        .otherwise(F.when(best["score"] > 0, best["lang"]).otherwise("und"))
     )
 
 
 def quality_features(text_col: Column) -> dict[str, Column]:
-    """Quality-gate feature set; combine/threshold at the call site."""
+    """Quality-gate feature set; combine/threshold at the call site.
+
+    Empty/whitespace-only text counts ZERO tokens (ratios go NULL via
+    the nullif guards): ``split('')`` yields ``['']``, which would score
+    degenerate docs n_tokens=1 and a perfect type_token_ratio — the
+    best possible quality — instead of the worst."""
     n = F.length(text_col)
     toks = tokens(text_col)
-    n_toks = F.size(toks)
+    n_toks = F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
     alpha = F.length(F.regexp_replace(text_col, "[^a-zA-Z]", ""))
     punct = F.length(F.regexp_replace(text_col, r"[^.!?,;:]", ""))
     all_stop = F.array(
@@ -129,9 +140,19 @@ def doc_fingerprint_native(
         .when(n > 0, F.array(F.array_min(hashes)))
         .otherwise(F.array().cast("array<bigint>"))
     )
-    return F.xxhash64(
+    fp_main = F.xxhash64(
         F.concat_ws(",", F.transform(F.array_sort(F.array_distinct(minima)),
                                      lambda x: x.cast("string")))
+    )
+    # contract shared with the Arrow twin: NULL/empty text → NULL (no
+    # shared sentinel that would glue all degenerate docs into one
+    # near-dup cluster); sub-k text → one whole-text gram, distinct per
+    # content (the zero-shingle path previously collapsed every short
+    # doc to the hash of an empty array)
+    return (
+        F.when(text_col.isNull() | (F.length(text_col) == 0), F.lit(None).cast("long"))
+        .when(F.length(text_col) < k, F.xxhash64(F.lower(text_col)))
+        .otherwise(fp_main)
     )
 
 
@@ -155,7 +176,10 @@ def doc_fingerprint(text_col: Column, k: int = 7, window: int = 4) -> Column:
     """
     @F.pandas_udf(T.LongType())
     def fp(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
+        # object-dtype output: NULL/empty text fingerprints to NULL
+        # (a 0 sentinel is a reachable hash value AND glues every
+        # degenerate doc into one shared "duplicate" cluster)
+        out: list = [None] * len(texts)
         pow_k = _FP_BASE ** np.arange(k, dtype=np.uint64)[::-1]
         for i, text in enumerate(texts):
             if not text:
@@ -167,7 +191,9 @@ def doc_fingerprint(text_col: Column, k: int = 7, window: int = 4) -> Column:
             if n <= 0:
                 # short text: hash the whole byte string as one gram
                 h = (b * _FP_BASE ** np.arange(len(b), dtype=np.uint64)[::-1]).sum()
-                out[i] = np.int64(h.astype(np.uint64) * _FP_BASE + np.uint64(len(b)))
+                out[i] = int(
+                    np.int64(h.astype(np.uint64) * _FP_BASE + np.uint64(len(b)))
+                )
                 continue
             grams = np.zeros(n, dtype=np.uint64)
             for j in range(k):
@@ -181,7 +207,7 @@ def doc_fingerprint(text_col: Column, k: int = 7, window: int = 4) -> Column:
                 minima = grams.min(keepdims=True)
             u = np.unique(minima)  # sorted distinct
             acc = (u * _FP_BASE ** np.arange(len(u), dtype=np.uint64)[::-1]).sum()
-            out[i] = np.int64(acc.astype(np.uint64))
-        return pd.Series(out)
+            out[i] = int(np.int64(acc.astype(np.uint64)))
+        return pd.Series(out, dtype="object")
 
     return fp(text_col)

@@ -35,6 +35,10 @@ def haversine_m(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Colum
         F.sin(dlat / 2) ** 2
         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlng / 2) ** 2
     )
+    # clamp: rounding can push a to 1+4e-16 for near-antipodal points,
+    # making sqrt(1-a) NaN — and a NaN distance PASSES every
+    # "distance > threshold" gate (Spark orders NaN above all doubles)
+    a = F.least(F.lit(1.0), a)
     return F.lit(2.0 * EARTH_RADIUS_M) * F.atan2(F.sqrt(a), F.sqrt(1 - a))
 
 
@@ -60,13 +64,15 @@ def register_sql_fns(spark) -> None:
 
 
 def haversine_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
-    """The same formula as an ANSI-SQL string (for oracles / spark.sql)."""
+    """The same formula as an ANSI-SQL string (for oracles / spark.sql),
+    including the same near-antipodal clamp as :func:`haversine_m`."""
+    h = (
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lng2}) - ({lng1})) / 2), 2)"
+    )
     return (
         f"2.0 * {EARTH_RADIUS_M} * atan2("
-        f"sqrt(pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
-        f" + cos(radians({lat1})) * cos(radians({lat2}))"
-        f" * pow(sin(radians(({lng2}) - ({lng1})) / 2), 2)), "
-        f"sqrt(1 - (pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
-        f" + cos(radians({lat1})) * cos(radians({lat2}))"
-        f" * pow(sin(radians(({lng2}) - ({lng1})) / 2), 2))))"
+        f"sqrt(least(1.0, {h})), "
+        f"sqrt(1 - least(1.0, {h})))"
     )

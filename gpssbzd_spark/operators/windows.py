@@ -105,7 +105,14 @@ def top_k_per_group(
 ) -> DataFrame:
     """Top-k rows per group via row_number (W3/O2), generalizing the
     reference's max-speed-point pick (``Standalone/Blind Zone
-    Detection.scala:105-109``)."""
+    Detection.scala:105-109``).
+
+    ``order_by`` MUST end in a unique tie-break key (an id column):
+    row_number over a tied ordering picks whichever row arrives first
+    in the partition, so the survivor changes across runs, task
+    retries, and AQE re-plans. Every in-repo caller passes one (e.g.
+    the blind-zone pick orders by speed DESC, ts, lng, lat).
+    """
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)

@@ -40,11 +40,13 @@ def run_to_memory_sink(
     """Drain all currently-available input through the streaming plan
     into an in-memory table and return it as a DataFrame.
 
-    ``trigger(availableNow=True)`` processes the backlog in bounded
-    micro-batches then stops — the canonical way to unit-test a
-    streaming plan and to run scheduled incremental jobs (the 100 TB
-    pattern: a cron'd availableNow run consumes only new files,
-    checkpoint carries state between runs).
+    TEST-SCALE ONLY: the memory sink collects every output row into the
+    driver. It exists here for parity tests and interactive inspection.
+    ``trigger(availableNow=True)`` itself IS the production pattern for
+    scheduled incremental jobs (a cron'd run consumes only new files,
+    checkpoint carries state between runs) — but production runs pair it
+    with a distributed sink (``.format("parquet")``/``foreachBatch``),
+    never this memory sink.
     """
     q = (
         df.writeStream.format("memory")

@@ -51,7 +51,19 @@ def _segmenter(gap_seconds: float):
         else:
             last_us, seg = None, 0
 
-        for pdf in pdfs:
+        # A key whose micro-batch data exceeds one Arrow batch arrives
+        # as MULTIPLE chunks in shuffle order — sorting each chunk
+        # independently while last_ts carries across them would compute
+        # garbage gaps. Concatenate first, sort once; state size is
+        # unchanged (still 3 scalars) and the per-key batch data was
+        # already resident for the group handoff.
+        chunks = [p for p in pdfs if len(p)]
+        if len(chunks) > 1:
+            merged: list[pd.DataFrame] = [pd.concat(chunks, ignore_index=True)]
+        else:
+            merged = chunks
+
+        for pdf in merged:
             pdf = pdf.sort_values("ts")
             # integer epoch-µs, not float seconds: time arithmetic stays
             # exact and matches SQL epoch_us() bit-for-bit

@@ -1,0 +1,117 @@
+"""Degenerate-input contracts surfaced by the round-2 adversarial
+review: NULL/empty/corrupt rows must degrade per-row (NULL out, drop,
+or mark far), never crash a job or silently score as best-quality /
+exact-duplicate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gpssbzd_spark.dataprep.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    sample_frames,
+)
+from gpssbzd_spark.dataprep.text import (
+    doc_fingerprint,
+    doc_fingerprint_native,
+    language_id,
+    quality_features,
+)
+from gpssbzd_spark.functions.geo import haversine_m, haversine_sql
+
+
+def test_haversine_never_nan_near_antipodes(spark):
+    """FP rounding can push the haversine term past 1.0; unclamped that
+    is sqrt(negative) = NaN, and NaN passes every 'distance > x' gate
+    because Spark orders NaN above all doubles."""
+    df = spark.createDataFrame(
+        [(68.4815987990918, -135.281891529838, -68.4815987984282, 44.7181084712934)],
+        "lat1 double, lng1 double, lat2 double, lng2 double",
+    )
+    d_native = df.select(
+        haversine_m(F.col("lat1"), F.col("lng1"), F.col("lat2"), F.col("lng2")).alias("d")
+    ).first()["d"]
+    d_sql = df.selectExpr(
+        f"{haversine_sql('lat1', 'lng1', 'lat2', 'lng2')} AS d"
+    ).first()["d"]
+    import math
+
+    assert math.isfinite(d_native), d_native
+    assert math.isfinite(d_sql), d_sql
+    assert d_native == pytest.approx(d_sql)
+    assert d_native == pytest.approx(2 * 6371000.0 * math.pi / 2, rel=0.01)
+
+
+def test_quality_features_empty_text_scores_worst_not_best(spark):
+    df = spark.createDataFrame(
+        [("", ), ("   ",), ("real words here",), (None,)], "text string"
+    )
+    feats = quality_features(F.col("text"))
+    out = {
+        r["text"]: r
+        for r in df.select("text", *[c.alias(n) for n, c in feats.items()]).collect()
+    }
+    assert out[""]["n_tokens"] == 0
+    assert out["   "]["n_tokens"] == 0
+    assert out[""]["type_token_ratio"] is None  # not a perfect 1.0
+    assert out["real words here"]["n_tokens"] == 3
+
+
+def test_language_id_null_text_is_null_not_und(spark):
+    df = spark.createDataFrame([(None,), ("xyzzy plugh",)], "text string")
+    got = [r["lang"] for r in df.select(language_id(F.col("text")).alias("lang")).collect()]
+    assert got[0] is None  # missing doc, not "undetermined language"
+    assert got[1] == "und"
+
+
+def test_fingerprints_null_empty_short_contract(spark):
+    """Both fingerprint twins: NULL/empty → NULL; short texts get
+    DISTINCT fingerprints per content (not one shared collapse value)."""
+    rows = [(None,), ("",), ("ab",), ("cd",), ("a longer realistic document body",)]
+    df = spark.createDataFrame(rows, "text string")
+    for fp_fn in (doc_fingerprint, doc_fingerprint_native):
+        got = [
+            r["fp"] for r in df.select(fp_fn(F.col("text")).alias("fp")).collect()
+        ]
+        assert got[0] is None, fp_fn.__name__
+        assert got[1] is None, fp_fn.__name__
+        assert got[2] is not None and got[3] is not None, fp_fn.__name__
+        assert got[2] != got[3], f"{fp_fn.__name__} collapsed short texts"
+        assert got[4] is not None, fp_fn.__name__
+
+
+def test_sample_frames_negative_duration_drops_row_not_job(spark):
+    rows = [
+        Row(media_id=1, content=None,
+            meta=Row(kind="video", mime="video/mp4", width=None, height=None,
+                     duration_ms=3000)),
+        Row(media_id=2, content=None,
+            meta=Row(kind="video", mime="video/mp4", width=None, height=None,
+                     duration_ms=-500)),  # corrupt: would crash sequence()
+        Row(media_id=3, content=None,
+            meta=Row(kind="video", mime="video/mp4", width=None, height=None,
+                     duration_ms=None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_frames(df, every_ms=1000).groupBy("media_id").count().collect()
+    counts = {r["media_id"]: r["count"] for r in got}
+    assert counts == {1: 4}  # 0,1000,2000,3000; corrupt + null rows drop
+
+
+def test_extract_features_tolerates_null_meta(spark):
+    rows = [
+        Row(media_id=1, content=b"abc",
+            meta=Row(kind="image", mime="image/png", width=4, height=4,
+                     duration_ms=None)),
+        Row(media_id=2, content=b"def", meta=None),  # schema-legal NULL struct
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(df, decode="fake").collect()}
+    assert len(out) == 2
+    assert out[1]["kind"] == "image"
+    assert out[2]["kind"] is None  # passed through, not crashed
+    assert out[2]["n_bytes"] == 3
