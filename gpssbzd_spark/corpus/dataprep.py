@@ -74,8 +74,12 @@ def dd_exact_dedup_survivors(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_computed,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                             '\\s+'))) END
                 AS BIGINT) AS n_unique_tokens
     FROM documents
     """,
@@ -87,11 +91,17 @@ def tx_token_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     toks_lower = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # split('') yields [''] — guard so empty/whitespace text counts 0
+    # tokens (same contract as dataprep.text.quality_features)
+    empty = F.length(F.trim("text")) == 0
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_computed"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks_lower)).cast("long").alias("n_unique_tokens"),
+        F.when(empty, 0).otherwise(F.size(toks)).cast("long").alias("n_tokens"),
+        F.when(empty, 0)
+        .otherwise(F.size(F.array_distinct(toks_lower)))
+        .cast("long")
+        .alias("n_unique_tokens"),
     )
 
 
@@ -349,8 +359,12 @@ def tx_fingerprint_groups(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                             '\\s+'))) END
                 AS BIGINT) AS n_unique_tokens,
            ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                  / NULLIF(length(text), 0), 4) AS alpha_ratio,
@@ -383,10 +397,14 @@ def tx_doc_features(spark, sf_dir):
     n = _F.length("text")
     alpha = _F.length(_F.regexp_replace("text", "[^a-zA-Z]", ""))
     punct = _F.length(_F.regexp_replace("text", "[^.!?,;:]", ""))
+    empty = _F.length(_F.trim("text")) == 0
     return d.select(
         "doc_id",
-        _F.size(toks).cast("long").alias("n_tokens"),
-        _F.size(_F.array_distinct(toks_lower)).cast("long").alias("n_unique_tokens"),
+        _F.when(empty, 0).otherwise(_F.size(toks)).cast("long").alias("n_tokens"),
+        _F.when(empty, 0)
+        .otherwise(_F.size(_F.array_distinct(toks_lower)))
+        .cast("long")
+        .alias("n_unique_tokens"),
         _F.round(alpha.cast("double") / _F.nullif(n, _F.lit(0)), 4).alias("alpha_ratio"),
         _F.round(punct.cast("double") / _F.nullif(n, _F.lit(0)), 4).alias("punct_ratio"),
         n.between(100, 20000).alias("len_ok"),
