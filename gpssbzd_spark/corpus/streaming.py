@@ -21,6 +21,7 @@ from gpssbzd_spark.corpus import query
 from gpssbzd_spark.sources.tables import load_table
 from gpssbzd_spark.streaming.stateful import streaming_gap_sessionize
 from gpssbzd_spark.streaming.windows import (
+    enrich_with_dim,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -134,6 +135,33 @@ def st_session_window(spark, sf_dir):
         keys=["user_id"],
         aggs=[F.count("*").alias("n_events")],
     ).select("user_id", "session_start", "session_end", "n_events")
+
+
+@query(
+    "st_enrich_dim",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment,
+           CAST(c.c_nationkey AS INTEGER) AS nationkey
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    note="stream-static enrichment join (events × customer dim, "
+    "broadcast) — the most common production streaming shape; the "
+    "builder runs identically on batch input (checked here against the "
+    "oracle) and streaming input (batch/stream parity in "
+    "tests/test_streaming.py)",
+    tier=1,
+)
+def st_enrich_dim(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return enrich_with_dim(ev, dim, on=["user_id"], how="left").select(
+        "event_id", "user_id", "event_type", "segment", "nationkey"
+    )
 
 
 @query(

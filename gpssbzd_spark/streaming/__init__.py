@@ -14,6 +14,7 @@ methodology, SURVEY.md §5).
 
 from gpssbzd_spark.streaming.windows import (
     dedup_within_watermark,
+    enrich_with_dim,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -27,6 +28,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_within_watermark",
+    "enrich_with_dim",
     "with_watermark",
     "read_parquet_stream",
     "run_to_memory_sink",

@@ -21,6 +21,32 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     return df.withWatermark(ts_col, delay) if df.isStreaming else df
 
 
+def enrich_with_dim(
+    df: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — attach dimension attributes to
+    an event stream (the most common production streaming shape:
+    events × user/device/product table).
+
+    Works identically on batch and streaming input: a stream-static
+    join is stateless (each micro-batch joins against the CURRENT
+    static table — Spark re-plans the static side per batch, so slowly
+    changing dims pick up updates between batches without restarts).
+    The dim side gets an explicit broadcast hint: a stream side can
+    never be re-sorted for a sort-merge join, and a shuffled-hash join
+    of every micro-batch against a large dim would rebuild the hash
+    relation per batch — broadcast-once is the 100 TB shape for any
+    dim that fits (for bigger dims, pre-bucket the static side).
+    Inner and left joins are the streaming-supported modes for a
+    stream-left join; right/full would need the stream on the
+    state-store side and are rejected by Spark itself.
+    """
+    return df.join(F.broadcast(dim), on=list(on), how=how)
+
+
 def _agged(grouped, aggs: Sequence[Column]) -> DataFrame:
     return grouped.agg(*aggs)
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from gpssbzd_spark.sources.tables import load_table
 from gpssbzd_spark.streaming import (
     dedup_within_watermark,
+    enrich_with_dim,
     read_parquet_stream,
     run_to_memory_sink,
     session_window_agg,
@@ -115,6 +116,27 @@ def test_streaming_dedup_within_watermark(spark, events_dir):
     n_unique = load_table(spark, SF, "events").count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_enrich_dim_batch_stream_parity(spark, events_dir):
+    """Stream-static join: the same enrich_with_dim call over the static
+    events table and over the 3-file stream must attach identical dim
+    attributes (the join is stateless, so parity holds per micro-batch)."""
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cols = ("event_id", "user_id", "segment")
+    batch = enrich_with_dim(
+        load_table(spark, SF, "events"), dim, on=["user_id"]
+    ).select(*cols)
+    stream = enrich_with_dim(
+        read_parquet_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=1),
+        dim,
+        on=["user_id"],
+    ).select(*cols)
+    got = _drain(stream, "enrich_dim_parity", "append")
+    assert _rows(got, *cols) == _rows(batch, *cols)
 
 
 def test_stateful_gap_sessionize_batch_stream_parity(spark, events_dir):
