@@ -153,6 +153,16 @@ def test_minhash_candidates_equi_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_enrich_dim_join_is_broadcast(spark):
+    """Stream-static enrichment must broadcast the dim side — a
+    sort-merge plan here would be impossible on a real stream (the
+    stream side can't re-sort) and a shuffled-hash one would rebuild
+    the relation every micro-batch."""
+    plan = final_plan(q(spark, "st_enrich_dim"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_streaming_twin_windows_partial_agg(spark):
     """Tumbling-window agg: map-side partial aggregation around one
     exchange, exactly like any groupBy — the window expression must not
