@@ -55,7 +55,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
 
     from gpssbzd_spark import corpus, get_session
 
@@ -84,6 +87,11 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop caches OUTSIDE the timed section: several queries persist
+        # reused intermediates, and without this the later queries run
+        # under the accumulated memory pressure of every earlier one —
+        # per-query numbers would depend on HEADLINE ordering
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

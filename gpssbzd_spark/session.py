@@ -53,6 +53,18 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing only merges DOWN from the initial partition
+        # count — it never raises it — so the initial count, not
+        # shuffle.partitions, is what must scale with the cluster:
+        # start wide and let AQE shrink to fit. 8× cores locally;
+        # override with SPARK_GRAFT_INITIAL_PARTITIONS on a real
+        # cluster (rule of thumb: ≥ 2-3× total cluster cores).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions * 8)
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

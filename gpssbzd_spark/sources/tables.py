@@ -46,10 +46,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TimestampType with exact integer division.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # scope the legacy flag to THIS read: left set globally, any
+        # other nanos-timestamp parquet in the session would silently
+        # come back as a bigint (with no conversion) instead of failing
+        # loudly — a confusing type mismatch far from the cause
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
