@@ -197,6 +197,7 @@ from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
     embedding_lsh_pairs,
     minhash_dedup_pairs,
     simhash64,
+    simhash_near_pairs,
     hamming64,
 )
 from gpssbzd_spark.dataprep.multimodal import (  # noqa: E402
@@ -238,6 +239,23 @@ def dd_simhash_buckets(spark, sf_dir):
         d.withColumn("simhash", simhash64(_F.col("text")))
         .groupBy("simhash")
         .agg(_F.count("*").alias("n_docs"), _F.min("doc_id").alias("canonical"))
+    )
+
+
+@query(
+    "dd_simhash_near_pairs",
+    oracle=None,
+    note="SimHash near-dup PAIRS at hamming ≤ 3 via the pigeonhole "
+    "banded join (4 × 16-bit blocks; any ≤3-bit-flip pair agrees on "
+    "some block) — candidates from 4 equi-joins, exact bit_count(xor) "
+    "verify, precision 1.0 by construction. Rows-only (simhash is "
+    "engine-hashed); band-completeness pinned in pytest",
+    tier=1,
+)
+def dd_simhash_near_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        d, id_col="doc_id", text_col="text", max_hamming=3, bands=4
     )
 
 

@@ -568,3 +568,61 @@ def simhash64(text_col: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes (native bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a, id_b, hamming) for every
+    pair whose 64-bit simhashes differ in ≤ ``max_hamming`` bits.
+
+    The pigeonhole construction (Manku/Jain/Sarma, WWW'07 shape): split
+    the fingerprint into ``bands`` contiguous bit blocks — any pair
+    within ``max_hamming < bands`` bit flips must agree EXACTLY on at
+    least one block — so candidates come from ``bands`` equi-joins on
+    (block_id, block_value) instead of an O(n²) comparison, and the
+    exact ``bit_count(xor)`` verify keeps precision at 1.0. Everything
+    after the one simhash kernel is native: block extraction is
+    shiftright/mask arithmetic, the join is the only shuffle (keyed,
+    balanced unless a block value is degenerate — e.g. many empty docs
+    sharing simhash 0), dedup + verify are codegen'd.
+    """
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sh"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftrightunsigned("_sh", i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sh.select(
+        F.col(id_col), F.col("_sh"), F.explode(blocks).alias("_b")
+    ).select(
+        id_col, "_sh", F.col("_b.block").alias("block"), F.col("_b.val").alias("val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), "block", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), "block", "val"
+    )
+    return (
+        a.join(b, ["block", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", hamming64(F.col("_sh_a"), F.col("_sh_b")).alias("hamming")
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

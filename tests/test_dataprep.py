@@ -22,6 +22,7 @@ from gpssbzd_spark.dataprep.dedup import (
     hamming64,
     minhash_dedup_pairs,
     simhash64,
+    simhash_near_pairs,
 )
 from gpssbzd_spark.dataprep.multimodal import (
     extract_features,
@@ -188,6 +189,32 @@ def test_simhash_similar_texts_close_in_hamming(spark):
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
+
+
+def test_simhash_near_pairs_complete_vs_brute_force(spark):
+    """The pigeonhole banded join must find EXACTLY the pairs a brute
+    all-pairs hamming comparison finds at the same threshold (recall
+    AND precision 1.0 — the banding is a complete cover for
+    max_hamming < bands, not an approximation)."""
+    d = load_table(spark, SF, "documents").limit(120)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(
+            d, max_hamming=3, bands=4
+        ).collect()
+    }
+    sh = d.select(F.col("doc_id"), simhash64(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    brute = {
+        (r.id_a, r.id_b): r.h
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == brute
 
 
 def test_brute_force_topk_self_is_rank_one(spark):
