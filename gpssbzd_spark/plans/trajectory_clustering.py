@@ -392,10 +392,19 @@ def cluster_trajectories(
       collect of data, no hand-built partition map. AQE's skew-join
       splitting cannot help here (a pandas group is atomic), which is
       why the routing is explicit (SURVEY.md §4).
-    - ``"pairs"``: force the distributed path for every line.
+    - ``"pairs"``: force the distributed pair/matrix path for every
+      line (raises past ``max_group_pairs`` — the matrix is atomic).
     - ``"local"``: force the partition-local path for every line.
+    - ``"components"``: force the distributed eps-graph path (exact
+      DBSCAN via core-degree + connected components, no matrix — see
+      ``plans/components.py``) for every line. No size limit.
+
+    ``max_group_pairs`` is the per-line matrix budget: in auto mode a
+    line whose pair count exceeds it routes to the components path
+    (r2 raised here — the wall is gone); in forced pairs mode the
+    in-UDF fail-fast remains as the backstop.
     """
-    assert mode in ("auto", "pairs", "local")
+    assert mode in ("auto", "pairs", "local", "components")
     params = _params_lookup(line_params)
 
     traj = assemble_trajectories(patterns)
@@ -416,32 +425,46 @@ def cluster_trajectories(
         labels = _cluster_via_pairs(traj, params, corrected, max_group_pairs)
     elif mode == "local":
         labels = _cluster_local(traj, params, corrected)
+    elif mode == "components":
+        from gpssbzd_spark.plans.components import dbscan_distributed
+
+        labels = dbscan_distributed(traj, params, corrected)
     else:
         sizes = traj.groupBy("linenumber").agg(F.count("*").alias("_n_traj"))
         traj_sized = traj.join(F.broadcast(sizes), "linenumber")
-        small = traj_sized.filter(F.col("_n_traj") <= local_threshold).drop("_n_traj")
-        big = traj_sized.filter(F.col("_n_traj") > local_threshold).drop("_n_traj")
+        n = F.col("_n_traj")
+        fits_matrix = n * (n - 1) / 2 <= F.lit(float(max_group_pairs))
+        small = traj_sized.filter(n <= local_threshold).drop("_n_traj")
+        mid = traj_sized.filter((n > local_threshold) & fits_matrix).drop("_n_traj")
+        huge = traj_sized.filter((n > local_threshold) & ~fits_matrix).drop("_n_traj")
         labels = _cluster_local(small, params, corrected).unionByName(
-            _cluster_via_pairs(big, params, corrected, max_group_pairs)
+            _cluster_via_pairs(mid, params, corrected, max_group_pairs)
         )
+        # the eps-graph path runs its component loop EAGERLY at plan-
+        # construction time; probe first (one cheap count on the
+        # persisted traj) so the common no-oversized-line case stays
+        # a single lazy plan
+        if huge.limit(1).count() > 0:
+            from gpssbzd_spark.plans.components import dbscan_distributed
+
+            labels = labels.unionByName(dbscan_distributed(huge, params, corrected))
 
     # all three keys: joining on (id, patternID) alone — the reference's
     # PTC:326 shape — duplicates rows when two lines share a vehicle+counter
     return patterns.join(labels, on=["linenumber", "id", "patternID"], how="left")
 
 
-def _cluster_via_pairs(
-    traj: DataFrame,
-    params: dict[str, tuple[float, int]],
-    corrected: bool,
-    max_group_pairs: int,
-) -> DataFrame:
-    traj = traj.withColumn("traj_id", F.concat_ws("_", "id", "patternID"))
+def pair_distances(traj: DataFrame, corrected: bool = False) -> DataFrame:
+    """Unordered per-line trajectory pairs with their TRACLUS distance.
 
-    # the distance needs only the 5 per-trajectory scalars (endpoints +
-    # length) and the validity flag — the pair join ships ~48 bytes per
-    # side instead of the full point arrays, and the distance itself is
-    # whole-stage-codegen arithmetic (see native_pair_distance)
+    The distance needs only the 5 per-trajectory scalars (endpoints +
+    length) and the validity flag — the pair join ships ~48 bytes per
+    side instead of the full point arrays, and the distance itself is
+    whole-stage-codegen arithmetic (see :func:`native_pair_distance`).
+    Shared by the matrix-assembling pairs mode and the distributed
+    eps-graph mode (``plans/components.py``).
+    """
+    traj = traj.withColumn("traj_id", F.concat_ws("_", "id", "patternID"))
     scalars = ["x0", "y0", "x1", "y1", "len_km", "bad_pts"]
     left = traj.select(
         "linenumber",
@@ -465,7 +488,7 @@ def _cluster_via_pairs(
         corrected=corrected,
         extra_bad=F.col("bad_pts_1") | F.col("bad_pts_2"),
     )
-    distances = pairs.select(
+    return pairs.select(
         "linenumber",
         "id_1",
         "patternID_1",
@@ -473,6 +496,15 @@ def _cluster_via_pairs(
         "patternID_2",
         dist_col.alias("distance"),
     )
+
+
+def _cluster_via_pairs(
+    traj: DataFrame,
+    params: dict[str, tuple[float, int]],
+    corrected: bool,
+    max_group_pairs: int,
+) -> DataFrame:
+    distances = pair_distances(traj, corrected)
 
     def run_dbscan(pdf: pd.DataFrame) -> pd.DataFrame:
         line = pdf["linenumber"].iloc[0]
