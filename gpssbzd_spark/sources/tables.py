@@ -37,33 +37,63 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; column pruning/pushdown happen at the scan.
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for one read, restoring the prior value after.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) on disk, which Spark's parquet
-    reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as epoch-nanos long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
-    microsecond TimestampType with exact integer division.
+    Left set globally, these reader flags would silently change how every
+    OTHER parquet in the session is decoded — a confusing type mismatch
+    far from the cause — so every use is scoped to a single scan.
     """
-    if name == "events":
-        # scope the legacy flag to THIS read: left set globally, any
-        # other nanos-timestamp parquet in the session would silently
-        # come back as a bigint (with no conversion) instead of failing
-        # loudly — a confusing type mismatch far from the cause
-        key = "spark.sql.legacy.parquet.nanosAsLong"
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
         prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
+        spark.conf.set(key, value)
         try:
-            df = spark.read.parquet(table_path(sf_dir, name))
-            if dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            yield
         finally:
             if prev is None:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+
+    return _cm()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; column pruning/pushdown happen at the scan.
+
+    Timestamp normalization: every timestamp column comes out as
+    TimestampType (LTZ), never TIMESTAMP_NTZ, whatever the parquet
+    physical type is. The fixtures have shipped both INT64
+    TIMESTAMP(NANOS) (rejected by the reader without
+    ``nanosAsLong``) and plain ``timestamp[us]`` with
+    isAdjustedToUTC=false (inferred as TIMESTAMP_NTZ, which
+    ``unix_millis``/``unix_micros`` and interval arithmetic reject).
+    Disabling ``inferTimestampNTZ`` AT THE SCAN makes the reader emit
+    LTZ directly — unlike a post-hoc ``cast``, this keeps timestamp
+    predicates pushdown-eligible. Engine sessions pin the session
+    timezone to UTC (conf.py) so LTZ values equal the naive values an
+    ANSI oracle (DuckDB) computes on the same files.
+    """
+    # (tz pin lives in session.py:70; the driver's session is UTC too —
+    # its recorded plans show unix_timestamp(..., Some(UTC)).)
+    with _scoped_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false"):
+        if name == "events":
+            with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+                df = spark.read.parquet(table_path(sf_dir, name))
+                if dict(df.dtypes).get("ts") == "bigint":
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            df = spark.read.parquet(table_path(sf_dir, name))
+    # Safety net: if a future Spark ignores the flag for some physical
+    # type, normalize loudly-typed NTZ columns here (costs pushdown on
+    # those columns only, never wrong results).
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
 
 
 def load_tables(
