@@ -1025,6 +1025,7 @@ _HAVERSINE_ORACLE = haversine_sql(
     """,
     note="F3: native-column haversine (no UDF, codegen-able) — same formula "
     "as the reference's fastHaversine UDF (PPE:56-65), R=6371000 m",
+    tier=2,
 )
 def f3_haversine_native(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -1049,6 +1050,7 @@ def f3_haversine_native(spark, sf_dir):
     "(Parallel/Pattern Extraction.scala:56-65, called at :103,111); here "
     "it is a CREATE TEMPORARY FUNCTION SQL scalar function that Catalyst "
     "inlines into codegen, called via expr() in both select and filter",
+    tier=2,
 )
 def f3b_haversine_sql_registered(spark, sf_dir):
     register_sql_fns(spark)
@@ -1060,6 +1062,41 @@ def f3b_haversine_sql_registered(spark, sf_dir):
     return (
         c.filter(F.expr(f"{call} < 8000"))
         .select("c_custkey", F.expr(f"ROUND({call}, 2)").alias("dist_m"))
+    )
+
+
+@query(
+    "f3_haversine_native_and_sql",
+    oracle=f"""
+    SELECT c_custkey,
+           ROUND({_HAVERSINE_ORACLE}, 2) AS dist_m,
+           ROUND({_HAVERSINE_ORACLE}, 2) AS dist_m_sql
+    FROM customer
+    WHERE {_HAVERSINE_ORACLE} < 8000
+    """,
+    note="F3+U2 merged driver row: the native-column haversine and the "
+    "SQL-registered fast_haversine (CREATE TEMPORARY FUNCTION, inlined by "
+    "Catalyst into the same codegen) side by side on each row, with the "
+    "registered form also driving the filter — one CORRECTNESS row "
+    "covering both function surfaces (frees a driver-window slot; the "
+    "single-surface originals remain tier-2/pytest)",
+)
+def f3_haversine_native_and_sql(spark, sf_dir):
+    register_sql_fns(spark)
+    c = _t(spark, sf_dir, "customer")
+    lat1 = F.lit(22.5) + (F.col("c_custkey") % 100) * 0.001
+    lng1 = F.lit(113.8) + (F.col("c_nationkey") % 50) * 0.002
+    call = (
+        "fast_haversine(22.5 + (c_custkey % 100) * 0.001, "
+        "113.8 + (c_nationkey % 50) * 0.002, 22.5, 113.8)"
+    )
+    return (
+        c.filter(F.expr(f"{call} < 8000"))
+        .select(
+            "c_custkey",
+            F.round(haversine_m(lat1, lng1, F.lit(22.5), F.lit(113.8)), 2).alias("dist_m"),
+            F.expr(f"ROUND({call}, 2)").alias("dist_m_sql"),
+        )
     )
 
 

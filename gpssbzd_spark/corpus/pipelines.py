@@ -3,12 +3,14 @@
 The GPS pipelines' native inputs (pings, bus_line) aren't among the
 driver's fixture tables, so each entry derives a deterministic
 GPS-shaped table from ``events`` first, then runs the real pipeline
-code. Two of the three composites carry complete ANSI-SQL oracles: the
-blind-zone cascade (qualification → speed → 0.5/0.75/1.0 escalation)
-and pattern extraction (prepare + the full bound-fill cascade, also
-pinned by pytest goldens on the reference's own sample data);
-trajectory clustering is rows-only (DBSCAN is not SQL-expressible —
-structural checks live in pytest).
+code. All three composites carry complete ANSI-SQL oracles: the
+blind-zone cascade (qualification → speed → 0.5/0.75/1.0 escalation),
+pattern extraction (prepare + the full bound-fill cascade, also pinned
+by pytest goldens on the reference's own sample data), and trajectory
+clustering via the eps-graph components path (min_samples=2 ⇒ DBSCAN ==
+connected components, recursive-CTE oracle); the general-min_samples
+pandas-UDF DBSCAN composite stays rows-only (structural checks in
+pytest).
 """
 
 from __future__ import annotations
@@ -433,6 +435,202 @@ def pe_pipeline_segments(spark, sf_dir):
         "direction",
         "position",
         "patternID",
+    )
+
+
+# --- tc_pipeline_components oracle ---------------------------------------
+# The eps-graph labeling is fully ANSI-SQL: per-trajectory scalars
+# (endpoints in (ts,lng,lat) order + polyline great-circle length) feed
+# the TRACLUS pair distance as plain arithmetic (mirroring
+# plans/trajectory_clustering.py:native_pair_distance term by term),
+# min_samples=2 makes every non-isolated node core (DBSCAN == connected
+# components of the eps-graph), the components come from a recursive CTE
+# (min-label transitive closure over symmetrized edges), and the cluster
+# NUMBERS reproduce dbscan_distributed's dense_rank-of-min-core-key
+# ordering (chr(31) is the same below-printable key separator as
+# plans/components.py). The synthetic geometry keeps every pair either
+# ~0.03 km (same group) or >100 km (different group / isolated) from
+# eps=5 km, so cross-engine float drift in sin/cos/asin cannot flip an
+# edge, and the output is integers/strings only — hash-stable.
+_TC_COMPONENTS_SQL = """
+WITH RECURSIVE pat AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS id,
+         CAST(user_id % 5 AS VARCHAR) AS linenumber,
+         CAST(event_id % 5 AS VARCHAR) AS patternID,
+         (user_id % 20) * 5 + (event_id % 5) AS tkey,
+         event_id, ts
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+), pts AS (
+  SELECT linenumber, id, patternID, ts,
+         114.0 + (CASE WHEN tkey % 7 = 0 THEN 30.0 + tkey * 1.0
+                       ELSE (tkey % 3) * 1.0 END)
+               + ((event_id % 97) / 97.0) * 1e-4 AS lng,
+         22.6 + (CASE WHEN tkey % 7 = 0 THEN 0.0
+                      ELSE (tkey % 3) * 1.0 END)
+              + ((event_id % 89) / 89.0) * 1e-4 AS lat
+  FROM pat
+), seg AS (
+  SELECT linenumber, id, patternID, ts, lng, lat,
+         lead(lng) OVER w AS nlng, lead(lat) OVER w AS nlat
+  FROM pts
+  WINDOW w AS (PARTITION BY linenumber, id, patternID ORDER BY ts, lng, lat)
+), traj AS (
+  SELECT linenumber, id, patternID,
+         id || '_' || patternID AS tid,
+         first(lng ORDER BY ts, lng, lat) AS x0,
+         first(lat ORDER BY ts, lng, lat) AS y0,
+         last(lng ORDER BY ts, lng, lat) AS x1,
+         last(lat ORDER BY ts, lng, lat) AS y1,
+         SUM(CASE WHEN nlng IS NULL THEN 0.0 ELSE
+           2 * 6371.009 * asin(least(1.0, sqrt(
+             pow(sin(radians(nlat - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(nlat))
+               * pow(sin(radians(nlng - lng) / 2), 2)))) END) AS len_km
+  FROM seg
+  GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.linenumber,
+         a.id AS id_1, a.patternID AS p_1, b.id AS id_2, b.patternID AS p_2,
+         a.x0 AS ax0, a.y0 AS ay0, a.x1 AS ax1, a.y1 AS ay1, a.len_km AS len1,
+         b.x0 AS bx0, b.y0 AS by0, b.x1 AS bx1, b.y1 AS by1, b.len_km AS len2
+  FROM traj a JOIN traj b
+    ON a.linenumber = b.linenumber AND a.tid < b.tid
+), geo AS (
+  SELECT *,
+         (bx1 - bx0) AS vx, (by1 - by0) AS vy,
+         (abs(bx1 - bx0) <= 1e-8 + 1e-5 * abs(bx1)
+          AND abs(by1 - by0) <= 1e-8 + 1e-5 * abs(by1)) AS ident,
+         (ax1 - ax0) AS ux, (ay1 - ay0) AS uy
+  FROM pairs
+), proj AS (
+  SELECT *,
+         (vx * vx + vy * vy) AS vv,
+         CASE WHEN ident THEN bx0 ELSE bx0 + greatest(0.0, least(1.0,
+           ((ax0 - bx0) * vx + (ay0 - by0) * vy) / (vx * vx + vy * vy))) * vx END AS q1x,
+         CASE WHEN ident THEN by0 ELSE by0 + greatest(0.0, least(1.0,
+           ((ax0 - bx0) * vx + (ay0 - by0) * vy) / (vx * vx + vy * vy))) * vy END AS q1y,
+         CASE WHEN ident THEN bx0 ELSE bx0 + greatest(0.0, least(1.0,
+           ((ax1 - bx0) * vx + (ay1 - by0) * vy) / (vx * vx + vy * vy))) * vx END AS q2x,
+         CASE WHEN ident THEN by0 ELSE by0 + greatest(0.0, least(1.0,
+           ((ax1 - bx0) * vx + (ay1 - by0) * vy) / (vx * vx + vy * vy))) * vy END AS q2y
+  FROM geo
+), dist AS (
+  SELECT linenumber, id_1, p_1, id_2, p_2,
+    (2 * 6371.009 * asin(least(1.0, sqrt(
+       pow(sin(radians(q1y - ay0) / 2), 2)
+       + cos(radians(ay0)) * cos(radians(q1y)) * pow(sin(radians(q1x - ax0) / 2), 2))))
+     + 2 * 6371.009 * asin(least(1.0, sqrt(
+       pow(sin(radians(q2y - ay1) / 2), 2)
+       + cos(radians(ay1)) * cos(radians(q2y)) * pow(sin(radians(q2x - ax1) / 2), 2)))))
+    + (CASE
+         WHEN (CASE WHEN (abs(ux) <= 1e-8 AND abs(uy) <= 1e-8)
+                      OR (abs(vx) <= 1e-8 AND abs(vy) <= 1e-8)
+               THEN 90.0
+               ELSE degrees(acos(greatest(-1.0, least(1.0,
+                      (ux * vx + uy * vy)
+                      / (sqrt(ux * ux + uy * uy) * sqrt(vv)))))) END) = 0.0
+           THEN 0.0
+         WHEN (CASE WHEN (abs(ux) <= 1e-8 AND abs(uy) <= 1e-8)
+                      OR (abs(vx) <= 1e-8 AND abs(vy) <= 1e-8)
+               THEN 90.0
+               ELSE degrees(acos(greatest(-1.0, least(1.0,
+                      (ux * vx + uy * vy)
+                      / (sqrt(ux * ux + uy * uy) * sqrt(vv)))))) END) > 90.0
+           THEN greatest(len1, len2)
+         ELSE least(len1, len2) * sin(radians(
+                CASE WHEN (abs(ux) <= 1e-8 AND abs(uy) <= 1e-8)
+                       OR (abs(vx) <= 1e-8 AND abs(vy) <= 1e-8)
+                THEN 90.0
+                ELSE degrees(acos(greatest(-1.0, least(1.0,
+                       (ux * vx + uy * vy)
+                       / (sqrt(ux * ux + uy * uy) * sqrt(vv)))))) END))
+       END) AS distance
+  FROM proj
+), nodes AS (
+  SELECT linenumber, id, patternID,
+         linenumber || chr(31) || id || chr(31) || patternID AS node
+  FROM traj
+), eedges AS (
+  SELECT linenumber || chr(31) || id_1 || chr(31) || p_1 AS src,
+         linenumber || chr(31) || id_2 || chr(31) || p_2 AS dst
+  FROM dist WHERE distance <= 5.0
+), sym AS (
+  SELECT src, dst FROM eedges UNION SELECT dst, src FROM eedges
+), reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT s.dst AS node, r.label FROM reach r JOIN sym s ON r.node = s.src
+), comp AS (
+  SELECT node, min(label) AS comp_label FROM reach GROUP BY node
+), csize AS (
+  SELECT comp_label, count(*) AS n FROM comp GROUP BY comp_label
+), labeled AS (
+  SELECT n.linenumber, n.id, n.patternID, c.comp_label, s.n
+  FROM nodes n JOIN comp c USING (node) JOIN csize s USING (comp_label)
+), clusters AS (
+  SELECT comp_label, linenumber,
+         CAST(dense_rank() OVER (PARTITION BY linenumber ORDER BY comp_label)
+              - 1 AS INTEGER) AS cluster
+  FROM (SELECT DISTINCT comp_label, linenumber FROM labeled WHERE n >= 2) d
+)
+SELECT l.linenumber, l.id, l.patternID,
+       CASE WHEN l.n = 1 THEN -1 ELSE c.cluster END AS cluster
+FROM labeled l LEFT JOIN clusters c
+  ON l.comp_label = c.comp_label AND l.linenumber = c.linenumber
+"""
+
+
+@query(
+    "tc_pipeline_components",
+    oracle=_TC_COMPONENTS_SQL,
+    note="stage-2 trajectory clustering via the distributed eps-graph "
+    "path, FULL-oracled: assemble → native pair distance → eps-edges → "
+    "hash-min connected components → dense-rank numbering "
+    "(plans/components.py). min_samples=2 makes DBSCAN exactly the "
+    "connected components of the eps-graph (Ester et al. Lemma 1/2), "
+    "which DuckDB expresses as a recursive CTE; the synthetic geometry "
+    "separates clusters ~100 km with eps=5 km so cross-engine float "
+    "drift cannot flip an edge. Reference parity: Parallel/Trajectory "
+    "Clustering.py:148-330 (same labels, no per-line matrix, no size "
+    "wall)",
+)
+def tc_pipeline_components(spark, sf_dir, mode: str = "components"):
+    # `mode` is test-surface only (tests/test_components.py re-runs the
+    # identical geometry through the matrix path to pin cross-mode parity);
+    # the driver always gets the default eps-graph path.
+    patterns = _tc_components_patterns(spark, sf_dir)
+    params = spark.createDataFrame(
+        [(str(i), 5.0, 2) for i in range(5)],
+        "linenumber string, eps float, min_samples int",
+    )
+    out = cluster_trajectories(patterns, params, mode=mode)
+    return out.select("linenumber", "id", "patternID", "cluster").distinct()
+
+
+def _tc_components_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → the well-separated trajectory geometry the components
+    oracle assumes: per-trajectory key tkey picks a group (0/1/2, ~100 km
+    apart) or an isolated far-away site (tkey%7==0), with ~10 m jitter
+    inside a group — every pair distance is either ≪ eps or ≫ eps."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    tkey = (F.col("user_id") % 20) * 5 + (F.col("event_id") % 5)
+    isolated = (tkey % 7) == 0
+    base_lng = F.when(isolated, F.lit(30.0) + tkey * F.lit(1.0)).otherwise(
+        (tkey % 3) * F.lit(1.0)
+    )
+    base_lat = F.when(isolated, F.lit(0.0)).otherwise((tkey % 3) * F.lit(1.0))
+    return ev.select(
+        (F.col("user_id") % 20).cast("string").alias("id"),
+        (F.col("user_id") % 5).cast("string").alias("linenumber"),
+        (F.col("event_id") % 5).cast("string").alias("patternID"),
+        (F.lit(114.0) + base_lng + ((F.col("event_id") % 97) / 97.0) * 1e-4).alias("lng"),
+        (F.lit(22.6) + base_lat + ((F.col("event_id") % 89) / 89.0) * 1e-4).alias("lat"),
+        F.col("ts"),
     )
 
 

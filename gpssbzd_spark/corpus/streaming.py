@@ -150,7 +150,6 @@ def st_session_window(spark, sf_dir):
     "builder runs identically on batch input (checked here against the "
     "oracle) and streaming input (batch/stream parity in "
     "tests/test_streaming.py)",
-    tier=1,
 )
 def st_enrich_dim(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")

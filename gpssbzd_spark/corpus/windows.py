@@ -106,6 +106,7 @@ def w3_topk_per_group(spark, sf_dir):
     """,
     note="W4: forward fill = last(ignorenulls) over unboundedPreceding..current "
     "(PPE:117-122 filled_direction)",
+    tier=2,
 )
 def w4_forward_fill(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -126,12 +127,45 @@ def w4_forward_fill(spark, sf_dir):
     """,
     note="W5: strict next-non-null = first(ignorenulls) over 1..following "
     "(PPE:217-228 pattern bound fill)",
+    tier=2,
 )
 def w5_backward_fill(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     v = F.when(F.col("value") >= 5.0, F.col("value"))
     nxt = backward_fill(v, partition_by=["user_id"], order_by=["event_id"], skip_current=True)
     return ev.select("event_id", F.round(nxt, 2).alias("next_big"))
+
+
+@query(
+    "w45_bidirectional_fill",
+    oracle="""
+    SELECT event_id,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_ffill,
+           ROUND(first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 2) AS next_big
+    FROM (SELECT event_id, user_id, CASE WHEN value >= 5.0 THEN value END AS v
+          FROM events)
+    """,
+    note="W4+W5 merged driver row: forward fill (last ignorenulls, "
+    "unboundedPreceding..current) and strict backward fill (first "
+    "ignorenulls, 1..unboundedFollowing) over one pass — both fills share "
+    "the (user_id × event_id) sort so Catalyst plans a single Window "
+    "node (frees a driver-window slot; the single-direction originals "
+    "remain tier-2/pytest)",
+)
+def w45_bidirectional_fill(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") >= 5.0, F.col("value"))
+    filled = forward_fill(v, partition_by=["user_id"], order_by=["event_id"])
+    nxt = backward_fill(v, partition_by=["user_id"], order_by=["event_id"], skip_current=True)
+    return ev.select(
+        "event_id",
+        F.round(filled, 2).alias("value_ffill"),
+        F.round(nxt, 2).alias("next_big"),
+    )
 
 
 @query(

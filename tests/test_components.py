@@ -178,3 +178,19 @@ def test_dbscan_distributed_min_samples_one_singletons(spark):
     assert got == {("v1", 0), ("v2", 1)}
     ref = _labels(cluster_trajectories(patterns, params, mode="local"))
     assert ref[("L", "v1", "1")] == 0 and ref[("L", "v2", "1")] == 1
+
+
+def test_corpus_components_query_cross_mode_parity(spark):
+    """The driver-facing tc_pipeline_components geometry produces the
+    SAME labels through the eps-graph path and the matrix path — the
+    oracle parity (vs DuckDB) plus this pin means all three labeling
+    implementations agree on the corpus geometry."""
+    from gpssbzd_spark.corpus.pipelines import tc_pipeline_components
+
+    sf = "/root/testdata/sf0.001"
+    a = _labels(tc_pipeline_components(spark, sf, mode="components"))
+    b = _labels(tc_pipeline_components(spark, sf, mode="local"))
+    assert a == b and len(a) > 0
+    # non-vacuous: at least one real cluster and at least one noise point
+    assert any(v == -1 for v in a.values())
+    assert any(v is not None and v >= 0 for v in a.values())

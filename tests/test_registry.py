@@ -41,14 +41,18 @@ def test_driver_window_covers_every_family():
         assert has(j), f"join family {j} fell out of the driver window"
     for a in ["a2", "a4", "a5", "a7", "a8"]:
         assert has(a), f"aggregate family {a} fell out of the driver window"
-    for f in ["f1", "f2", "f3", "f3b", "f5"]:
+    for f in ["f1", "f2", "f3", "f5"]:
         assert has(f), f"function family {f} fell out of the driver window"
-    # the whole window-function family W1-W8 (r01's biggest gap)
-    for w in ["w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8"]:
+    # F3+U2 share one merged row covering both haversine surfaces
+    assert has("f3_haversine_native_and_sql"), "merged F3/U2 row fell out"
+    # the whole window-function family W1-W8 (r01's biggest gap);
+    # W4+W5 share the merged bidirectional-fill row
+    for w in ["w1", "w2", "w3", "w45", "w6", "w7", "w8"]:
         assert has(w), f"window family {w} fell out of the driver window"
-    # streaming, pipelines, dataprep, similarity, multimodal
-    assert sum(n.startswith("st_") for n in names) == 4
-    for p in ["bz_pipeline", "pe_pipeline", "tc_pipeline"]:
+    # streaming (4 window/stateful shapes + the stream-static enrich join),
+    # pipelines, dataprep, similarity, multimodal
+    assert sum(n.startswith("st_") for n in names) == 5
+    for p in ["bz_pipeline", "pe_pipeline", "tc_pipeline_dbscan", "tc_pipeline_components"]:
         assert has(p), f"pipeline composite {p} fell out"
     for d in [
         "dd_exact",
