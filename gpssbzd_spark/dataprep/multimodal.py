@@ -1,19 +1,31 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata structs.
 
-The decode libraries (Pillow, ffmpeg, torchaudio, …) are NOT in this
-environment, so the decode kernels are STUBS — ``decode=fake`` produces
-deterministic pseudo-features from the bytes (so partitioning, schema,
-UDF signatures and batch shapes are real and tested end-to-end), and
-``decode=real`` raises ``NotImplementedError`` with the dependency it
-needs. The Spark-side plumbing — ``mapInPandas`` batch iteration, Arrow
+Decode kernels come in three flavors, selected by ``decode=``:
+
+- ``"fake"`` — deterministic pseudo-kernels derived from the bytes
+  (sha256-folded features, seeded thumbnail bytes), so partitioning,
+  schema, UDF signatures and Arrow batch shapes are real and tested
+  end-to-end with zero native dependencies;
+- ``"real"`` — Pillow-backed image decode/resize, IMPORT-GUARDED: the
+  import is attempted lazily inside the executor-side kernel, and a
+  missing Pillow raises ``NotImplementedError`` naming the dependency
+  (this container ships no Pillow/ffmpeg — the real path is exercised
+  by tests/test_dataprep.py only where PIL imports, and the stub
+  contract is asserted where it doesn't);
+- ``"auto"`` — ``real`` when Pillow is importable on the driver, else
+  ``fake``.
+
+The Spark-side plumbing — ``mapInPandas`` batch iteration, Arrow
 transfer of binary columns, metadata struct schemas, partition-count
-invariance — is the part this engine owns and tests.
+invariance — is the part this engine owns and tests everywhere.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib.util
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -21,6 +33,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _pil_available() -> bool:
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _resolve_decode(decode: str, feature: str) -> str:
+    """``auto`` → real iff Pillow importable; validate the flag."""
+    assert decode in ("fake", "real", "auto"), decode
+    if decode == "auto":
+        return "real" if _pil_available() else "fake"
+    if decode == "real" and not _pil_available():
+        raise NotImplementedError(
+            f"real {feature} needs Pillow (pip install Pillow); not "
+            "available in this environment — decode='fake' runs the same "
+            "plumbing with a deterministic stub kernel, decode='auto' "
+            "falls back automatically"
+        )
+    return decode
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -85,20 +116,46 @@ def _fake_features(content: bytes) -> list[float]:
     return (arr / np.float64(2**32)).tolist()
 
 
+def _real_features(content: bytes | None) -> list[float]:
+    """Pillow-backed image features: (width, height, n_channels, mean
+    and std of grayscale intensity in [0,1], aspect ratio), zero-padded
+    to _FEATURE_DIM. Undecodable bytes degrade to the all-zero vector
+    per-row (never fail the batch — one corrupt blob must not kill a
+    100 TB scan)."""
+    from PIL import Image
+
+    if not content:
+        return [0.0] * _FEATURE_DIM
+    try:
+        img = Image.open(io.BytesIO(content))
+        img.load()
+    except Exception:
+        return [0.0] * _FEATURE_DIM
+    arr = np.asarray(img.convert("L"), dtype=np.float64) / 255.0
+    n_channels = len(img.getbands())
+    feats = [
+        float(img.width),
+        float(img.height),
+        float(n_channels),
+        float(arr.mean()),
+        float(arr.std()),
+        float(img.width) / float(img.height) if img.height else 0.0,
+    ]
+    return (feats + [0.0] * _FEATURE_DIM)[:_FEATURE_DIM]
+
+
 def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     """media df → (media_id, kind, n_bytes, feature array<double>).
 
     ``mapInPandas`` so one Arrow batch of binary blobs is decoded per
-    iteration — the real-decoder drop-in point. Batch size is governed
-    by spark.sql.execution.arrow.maxRecordsPerBatch; with real media
-    blobs, lower it so a batch of decoded frames fits executor memory.
+    iteration — the real decoder (``decode='real'``, Pillow) and the
+    deterministic stub share the same kernel seam. Batch size is
+    governed by spark.sql.execution.arrow.maxRecordsPerBatch; with real
+    media blobs, lower it so a batch of decoded frames fits executor
+    memory.
     """
-    if decode == "real":
-        raise NotImplementedError(
-            "real media decode needs Pillow/ffmpeg, not available in this "
-            "environment; use decode='fake' for plumbing tests"
-        )
-    assert decode == "fake"
+    decode = _resolve_decode(decode, "media decode")
+    kernel = _real_features if decode == "real" else _fake_features
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -110,7 +167,7 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
                     "n_bytes": pdf["content"].map(
                         lambda b: 0 if b is None else len(b)
                     ),
-                    "feature": pdf["content"].map(_fake_features),
+                    "feature": pdf["content"].map(kernel),
                 }
             )
 
@@ -124,19 +181,15 @@ def resize_images(
     schema (content replaced, meta.width/height updated).
 
     Same plumbing contract as :func:`extract_features`: ``mapInPandas``
-    streams Arrow batches of binary blobs through the kernel, so the
-    real decoder (Pillow/libvips) is a drop-in for the ``fake`` kernel —
-    which here is a deterministic byte transform (sha256-seeded bytes of
-    length width·height÷64, stand-in for a re-encoded thumbnail) so
-    output sizes, schema, and batch shapes are real. Non-image rows pass
-    through untouched.
+    streams Arrow batches of binary blobs through the kernel. The
+    ``real`` kernel is Pillow (decode → LANCZOS resize → re-encode PNG;
+    undecodable blobs pass through unchanged rather than failing the
+    batch); the ``fake`` kernel is a deterministic byte transform
+    (sha256-seeded bytes of length width·height÷64, stand-in for a
+    re-encoded thumbnail) so output sizes, schema, and batch shapes are
+    real without native deps. Non-image rows pass through untouched.
     """
-    if decode == "real":
-        raise NotImplementedError(
-            "real image resize needs Pillow/libvips, not available in this "
-            "environment; use decode='fake' for plumbing tests"
-        )
-    assert decode == "fake"
+    decode = _resolve_decode(decode, "image resize")
     n_out = max(1, width * height // 64)
 
     def fake_resize(b: bytes | None) -> bytes | None:
@@ -146,12 +199,28 @@ def resize_images(
         reps = -(-n_out // len(seed))  # ceil
         return (seed * reps)[:n_out]
 
+    def real_resize(b: bytes | None) -> bytes | None:
+        from PIL import Image
+
+        if b is None:
+            return None
+        try:
+            img = Image.open(io.BytesIO(b))
+            img.load()
+        except Exception:
+            return b
+        out = io.BytesIO()
+        img.resize((width, height), Image.LANCZOS).save(out, format="PNG")
+        return out.getvalue()
+
+    kernel = real_resize if decode == "real" else fake_resize
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             meta = _meta_frame(pdf["meta"])
             is_img = meta["kind"] == "image"
             content = pdf["content"].where(
-                ~is_img.values, pdf["content"].map(fake_resize)
+                ~is_img.values, pdf["content"].map(kernel)
             )
             meta.loc[is_img, "width"] = width
             meta.loc[is_img, "height"] = height

@@ -55,8 +55,19 @@ def prepare_pings(
 
     ``gps`` needs columns (id, linenumber, lng, lat, t, ts:timestamp);
     ``bus_line`` needs (existLine_id, x=lat, y=lng, direction, position).
+
+    Vehicle windows key on ``(linenumber, id)`` — not bare ``id`` as the
+    reference's part 1 does (PPE:71-126) — so every window here shares
+    one hash partitioning with :func:`extract_patterns`'s part-2 windows
+    and Catalyst plans ONE Exchange for the whole stage-1 composite. In
+    the data model a vehicle's pings sit in a single line per extraction
+    run (the reference processes per-line files), so the grouping is
+    semantically identical there; a vehicle genuinely crossing lines
+    within one input would get per-(line,vehicle) thresholds here versus
+    mixed-line thresholds in the reference — arguably a bug fix, and
+    pinned by the sample-data goldens in tests/test_pipeline_e2e.py.
     """
-    w_id = Window.partitionBy("id").orderBy("ts")
+    w_id = Window.partitionBy("linenumber", "id").orderBy("ts")
 
     # Inter-ping gap in seconds (0 for a vehicle's first ping), computed
     # BEFORE dedup as in the reference (PPE:71-81).
@@ -151,14 +162,15 @@ def prepare_pings(
 
     # Per-vehicle gap threshold: p95 of time_diff (PPE:124-126). The agg
     # is partial-aggregable; the join back is a broadcast (one row per
-    # vehicle, small relative to pings).
+    # vehicle, small relative to pings). Keyed (linenumber, id) like
+    # every other window in the stage — see the docstring.
     pct = (
         F.percentile("time_diff", threshold_percentile)
         if exact_percentile
         else F.percentile_approx("time_diff", threshold_percentile)
     )
-    thresholds = filled.groupBy("id").agg(pct.alias("threshold"))
-    return filled.join(thresholds, "id", "left")
+    thresholds = filled.groupBy("linenumber", "id").agg(pct.alias("threshold"))
+    return filled.join(thresholds, ["linenumber", "id"], "left")
 
 
 def extract_patterns(

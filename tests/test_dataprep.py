@@ -11,6 +11,8 @@ implementations (brute force / plain Python) to compare against.
 
 from __future__ import annotations
 
+import importlib.util
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -349,11 +351,46 @@ def test_media_feature_extraction_shapes(spark):
     assert again == {r.media_id: r.feature for r in feats}
 
 
-def test_media_real_decode_is_stubbed(spark):
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow present: real decode active")
+def test_media_real_decode_contract_without_pillow(spark):
+    """No Pillow ⇒ decode='real' raises NotImplementedError naming the
+    dependency, and decode='auto' silently falls back to the fake
+    kernel (same output as decode='fake')."""
     df = spark.createDataFrame([(1, b"x")], "media_id long, blob binary")
     media = media_from_binary(df, "media_id", "blob", kind="image", mime="img/x")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="Pillow"):
         extract_features(media, decode="real")
+    auto = {r.media_id: r.feature for r in extract_features(media, decode="auto").collect()}
+    fake = {r.media_id: r.feature for r in extract_features(media, decode="fake").collect()}
+    assert auto == fake
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_media_real_decode_with_pillow(spark):
+    """Pillow present ⇒ the real kernels decode an actual PNG: features
+    carry true dimensions, resize re-encodes at the target size, and a
+    corrupt blob degrades per-row instead of failing the batch."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 4), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, png), (2, b"not-an-image")], "media_id long, blob binary"
+    )
+    media = media_from_binary(df, "media_id", "blob", kind="image", mime="image/png")
+    feats = {r.media_id: r.feature for r in extract_features(media, decode="real").collect()}
+    assert feats[1][:3] == [10.0, 4.0, 3.0]  # width, height, channels
+    assert feats[2] == [0.0] * 8  # corrupt blob → zero vector, no crash
+    out = {r.media_id: r for r in resize_images(media, 6, 5, decode="real").collect()}
+    resized = Image.open(io.BytesIO(out[1].content))
+    assert resized.size == (6, 5)
+    assert out[2].content == b"not-an-image"  # undecodable passes through
 
 
 def test_resize_images_retags_meta_and_passes_nonimages(spark):
@@ -377,8 +414,9 @@ def test_resize_images_retags_meta_and_passes_nonimages(spark):
     # deterministic: same bytes → same fake thumbnail
     again = {r.media_id: r for r in resize_images(img, 64, 64).collect()}
     assert again[1].content == out[1].content
-    with pytest.raises(NotImplementedError):
-        resize_images(img, 64, 64, decode="real")
+    if not _HAS_PIL:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            resize_images(img, 64, 64, decode="real")
 
 
 def test_sample_frames_explodes_video_only(spark):

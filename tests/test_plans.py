@@ -180,3 +180,16 @@ def test_window_pipeline_single_sort_per_window(spark):
     plan = final_plan(q(spark, "w2_running_sum"))
     assert "rangepartitioning" not in plan.lower(), plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_stage1_windows_share_one_partitioning(spark):
+    """prepare_pings (part 1) keys its vehicle windows on
+    (linenumber, id) — the same key extract_patterns (part 2) uses — so
+    the stage-1 composite never hash-partitions on bare id. A bare-id
+    exchange here means part 1 regressed to the reference's per-id
+    windows and the composite pays one extra full-data shuffle."""
+    plan = final_plan(q(spark, "pe_pipeline_segments"))
+    assert "hashpartitioning(id#" not in plan, (
+        "found a bare-id exchange; part-1 windows must key on "
+        "(linenumber, id)"
+    )
