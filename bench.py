@@ -8,6 +8,14 @@ Prints ONE JSON line:
 Each query is fully materialized via a count-ish action (collect on the
 already-aggregated/projected result would move rows to the driver; we use
 ``df.write.format("noop")`` so the measurement is executor-side work only).
+
+Methodology note (round-over-round comparability): BENCH_r02 onward is
+the comparable series. r1 numbers are NOT directly comparable — r1 let
+later queries silently reuse earlier queries' persisted intermediates
+(no clearCache between queries) and ran AQE with 32 initial partitions;
+r2 fixed both (cache cleared outside the timed section, AQE
+initialPartitionNum=8×cores — the cluster-correct setting, slightly
+slower per query at sf0.1). Compare any round r≥2 against r2, not r1.
 """
 
 from __future__ import annotations
@@ -40,16 +48,19 @@ HEADLINE = [
     "w7_sessionize_gap",
     "dd_exact_dup_groups",
     "dd_minhash_lsh_pairs",
+    "dd_simhash_near_pairs",
     "dd_embedding_cosine_blocked",
     "tx_doc_features",
     "tx_fingerprint_groups",
     "sim_topk_brute",
     "sim_topk_lsh",
+    "sim_topk_ivf",
     "st_tumbling_window",
     "st_stateful_sessionize",
     "bz_pipeline_cascade",
     "pe_pipeline_segments",
     "tc_pipeline_dbscan",
+    "tc_pipeline_components",
 ]
 
 

@@ -544,16 +544,35 @@ def embedding_lsh_pairs(
 
 @F.pandas_udf(T.LongType())
 def _simhash64_udf(token_arrays: pd.Series) -> pd.Series:
-    """64-bit SimHash over pre-hashed token arrays (numpy bit counting)."""
-    out = np.zeros(len(token_arrays), dtype=np.int64)
-    for i, hashes in enumerate(token_arrays):
-        if hashes is None or len(hashes) == 0:
-            continue
-        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
-        bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1)
-        votes = bits.sum(axis=0) * 2 - len(h)  # +1 per set bit, −1 per clear
-        sim_bits = (votes > 0).astype(np.uint8)
-        out[i] = np.packbits(sim_bits).view(np.int64)[0]
+    """64-bit SimHash over pre-hashed token arrays.
+
+    Fully vectorized across the Arrow batch: all rows' hashes are
+    flattened into one array, unpacked to a (Σtokens, 64) bit matrix in
+    a single pass, and per-row bit votes come from ``np.add.reduceat``
+    at the row offsets — no per-row Python loop (the per-row
+    unpackbits/packbits version was the whole cost of the simhash stage
+    at 50k docs; same outputs, pinned by the banding-completeness
+    tests)."""
+    n = len(token_arrays)
+    if n == 0:
+        return pd.Series([], dtype="int64")
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in token_arrays), dtype=np.int64, count=n
+    )
+    out = np.zeros(n, dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in token_arrays if h is not None and len(h)]
+    ).view(np.uint64)
+    # (Σtokens, 64) bit matrix; row-group sums via reduceat at offsets
+    bits = np.unpackbits(flat.view(np.uint8).reshape(len(flat), 8), axis=1)
+    offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=offsets[1:])
+    votes = np.add.reduceat(bits, offsets, axis=0)  # (nz_rows, 64)
+    sim_bits = (votes * 2 > lens[nz, None]).astype(np.uint8)
+    out[nz] = np.packbits(sim_bits, axis=1).view(np.int64).ravel()
     return pd.Series(out)
 
 
@@ -587,14 +606,24 @@ def simhash_near_pairs(
     (block_id, block_value) instead of an O(n²) comparison, and the
     exact ``bit_count(xor)`` verify keeps precision at 1.0. Everything
     after the one simhash kernel is native: block extraction is
-    shiftright/mask arithmetic, the join is the only shuffle (keyed,
-    balanced unless a block value is degenerate — e.g. many empty docs
-    sharing simhash 0), dedup + verify are codegen'd.
+    shiftright/mask arithmetic, the join is the only shuffle (keyed),
+    dedup + verify are codegen'd.
+
+    Token-less documents (empty/whitespace text) are EXCLUDED before
+    banding — mirroring minhash's null-signature filter: every such doc
+    gets simhash 0, so N of them alone would put N rows in the same
+    (block, 0) bucket on all four bands and the candidate join would
+    degenerate to O(N²) on content-free matches. The filter is native
+    (no second kernel pass) and keeps the bucket-join linear; "empty
+    equals empty" dedup belongs to exact dedup, not near-dup.
     """
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     width = 64 // bands
     mask = (1 << width) - 1
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sh"))
+    has_tokens = F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""
+    sh = df.filter(has_tokens).select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("_sh")
+    )
     blocks = F.array(
         *[
             F.struct(

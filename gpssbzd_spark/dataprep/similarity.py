@@ -163,6 +163,25 @@ def _nearest_centroids_udf(centroids: np.ndarray, n: int):
     return nearest
 
 
+def _seed_sample(
+    embeddings: DataFrame,
+    n_centroids: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The seed-sample plan: hash filter BELOW the TakeOrdered.
+
+    Exposed for the plan gate in tests — the filter must sit under the
+    global order-by so a 100 TB seed scan moves ~64·n_centroids rows,
+    not the corpus."""
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    n_rows = embeddings.count()  # parquet-footer count: no data scan
+    p = max(1, n_rows // (64 * n_centroids))
+    sampled = embeddings.filter(F.pmod(h, F.lit(p)) == 0) if p > 1 else embeddings
+    return sampled.orderBy(h).limit(n_centroids).select(vec_col)
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     dim: int,
@@ -178,13 +197,21 @@ def kmeans_centroids(
     centroid table ever reaches the driver — the same bounded-collect
     shape as the clustering params table (O(KB), documented; the data
     itself never leaves the executors).
+
+    Seeding reads a hash-sampled FRACTION of the corpus, not all of it:
+    a `pmod(xxhash64(id, seed), p) = 0` filter (p sized from the row
+    count for ~64× oversampling) runs below the TakeOrdered, so at
+    100 TB the seed scan moves ~64·n_centroids rows instead of the
+    corpus. Deterministic (hash, not rand()), and if the sample
+    underfills (pathological id distribution) it falls back to the
+    full-scan order-by — correctness never depends on the sample.
     """
-    init = (
-        embeddings.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_centroids)
-        .select(vec_col)
-        .collect()
-    )
+    init = _seed_sample(embeddings, n_centroids, seed, id_col, vec_col).collect()
+    if len(init) < n_centroids:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+        init = (
+            embeddings.orderBy(h).limit(n_centroids).select(vec_col).collect()
+        )
     cents = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
     for _ in range(iters):
         assign = _nearest_centroids_udf(cents, 1)

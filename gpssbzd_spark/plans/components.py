@@ -38,6 +38,8 @@ the growing lineage so round t's plan does not replay rounds 0..t-1.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -60,8 +62,45 @@ def _key(*cols: str) -> F.Column:
     )
 
 
+@contextlib.contextmanager
+def _scoped_shuffle_width(spark, n_rows: int, rows_per_partition: int = 1_000_000):
+    """Scope the shuffle width to a measured row count for an EAGER
+    section, restoring the session settings after.
+
+    Both knobs matter: AQE takes its initial width from
+    ``coalescePartitions.initialPartitionNum`` when set (the session
+    pins it to 8×cores for cluster-correct fan-out), so scoping
+    ``shuffle.partitions`` alone is a no-op under AQE. Label/edge
+    tables here are orders of magnitude smaller than the ping data —
+    pushing each tiny eager round through a cluster-sized 256-way
+    shuffle made scheduling overhead 40× the work. At real scale the
+    formula (~1M rows/partition, capped at the session setting) keeps
+    full parallelism.
+    """
+    keys = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+    )
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    base = int(prev[keys[0]] or "200")
+    width = max(1, min(base, 1 + n_rows // rows_per_partition))
+    for k in keys:
+        spark.conf.set(k, str(width))
+    try:
+        yield
+    finally:
+        for k in keys:
+            if prev[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev[k])
+
+
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 50,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of an undirected graph.
 
@@ -69,15 +108,80 @@ def connected_components(
     ``edges``: columns ``src``/``dst`` (one direction is enough).
     Returns (node, label) where label is the component's minimum node.
 
-    Runs EAGERLY (one small Spark job per round — an action is how the
-    driver learns the fixpoint was reached). Rounds are O(log diameter)
-    thanks to path halving; ``max_iter`` is a backstop, not a tuning
-    knob.
+    Size-aware routing, same policy as the clustering modes (SURVEY §4):
+
+    - a graph whose deduped edge count is ≤ ``driver_max_edges`` is
+      labeled by a driver-side union-find — the edge list is id pairs
+      only (≤ ~64 MB at the cap, the same bounded-collect envelope as
+      the params/centroid tables), and one collect replaces ~4 eager
+      rounds × 3 shuffles of scheduling overhead that dwarfed the work
+      at GPS-line sizes;
+    - past the cap, the iterative hash-min + path-halving dataflow loop
+      runs (O(log diameter) eager rounds, nothing driver-sized), with
+      the shuffle-partition count scoped to the measured edge count
+      (~1M edges/partition; a cluster-sized 256-partition shuffle per
+      tiny round was 40× overhead) and restored after. The edge table
+      is persisted here — before this it was lazily recomputed by
+      EVERY round's join.
     """
+    spark = nodes.sparkSession
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().persist()
+    n_edges = sym.count()
 
+    if n_edges <= driver_max_edges:
+        try:
+            return _cc_driver_union_find(nodes, sym)
+        finally:
+            sym.unpersist()
+
+    try:
+        with _scoped_shuffle_width(spark, n_edges):
+            return _cc_loop(nodes, sym, max_iter)
+    finally:
+        sym.unpersist()
+
+
+def _cc_driver_union_find(nodes: DataFrame, sym: DataFrame) -> DataFrame:
+    """Union-find over a bounded edge list; returns the same (node,
+    min-member label) table as the dataflow loop (pinned by the parity
+    tests in tests/test_components.py, which run both routes)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        a, b = row["src"], row["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by label order so the root IS the min member
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    spark = nodes.sparkSession
+    if not parent:
+        return nodes.select("node", F.col("node").alias("label"))
+    labels = spark.createDataFrame(
+        [(k, find(k)) for k in parent], "node string, label string"
+    )
+    # isolated nodes label themselves; broadcast: labels ≤ 2·edges rows
+    return (
+        nodes.join(F.broadcast(labels), "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )
+
+
+def _cc_loop(nodes: DataFrame, sym: DataFrame, max_iter: int) -> DataFrame:
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     for _ in range(max_iter):
         # 1) hash-min: every node offers its label to each neighbor
@@ -124,6 +228,7 @@ def dbscan_distributed(
     traj: DataFrame,
     params: dict[str, tuple[float, int]],
     corrected: bool = False,
+    driver_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """DBSCAN labels for every trajectory, never materializing a matrix.
 
@@ -137,6 +242,19 @@ def dbscan_distributed(
     O(n²)-per-line work still happens — in the pair-distance join,
     which Spark distributes and AQE skew-splits — but no single task
     ever holds more than its share of edges.
+
+    Like :func:`connected_components`, the LABELING stage is
+    size-routed: the node/edge tables are id-only (orders smaller than
+    the ping data), and when both fit the driver cap the whole
+    degree→core→components→rank→border chain runs as one Python pass
+    over two collects — at GPS-line sizes the dataflow version's ~6
+    eager jobs were pure scheduling overhead. Past the cap the
+    distributed dataflow runs under a shuffle width scoped to the
+    measured edge count. Both routes produce identical labels
+    (tests/test_components.py parametrizes the parity tests over them).
+
+    ``driver_max_rows``: cap on max(nodes, edges) rows for the driver
+    route — ~48 bytes/row ⇒ ≤ ~100 MB collected at the default.
     """
     spark = traj.sparkSession
     if not params:
@@ -174,6 +292,86 @@ def dbscan_distributed(
     # edges/nodes feed degree + core-subgraph + border joins below;
     # materialize once (tiny: ids only, no coordinates)
     edges = edges.persist()
+    n_edges = edges.count()
+    n_nodes = nodes.count()  # cheap: traj is persisted by the caller
+    if max(n_edges, n_nodes) <= driver_max_rows:
+        out = _dbscan_labels_driver(spark, nodes.collect(), edges.collect())
+    else:
+        with _scoped_shuffle_width(spark, n_edges):
+            out = _dbscan_labels(nodes, edges)
+    edges.unpersist()
+    return out
+
+
+def _dbscan_labels_driver(spark, node_rows, edge_rows) -> DataFrame:
+    """The full labeling chain over bounded collected id-tables — one
+    Python pass, no Spark jobs until the result DataFrame is consumed.
+    Mirrors _dbscan_labels exactly (same visit-order numbering, border
+    min-rule, noise −1); parity pinned by tests/test_components.py."""
+    from collections import defaultdict
+
+    adj: dict[str, set] = defaultdict(set)
+    for r in edge_rows:
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+
+    is_core = {
+        r["node"]: len(adj.get(r["node"], ())) + 1 >= r["min_samples"]
+        for r in node_rows
+    }
+    # components of the core-core subgraph via union-find (min root)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for n, ok in is_core.items():
+        if ok:
+            parent[n] = n
+    for a, nbrs in adj.items():
+        if not is_core.get(a):
+            continue
+        for b in nbrs:
+            if a < b and is_core.get(b):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+
+    # cluster number = per-line rank of the component's min core key
+    by_line: dict[str, set] = defaultdict(set)
+    line_of = {r["node"]: r["linenumber"] for r in node_rows}
+    for n in parent:
+        by_line[line_of[n]].add(find(n))
+    cluster_of_root = {
+        root: rank
+        for line, roots in by_line.items()
+        for rank, root in enumerate(sorted(roots))
+    }
+
+    out_rows = []
+    for r in node_rows:
+        n = r["node"]
+        if is_core.get(n):
+            c = cluster_of_root[find(n)]
+        else:
+            # border: min cluster among core neighbors, else noise
+            cand = [
+                cluster_of_root[find(b)] for b in adj.get(n, ()) if is_core.get(b)
+            ]
+            c = min(cand) if cand else -1
+        out_rows.append((r["linenumber"], r["id"], r["patternID"], c))
+    return spark.createDataFrame(out_rows, _CLUSTER_SCHEMA)
+
+
+def _dbscan_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -235,10 +433,9 @@ def dbscan_distributed(
             ).cast("int").alias("cluster"),
         )
     )
-    # the CC loop already ran eagerly; pin the result and release the
-    # loop's working tables so callers composing further stages don't
+    # the CC labeling already ran eagerly; pin the result and release
+    # the working tables so callers composing further stages don't
     # accumulate them (ADVICE r2: persist without unpersist leaks)
     out = out.localCheckpoint()
-    edges.unpersist()
     nodes.unpersist()
     return out

@@ -360,6 +360,59 @@ def assemble_trajectories(patterns: DataFrame, order_col: str = "ts") -> DataFra
     )
 
 
+def assemble_trajectory_scalars(
+    patterns: DataFrame, order_col: str = "ts"
+) -> DataFrame:
+    """(linenumber, id, patternID) → ONLY the five distance scalars +
+    validity flag — no point arrays.
+
+    The eps-graph path (``mode="components"``) never touches a
+    trajectory's interior points, so building + persisting the ordered
+    arrays that :func:`assemble_trajectories` produces is pure waste
+    there (at 1 200-point trajectories the arrays are ~99% of the
+    materialized bytes). Endpoints come from native min/max over the
+    (order, lng, lat) struct — the same lexicographic ordering
+    ``array_sort`` imposes, so x0/y0/x1/y1 are bit-identical to the
+    array path (pinned by test_components.py cross-mode parity) — and
+    ``len_km`` reuses the identical lead-window segment sum. One
+    shuffle, all codegen, rows of six scalars.
+    """
+    lng_d = F.col("lng").cast("double")
+    lat_d = F.col("lat").cast("double")
+    w = Window.partitionBy("linenumber", "id", "patternID").orderBy(
+        order_col, lng_d, lat_d
+    )
+    nlng, nlat = F.lead(lng_d).over(w), F.lead(lat_d).over(w)
+    seg = F.when(
+        nlng.isNotNull(), _gc_km_col(lng_d, lat_d, nlng, nlat)
+    ).otherwise(0.0)
+    nanish = lambda c: c.isNull() | F.isnan(c)  # noqa: E731
+    pt = F.struct(
+        F.col(order_col).alias("o"), lng_d.alias("lng"), lat_d.alias("lat")
+    )
+    return (
+        patterns.withColumn("_seg_km", seg)
+        .groupBy("linenumber", "id", "patternID")
+        .agg(
+            F.min(pt).alias("_first"),
+            F.max(pt).alias("_last"),
+            F.sum("_seg_km").alias("len_km"),
+            F.max((nanish(lng_d) | nanish(lat_d)).cast("int")).alias("_bad"),
+        )
+        .select(
+            "linenumber",
+            "id",
+            "patternID",
+            F.col("_first.lng").alias("x0"),
+            F.col("_first.lat").alias("y0"),
+            F.col("_last.lng").alias("x1"),
+            F.col("_last.lat").alias("y1"),
+            "len_km",
+            (F.col("_bad") == 1).alias("bad_pts"),
+        )
+    )
+
+
 def _params_lookup(line_params: DataFrame) -> dict[str, tuple[float, int]]:
     rows = line_params.select("linenumber", "eps", "min_samples").collect()
     return {r["linenumber"]: (float(r["eps"]), int(r["min_samples"])) for r in rows}
@@ -407,11 +460,17 @@ def cluster_trajectories(
     assert mode in ("auto", "pairs", "local", "components")
     params = _params_lookup(line_params)
 
-    traj = assemble_trajectories(patterns)
+    if mode == "components":
+        # the eps-graph path needs only the six scalars — skip building
+        # (and persisting) the point arrays entirely
+        traj = assemble_trajectory_scalars(patterns)
+    else:
+        traj = assemble_trajectories(patterns)
     traj = traj.filter(F.col("linenumber").isin(*params.keys()) if params else F.lit(False))
     # the pairs path consumes only the per-trajectory scalars; the local
     # path the columnar lngs/lats — never ship the struct points
-    traj = traj.drop("points")
+    if mode != "components":
+        traj = traj.drop("points")
     # every mode reads traj from multiple branches (pairs: left+right of
     # the self-join plus the label join-back's lineage; auto: the size
     # count plus both routes). AQE's exchange reuse dedupes the repeated

@@ -70,7 +70,16 @@ def line_params(spark):
 # ---------------- connected_components primitive ----------------
 
 
-def test_connected_components_basic(spark):
+# driver_max_edges routes: default → bounded driver union-find;
+# 0 → forces the iterative hash-min dataflow loop. Both routes must
+# produce identical labels on every graph shape.
+_CC_ROUTES = pytest.mark.parametrize(
+    "max_driver_edges", [2_000_000, 0], ids=["union-find", "dataflow-loop"]
+)
+
+
+@_CC_ROUTES
+def test_connected_components_basic(spark, max_driver_edges):
     nodes = spark.createDataFrame(
         [(c,) for c in "abcdefg"], "node string"
     )
@@ -78,13 +87,19 @@ def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("b", "a"), ("b", "c"), ("c", "d"), ("f", "e")], "src string, dst string"
     )
-    got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            nodes, edges, driver_max_edges=max_driver_edges
+        ).collect()
+    }
     assert got == {
         "a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e", "g": "g"
     }
 
 
-def test_connected_components_long_chain(spark):
+@_CC_ROUTES
+def test_connected_components_long_chain(spark, max_driver_edges):
     # a 40-node path: convergence must be O(log diameter), well under
     # the max_iter backstop, and the final labels all collapse to node 00
     n = 40
@@ -92,7 +107,12 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(f"{i:02d}", f"{i + 1:02d}") for i in range(n - 1)], "src string, dst string"
     )
-    got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            nodes, edges, driver_max_edges=max_driver_edges
+        ).collect()
+    }
     assert set(got.values()) == {"00"} and len(got) == n
 
 
@@ -194,3 +214,19 @@ def test_corpus_components_query_cross_mode_parity(spark):
     # non-vacuous: at least one real cluster and at least one noise point
     assert any(v == -1 for v in a.values())
     assert any(v is not None and v >= 0 for v in a.values())
+
+
+def test_dbscan_distributed_routes_agree(spark, patterns, line_params):
+    """The bounded driver labeling route and the distributed dataflow
+    route must produce identical labels (same visit-order numbering,
+    border min-rule, noise) on the same graph."""
+    from gpssbzd_spark.plans.trajectory_clustering import _params_lookup
+
+    traj = assemble_trajectories(patterns).drop("points").persist()
+    params = _params_lookup(line_params)
+    a = sorted(map(tuple, dbscan_distributed(traj, params).collect()))
+    b = sorted(
+        map(tuple, dbscan_distributed(traj, params, driver_max_rows=0).collect())
+    )
+    traj.unpersist()
+    assert a == b and len(a) > 0

@@ -438,3 +438,40 @@ def test_sample_frames_explodes_video_only(spark):
     assert {(r.media_id, r.frame_ms) for r in frames} == {
         (1, 0), (1, 1000), (1, 2000), (1, 3000)
     }
+
+
+def test_simhash_banding_excludes_tokenless_docs(spark):
+    """1 000 empty/whitespace docs all simhash to 0 — before the guard
+    they would put 1 000 rows in the same (block, 0) bucket on every
+    band and the candidate join degenerated to O(N²) content-free
+    matches. The guard filters them before banding: output pairs never
+    touch a token-less doc, and real near-dups are still found."""
+    rows = [(i, "   " if i % 2 else "") for i in range(1000)]
+    rows += [
+        (2001, "the quick brown fox jumps over the lazy dog"),
+        (2002, "the quick brown fox jumps over the lazy cat"),
+        (2003, "completely unrelated text about spark query engines"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_pairs(d, max_hamming=10, bands=16).collect()
+    ids = {i for r in pairs for i in (r.id_a, r.id_b)}
+    assert all(i >= 2001 for i in ids), f"empty docs leaked into pairs: {ids}"
+    assert (2001, 2002) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_ivf_seed_sample_filters_below_take_ordered(spark):
+    """The k-means seed scan must hash-filter BELOW the TakeOrdered so
+    seeding a 100 TB corpus moves ~64·n_centroids rows, not the corpus;
+    and the sampled seeds must still fill the codebook."""
+    from gpssbzd_spark.dataprep.similarity import _seed_sample
+
+    em = load_table(spark, SF, "embeddings")
+    n = em.count()
+    k = max(1, n // 128)  # force p = n // (64·k) ≈ 2 > 1 at any sf
+    df = _seed_sample(em, k, seed=42, id_col="vec_id", vec_col="embedding")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "pmod" in plan and "Filter" in plan, plan
+    # the filter is below (after, in print order) the TakeOrdered node
+    assert plan.index("TakeOrderedAndProject") < plan.index("pmod"), plan
+    assert len(df.collect()) == k
