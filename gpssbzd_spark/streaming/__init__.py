@@ -20,7 +20,11 @@ from gpssbzd_spark.streaming.windows import (
     tumbling_window_agg,
     with_watermark,
 )
-from gpssbzd_spark.streaming.sources import read_parquet_stream, run_to_memory_sink
+from gpssbzd_spark.streaming.sources import (
+    read_parquet_stream,
+    run_to_memory_sink,
+    write_parquet_stream,
+)
 from gpssbzd_spark.streaming.stateful import streaming_gap_sessionize
 
 __all__ = [
@@ -32,5 +36,6 @@ __all__ = [
     "with_watermark",
     "read_parquet_stream",
     "run_to_memory_sink",
+    "write_parquet_stream",
     "streaming_gap_sessionize",
 ]

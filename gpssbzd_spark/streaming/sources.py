@@ -32,6 +32,46 @@ def read_parquet_stream(
     return reader.parquet(path)
 
 
+def write_parquet_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    output_mode: str = "append",
+    await_termination: bool = True,
+):
+    """Drain all currently-available input through the streaming plan
+    into a parquet directory — the PRODUCTION sink counterpart of
+    :func:`run_to_memory_sink`.
+
+    ``trigger(availableNow=True)`` + a durable ``checkpointLocation``
+    is the scheduled-incremental pattern: each invocation processes
+    exactly the files that arrived since the previous run (the
+    checkpoint's file-source log carries the high-water mark), writes
+    executor-side with no driver collection, and exits. Re-running
+    after new files land consumes ONLY the new files — pinned by
+    tests/test_streaming.py. A long-lived ``trigger(processingTime=…)``
+    deployment differs only in the trigger.
+
+    Note the parquet sink is append-only (streaming file sinks cannot
+    rewrite partitions); dedup/compaction over the sink directory is a
+    downstream batch concern (`sources.writers`).
+    """
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    q = w.start()
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

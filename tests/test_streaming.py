@@ -218,3 +218,41 @@ def test_stateful_sessionize_keeps_null_keys(spark):
     ]
     # all 4 rows survive; null key sessionizes as its own group
     assert got == [(None, 1), (None, 2), (7, 1), (7, 1)]
+
+
+def test_parquet_sink_checkpoint_resumes_incrementally(spark, tmp_path):
+    """The production sink pattern: availableNow + checkpoint. Run 1
+    drains the files present; new files land; run 2 must process ONLY
+    the new files (the checkpoint's source log carries the high-water
+    mark) and the sink directory accumulates exactly one copy of every
+    input row."""
+    from gpssbzd_spark.streaming import write_parquet_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    ev = load_table(spark, SF, "events").orderBy("event_id").limit(600).toPandas()
+    ev.iloc[:400].to_parquet(
+        os.path.join(src, "a.parquet"), index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+
+    def run():
+        stream = read_parquet_stream(spark, src, EVENTS_SCHEMA)
+        agg = stream.select("event_id", "user_id", "value")
+        write_parquet_stream(agg, sink, ckpt)
+
+    run()
+    first = spark.read.parquet(sink)
+    assert first.count() == 400
+
+    ev.iloc[400:].to_parquet(
+        os.path.join(src, "b.parquet"), index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    run()
+    out = spark.read.parquet(sink)
+    assert out.count() == 600  # 400 + 200, no reprocessing of a.parquet
+    assert out.select("event_id").distinct().count() == 600
