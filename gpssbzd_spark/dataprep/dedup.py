@@ -566,8 +566,15 @@ def _simhash64_udf(token_arrays: pd.Series) -> pd.Series:
     flat = np.concatenate(
         [np.asarray(h, dtype=np.int64) for h in token_arrays if h is not None and len(h)]
     ).view(np.uint64)
-    # (Σtokens, 64) bit matrix; row-group sums via reduceat at offsets
-    bits = np.unpackbits(flat.view(np.uint8).reshape(len(flat), 8), axis=1)
+    # (Σtokens, 64) bit matrix; row-group sums via reduceat at offsets.
+    # int64 BEFORE summing: uint8 reduceat wraps at 256 tokens, and the
+    # pre-vectorization kernel had the sibling bug (uint64 votes made
+    # `2s−n > 0` wrap for minority bits, setting them whenever 2s ≠ n) —
+    # both pinned by the hypothesis parity test in
+    # tests/test_kernels_property.py
+    bits = np.unpackbits(flat.view(np.uint8).reshape(len(flat), 8), axis=1).astype(
+        np.int64
+    )
     offsets = np.zeros(int(nz.sum()), dtype=np.int64)
     np.cumsum(lens[nz][:-1], out=offsets[1:])
     votes = np.add.reduceat(bits, offsets, axis=0)  # (nz_rows, 64)

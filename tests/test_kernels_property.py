@@ -216,3 +216,54 @@ def test_minhash_estimates_jaccard():
         est = float((sig(set_a) == sig(set_b)).mean())
         sigma = math.sqrt(true_j * (1 - true_j) / 256) or 1e-3
         assert abs(est - true_j) <= 3.5 * sigma + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# simhash batch kernel
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=20,
+            ),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_simhash_batch_kernel_matches_per_row_reference(token_arrays):
+    """The reduceat-vectorized batch kernel must equal the obvious
+    per-row formulation (unpackbits → bit-majority → packbits) for
+    every batch shape: empty batch, None rows, empty rows, single-row
+    segments, full 64-bit range hashes."""
+    from gpssbzd_spark.dataprep.dedup import _simhash64_udf
+
+    kernel = _simhash64_udf.func
+
+    def per_row(hashes):
+        if hashes is None or len(hashes) == 0:
+            return 0
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1)
+        # signed votes: the uint64 formulation wraps for minority bits
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
+        return int(np.packbits((votes > 0).astype(np.uint8)).view(np.int64)[0])
+
+    got = kernel(pd.Series(token_arrays, dtype=object)).tolist()
+    want = [per_row(h) for h in token_arrays]
+    assert got == want
+
+
+def test_simhash_batch_kernel_256_token_row():
+    """≥256 tokens on one row: a uint8 reduceat would wrap the vote
+    counter exactly at 256 — the regression the int64 cast prevents."""
+    from gpssbzd_spark.dataprep.dedup import _simhash64_udf
+
+    row = [-1] * 300  # every bit set in all 300 tokens → majority all 64 bits
+    out = _simhash64_udf.func(pd.Series([row, [0] * 300], dtype=object)).tolist()
+    assert out == [-1, 0]
