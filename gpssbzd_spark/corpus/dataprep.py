@@ -204,6 +204,7 @@ from gpssbzd_spark.dataprep.multimodal import (  # noqa: E402
     extract_features,
     media_from_binary,
     resize_images,
+    sample_frames,
 )
 from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
     brute_force_topk,
@@ -622,3 +623,37 @@ def mm_resize_pipeline(spark, sf_dir):
         .join(before, "media_id")
         .join(feats, "media_id")
     )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0,
+                CAST(least(length(text), 700) AS BIGINT), 100)) AS BIGINT)
+             AS frame_ms
+    FROM documents
+    WHERE length(text) >= 0
+    """,
+    note="multimodal frame sampling with a FULL oracle: per-video frame "
+    "timestamps from metadata via native sequence+explode (no decode "
+    "involved, so unlike the kernel-backed mm_* rows this one is "
+    "SQL-expressible — DuckDB generate_series). Duration derives "
+    "deterministically from the text length; null-text media drop via "
+    "the duration>=0 guard on both engines",
+    tier=2,
+)
+def mm_frame_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        _F.col("doc_id").cast("long").alias("media_id"),
+        _F.col("text").cast("binary").alias("content"),
+        _F.struct(
+            _F.lit("video").alias("kind"),
+            _F.lit("video/mp4").alias("mime"),
+            _F.lit(None).cast("int").alias("width"),
+            _F.lit(None).cast("int").alias("height"),
+            _F.length("text").cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_ms=100, max_frames=8)
