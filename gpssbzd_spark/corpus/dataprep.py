@@ -211,7 +211,12 @@ from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
     ivf_topk,
     lsh_topk,
 )
-from gpssbzd_spark.dataprep.text import STOPWORDS, doc_fingerprint, language_id  # noqa: E402
+from gpssbzd_spark.dataprep.text import (  # noqa: E402
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_features,
+)
 
 
 @query(
@@ -657,3 +662,75 @@ def mm_frame_sample(spark, sf_dir):
         ).alias("meta"),
     )
     return sample_frames(media, every_ms=100, max_frames=8)
+
+
+@query(
+    "dp_pipeline_corpus_clean",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, {_lang_scores_sql()},
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / NULLIF(length(text), 0) AS alpha_ratio,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), langed AS (
+      SELECT *,
+        CASE
+          WHEN text IS NULL THEN NULL
+          WHEN 2 * length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+               > length(text) THEN 'zh'
+          WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+          WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          WHEN s_fr >= s_es THEN 'fr'
+          ELSE 'es'
+        END AS lang_guess
+      FROM scored
+    ), kept AS (
+      SELECT * FROM langed
+      WHERE lang_guess = 'en' AND alpha_ratio >= 0.6
+        AND n_tokens BETWEEN 20 AND 5000
+    ), survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    )
+    SELECT k.doc_id, k.lang_guess, k.n_tokens,
+           ROUND(k.alpha_ratio, 4) AS alpha_ratio
+    FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+    """,
+    note="training-data-prep COMPOSITE with a full oracle: the corpus "
+    "clean a pretraining pipeline actually runs — quality gate (alpha "
+    "ratio + token-count band) → language filter (stopword/CJK "
+    "heuristic) → exact-dedup survivor selection (min doc_id per md5), "
+    "all native column expressions and one partial-aggregable groupBy + "
+    "semi join; the filter applies to the UNROUNDED ratio on both "
+    "engines so the boundary set is bit-identical",
+    tier=2,
+)
+def dp_pipeline_corpus_clean(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features(_F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "text",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        language_id(_F.col("text")).alias("lang_guess"),
+    )
+    kept = scored.filter(
+        (_F.col("lang_guess") == "en")
+        & (_F.col("alpha_ratio") >= 0.6)
+        & _F.col("n_tokens").between(20, 5000)
+    )
+    survivors = (
+        kept.groupBy(_F.md5(_F.col("text").cast("binary")).alias("_h"))
+        .agg(_F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return kept.join(survivors, "doc_id", "left_semi").select(
+        "doc_id",
+        "lang_guess",
+        "n_tokens",
+        _F.round("alpha_ratio", 4).alias("alpha_ratio"),
+    )
