@@ -653,12 +653,16 @@ def simhash_near_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), "block", "val"
     )
+    # hamming filter BEFORE the dedup: the verify is a cheap native
+    # bit_count on rows already in hand, while distinct() is a shuffle —
+    # filtering first shrinks that shuffle from every banded candidate
+    # (most of which fail the threshold) to just the true near-pairs
     return (
         a.join(b, ["block", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", hamming64(F.col("_sh_a"), F.col("_sh_b")).alias("hamming")
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
