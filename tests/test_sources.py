@@ -119,3 +119,35 @@ def test_csv_scan_declared_schema_never_infers(spark, tmp_path):
     assert rows["001"].lng == 113.9
     assert rows["002"].lng is None
     assert dict(df.dtypes)["lng"] == "double"
+
+
+def test_load_table_normalizes_ntz_and_nanos_timestamps(spark, tmp_path):
+    """The fixtures have shipped events.ts as INT64 TIMESTAMP(NANOS) in
+    one round and timestamp[us] isAdjustedToUTC=false (→ TIMESTAMP_NTZ)
+    in another; either way load_table must yield TimestampType (LTZ)
+    with unix_millis usable and values equal to the naive on-disk
+    values under the UTC session (r3 regression: four queries died on
+    DATATYPE_MISMATCH for unix_micros(TIMESTAMP_NTZ))."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-06-15 12:34:56"])
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            # no timezone → isAdjustedToUTC=false → Spark infers NTZ
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    d = tmp_path / "sfX"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+
+    df = load_table(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {
+        r["event_id"]: r["ms"]
+        for r in df.select("event_id", F.unix_millis("ts").alias("ms")).collect()
+    }
+    assert got == {1: 1704067200000, 2: 1718454896000}
