@@ -71,7 +71,8 @@ HEADLINE = [
     "tx_fingerprint_groups",
     "sim_topk_brute",
     "sim_topk_lsh",
-    "sim_topk_ivf",
+    "sim_topk_ivf_build",
+    "sim_topk_ivf_query",
     "st_tumbling_window",
     "st_stateful_sessionize",
     "bz_pipeline_cascade",

@@ -208,6 +208,8 @@ from gpssbzd_spark.dataprep.multimodal import (  # noqa: E402
 )
 from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
     brute_force_topk,
+    build_ivf_index,
+    ivf_query,
     ivf_topk,
     lsh_topk,
 )
@@ -563,6 +565,89 @@ def sim_topk_ivf(spark, sf_dir):
     return ivf_topk(
         em, queries_df, dim=64, k=5, n_centroids=16, n_probe=4, iters=2
     )
+
+
+def _ivf_cache_dir(sf_dir: str) -> str:
+    """Per-fixture IVF index cache dir, keyed by the embeddings parquet's
+    (mtime, size) so a regenerated fixture invalidates the index — the
+    round driver rewrites /root/testdata between rounds and a stale
+    index would silently serve wrong neighbors."""
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".cache",
+        "ivf",
+    )
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+    )
+    return os.path.join(root, tag)
+
+
+@query(
+    "sim_topk_ivf_build",
+    oracle=None,
+    note="IVF index BUILD, measured separately from the probe: codebook "
+    "k-means + assignment, index written to parquet partitioned by "
+    "centroid id (the inverted-file layout a 100 TB deployment persists "
+    "once and serves from). Returns the re-read persisted index so the "
+    "row check covers the artifact, not the in-memory plan",
+    tier=1,
+)
+def sim_topk_ivf_build(spark, sf_dir):
+    import json
+    import os
+    import shutil
+
+    em = load_table(spark, sf_dir, "embeddings")
+    index, cents = build_ivf_index(em, dim=64, n_centroids=16, iters=2)
+    cache = _ivf_cache_dir(sf_dir)
+    root = os.path.dirname(cache)
+    if os.path.isdir(root):  # prune stale fixture generations
+        for old in os.listdir(root):
+            if os.path.join(root, old) != cache:
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    index.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(cache, "index")
+    )
+    os.makedirs(cache, exist_ok=True)
+    with open(os.path.join(cache, "codebook.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return spark.read.parquet(os.path.join(cache, "index"))
+
+
+@query(
+    "sim_topk_ivf_query",
+    oracle=None,
+    note="IVF steady-state QUERY against the persisted index (builds it "
+    "first only if the cache for this fixture generation is absent): "
+    "parquet index scan + broadcast probe join + top-k — the per-query "
+    "cost a deployment actually pays, without the rebuild sim_topk_ivf "
+    "folds in. Recall pinned in pytest via the shared ivf_query path",
+    tier=1,
+)
+def sim_topk_ivf_query(spark, sf_dir):
+    import json
+    import os
+
+    import numpy as _np
+
+    cache = _ivf_cache_dir(sf_dir)
+    if not os.path.exists(os.path.join(cache, "codebook.json")):
+        sim_topk_ivf_build(spark, sf_dir)  # writes eagerly
+    with open(os.path.join(cache, "codebook.json")) as f:
+        cents = _np.array(json.load(f), dtype=_np.float64)
+    index = spark.read.parquet(os.path.join(cache, "index"))
+    em = load_table(spark, sf_dir, "embeddings")
+    queries_df = em.filter(_F.col("vec_id") < 10).select(
+        _F.col("vec_id").alias("query_id"), _F.col("embedding").alias("query_vec")
+    )
+    return ivf_query(index, cents, queries_df, k=5, n_probe=4)
 
 
 @query(

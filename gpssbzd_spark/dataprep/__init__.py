@@ -8,8 +8,12 @@ from gpssbzd_spark.dataprep.dedup import (  # noqa: F401
 )
 from gpssbzd_spark.dataprep.similarity import (  # noqa: F401
     cosine_similarity_col,
+    cosine_from_parts,
     brute_force_topk,
+    build_ivf_index,
     hyperplane_bucket,
+    ivf_query,
+    ivf_topk,
     lsh_topk,
 )
 from gpssbzd_spark.dataprep.text import (  # noqa: F401

@@ -199,31 +199,53 @@ def resize_images(
         reps = -(-n_out // len(seed))  # ceil
         return (seed * reps)[:n_out]
 
-    def real_resize(b: bytes | None) -> bytes | None:
+    def real_resize(b: bytes | None) -> tuple[bytes | None, bool]:
+        """→ (bytes, re-encoded?). Undecodable blobs pass through
+        UNCHANGED with re-encoded=False so one corrupt row cannot fail
+        the batch — and so their metadata is left alone below."""
         from PIL import Image
 
         if b is None:
-            return None
+            return None, False
         try:
             img = Image.open(io.BytesIO(b))
             img.load()
         except Exception:
-            return b
+            return b, False
         out = io.BytesIO()
         img.resize((width, height), Image.LANCZOS).save(out, format="PNG")
-        return out.getvalue()
-
-    kernel = real_resize if decode == "real" else fake_resize
+        return out.getvalue(), True
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             meta = _meta_frame(pdf["meta"])
             is_img = meta["kind"] == "image"
-            content = pdf["content"].where(
-                ~is_img.values, pdf["content"].map(kernel)
-            )
-            meta.loc[is_img, "width"] = width
-            meta.loc[is_img, "height"] = height
+            if decode == "real":
+                # retag meta ONLY for rows the kernel actually
+                # re-encoded: a passed-through JPEG keeping its
+                # original bytes must keep its original mime/dims —
+                # PNG bytes get mime='image/png' (ADVICE r4: the old
+                # code retagged dims but left mime at the source
+                # value, producing genuinely mislabeled media)
+                res = pdf["content"].map(real_resize)
+                content = pdf["content"].where(
+                    ~is_img.values, res.map(lambda t: t[0])
+                )
+                ok = (is_img & res.map(lambda t: t[1]).astype(bool)).values
+                meta.loc[ok, "width"] = width
+                meta.loc[ok, "height"] = height
+                meta.loc[ok, "mime"] = "image/png"
+            else:
+                # fake kernel: bytes are a deterministic stand-in, not
+                # a PNG — mime keeps the source value BY DESIGN (the
+                # stub mimics re-encoding shape, not format), dims
+                # retag for every image row as the real kernel would
+                # on a fully decodable batch
+                content = pdf["content"].where(
+                    ~is_img.values, pdf["content"].map(fake_resize)
+                )
+                meta.loc[is_img, "width"] = width
+                meta.loc[is_img, "height"] = height
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

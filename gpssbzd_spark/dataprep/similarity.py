@@ -259,6 +259,87 @@ def kmeans_centroids(
     return cents
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Build the IVF index: (assigned index DataFrame, codebook).
+
+    The index DataFrame carries (id, vec, ``_norm_e`` precomputed norm,
+    ``cid`` nearest-centroid id) — everything :func:`ivf_query` needs,
+    and a stable schema to PERSIST (parquet) so queries pay only the
+    probe join, never the codebook build. A 100 TB deployment builds
+    once, writes the index partitioned by ``cid``, and serves queries
+    against it; the corpus/bench `sim_topk_ivf_build` /
+    `sim_topk_ivf_query` pair measures exactly that split (VERDICT r4
+    next-round #8).
+    """
+    # the embeddings feed the seed sample, every Lloyd round, and the
+    # final index assignment — persist once or each pass re-scans and
+    # re-decodes the source (the repo's persist-iteratively-reused-
+    # inputs tactic, SURVEY §4)
+    embeddings = embeddings.persist()
+    cents = kmeans_centroids(
+        embeddings, dim, n_centroids, iters, seed, id_col, vec_col
+    )
+    assign = _nearest_centroids_udf(cents, 1)
+    index = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_norm_e"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cid"),
+    )
+    return index, cents
+
+
+def ivf_query(
+    index: DataFrame,
+    cents: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a built IVF index: the steady-state query path.
+
+    ``index`` is :func:`build_ivf_index`'s output (or a parquet
+    re-read of it — columns id, vec, ``_norm_e``, ``cid``); ``cents``
+    the matching codebook. The index side never shuffles: the probe
+    set explodes on the small query side and broadcasts.
+    """
+    probe = _nearest_centroids_udf(cents, n_probe)
+    q_probe = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        _norm(F.col(query_vec_col)).alias("_norm_q"),
+        F.explode(probe(F.col(query_vec_col))).alias("cid"),
+    )
+    cands = index.join(F.broadcast(q_probe), "cid").select(
+        query_id_col, id_col, vec_col, query_vec_col, "_norm_e", "_norm_q"
+    )
+    sim = cosine_from_parts(
+        _dot(F.col(vec_col), F.col(query_vec_col)),
+        F.col("_norm_e"),
+        F.col("_norm_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        cands.select(query_id_col, id_col, sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -284,49 +365,23 @@ def ivf_topk(
        lists, so the scored candidate set is ~``n_probe/n_centroids``
        of the corpus instead of all of it.
 
-    Join shape mirrors lsh_topk: the index side never shuffles (the
-    probe set is built on the small query side and broadcast); recall
-    vs :func:`brute_force_topk` is pinned in pytest. Raising
-    ``n_probe`` trades scan fraction for recall.
+    One-shot build+query convenience over :func:`build_ivf_index` +
+    :func:`ivf_query`; recall vs :func:`brute_force_topk` is pinned in
+    pytest. Raising ``n_probe`` trades scan fraction for recall.
     """
-    # the embeddings feed the seed sample, every Lloyd round, and the
-    # final index assignment — persist once or each pass re-scans and
-    # re-decodes the source (the repo's persist-iteratively-reused-
-    # inputs tactic, SURVEY §4)
-    embeddings = embeddings.persist()
-    cents = kmeans_centroids(
+    index, cents = build_ivf_index(
         embeddings, dim, n_centroids, iters, seed, id_col, vec_col
     )
-    assign = _nearest_centroids_udf(cents, 1)
-    probe = _nearest_centroids_udf(cents, n_probe)
-
-    index = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("_norm_e"),
-        F.element_at(assign(F.col(vec_col)), 1).alias("cid"),
-    )
-    q_probe = queries.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        _norm(F.col(query_vec_col)).alias("_norm_q"),
-        F.explode(probe(F.col(query_vec_col))).alias("cid"),
-    )
-    cands = index.join(F.broadcast(q_probe), "cid").select(
-        query_id_col, id_col, vec_col, query_vec_col, "_norm_e", "_norm_q"
-    )
-    sim = cosine_from_parts(
-        _dot(F.col(vec_col), F.col(query_vec_col)),
-        F.col("_norm_e"),
-        F.col("_norm_q"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        cands.select(query_id_col, id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return ivf_query(
+        index,
+        cents,
+        queries,
+        k,
+        n_probe,
+        id_col,
+        vec_col,
+        query_id_col,
+        query_vec_col,
     )
 
 
