@@ -9,6 +9,8 @@ order-insensitive value-hash is stable across engines.
 
 from __future__ import annotations
 
+import glob
+import os
 from dataclasses import dataclass, field
 from collections.abc import Callable
 
@@ -54,9 +56,99 @@ def query(name: str, oracle: str | None = None, note: str = "", tier: int = 0):
     return deco
 
 
-def _ordered() -> list[Query]:
+# --------------------------------------------------------------------------
+# Driver-window rotation (VERDICT r4 next-round #5)
+#
+# 31 tier-2 queries carry full oracles but never earned a driver
+# CORRECTNESS row because the window composition was static. Each group
+# below is one driver slot shared round-robin between a tier-0 ANCHOR
+# and same-§2-family tier-2 ALTERNATES (every alternate carries a real
+# oracle, so the window's oracle share never degrades). Each round the
+# group's pick swaps sort keys with the anchor; everything else keeps
+# its static tier. The round key is deterministic: the count of
+# driver-committed CORRECTNESS_r*.json files at the repo root + 1
+# (overridable via SPARK_GRAFT_ROUND for tests), so the window
+# composition differs round-over-round without any code change, and all
+# tier-2 oracles eventually earn driver rows.
+#
+# Merged rows covering TWO §2 components (w45_bidirectional_fill,
+# f3_haversine_native_and_sql, f1's pair) do not rotate — no single
+# alternate covers both halves of their slot.
+# --------------------------------------------------------------------------
+
+ROTATION_GROUPS: list[tuple[str, list[str]]] = [
+    ("p7_filter_distinct",
+     ["p7_filter_compound_bool", "p10_distinct_projection",
+      "p8_sql_string_filter", "p12_cast_types"]),
+    ("j5_semi_anti_join", ["j5_semi_join", "j6_anti_join"]),
+    ("a2_cascaded_conditional",
+     ["a2_conditional_agg", "a3_cascaded_agg",
+      "a1_count_distinct_group", "a6_global_distinct_count"]),
+    ("set_ops_tagged",
+     ["set_union_distinct", "set_intersect", "set_except"]),
+    ("f2_string_case", ["f2_string_fns", "f4_case_when"]),
+    ("f5_array_struct_math", ["f5_json_extract"]),
+    ("dd_exact_dup_groups", ["dd_exact_dedup_survivors"]),
+    ("tx_doc_features",
+     ["tx_token_stats", "tx_quality_score", "tx_language_id",
+      "dp_pipeline_corpus_clean"]),
+    ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
+    ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
+    ("st_tumbling_window", ["st_sliding_window"]),
+]
+
+_ROUND_KEY_CACHE: int | None = None
+
+
+def _round_key() -> int:
+    """Current round number: SPARK_GRAFT_ROUND env if set, else the
+    count of CORRECTNESS_r*.json files committed at the repo root + 1
+    (cached per process so one run sees one window even if the driver
+    writes this round's file mid-process)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    global _ROUND_KEY_CACHE
+    if _ROUND_KEY_CACHE is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        _ROUND_KEY_CACHE = 1 + len(
+            glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        )
+    return _ROUND_KEY_CACHE
+
+
+def rotation_swaps(key: int | None = None) -> dict[str, str]:
+    """anchor → this round's in-window pick, for groups whose pick is
+    not the anchor itself. Offset by group index so one round swaps a
+    staggered subset (~len/2) instead of all groups at once."""
+    if key is None:
+        key = _round_key()
+    out: dict[str, str] = {}
+    for i, (anchor, alts) in enumerate(ROTATION_GROUPS):
+        choices = [anchor] + alts
+        pick = choices[(key + i) % len(choices)]
+        if pick != anchor:
+            out[anchor] = pick
+    return out
+
+
+def _ordered(key: int | None = None) -> list[Query]:
     _load_all()
-    return sorted(CORPUS.values(), key=lambda q: (q.tier, q.seq))
+    sort_key = {q.name: (q.tier, q.seq) for q in CORPUS.values()}
+    for anchor, pick in rotation_swaps(key).items():
+        sort_key[anchor], sort_key[pick] = sort_key[pick], sort_key[anchor]
+    return sorted(CORPUS.values(), key=lambda q: sort_key[q.name])
+
+
+def window_names(key: int | None = None) -> list[str]:
+    """The driver's correctness window under rotation ``key`` (None →
+    the current round)."""
+    return [q.name for q in _ordered(key)[:DRIVER_WINDOW]]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

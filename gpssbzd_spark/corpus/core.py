@@ -1215,3 +1215,64 @@ def a1_approx_count_distinct(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("n_orders_approx")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.1 CSV source/sink family — driver evidence for S1-S3, S5-S7
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s_csv_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           ROUND(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    """,
+    note="S1-S3 + S5-S7 in one driver row, matching the reference's "
+    "CSV-first I/O (Parallel/Pattern Extraction.scala:38-45,255-256): "
+    "write supplier to a header CSV with a custom '|' delimiter under "
+    "the S7 target_files knob (writers.py), read it back through the "
+    "declared-StructType typed scan (csv.py — never inferSchema), and "
+    "oracle the round-trip against the parquet original. Values "
+    "survive bit-exactly: Spark prints doubles shortest-roundtrip, so "
+    "parse(write(x)) == x; rounding happens AFTER the round-trip on "
+    "both engines",
+)
+def s_csv_roundtrip(spark, sf_dir):
+    import os
+
+    from pyspark.sql import types as T
+
+    from gpssbzd_spark.sources.csv import read_csv
+    from gpssbzd_spark.sources.writers import write_partitioned
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        "csv_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    write_partitioned(
+        sup,
+        out_dir,
+        fmt="csv",
+        target_files=2,
+        options={"header": "true", "delimiter": "|"},
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, out_dir, schema, delimiter="|", header=True)
+    return back.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )

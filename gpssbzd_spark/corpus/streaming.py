@@ -74,7 +74,11 @@ def st_tumbling_window(spark, sf_dir):
     """,
     note="sliding window 1h/30m (each event in 2 windows) — Spark fans out "
     "inside the window exec; oracle replicates via an explicit 2-offset "
-    "cross join",
+    "cross join. Tier 2 as st_tumbling_window's rotation alternate: the "
+    "two share the windowed-agg driver slot round-robin (corpus "
+    "ROTATION_GROUPS) so streaming keeps 4 driver rows while both "
+    "window shapes earn driver evidence over rounds",
+    tier=2,
 )
 def st_sliding_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")

@@ -20,6 +20,7 @@ def write_partitioned(
     fmt: str = "parquet",
     mode: str = "overwrite",
     target_files: int | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
     """Write ``df``, optionally hive-partitioned by ``partition_cols``.
 
@@ -42,6 +43,11 @@ def write_partitioned(
       while total write tasks stay bounded at ``target_files``; without
       it, every task writes a file into every value's dir — the
       small-files explosion at scale.
+
+    ``options`` passes format options through (e.g. for CSV sinks the
+    §2.1 S5 surface: ``{"header": "true", "delimiter": "|"}`` — the
+    reference writes header CSV per line,
+    ``Parallel/Pattern Extraction.scala:255-256``).
     """
     if target_files is not None:
         if partition_cols:
@@ -49,6 +55,8 @@ def write_partitioned(
         else:
             df = df.coalesce(target_files)
     writer = df.write.mode(mode)
+    if options:
+        writer = writer.options(**options)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     getattr(writer, fmt)(path)

@@ -82,3 +82,55 @@ def test_partitioning_invariance(prepared):
     cols = [c for c in a.columns if c != "ts"]
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_multiline_vehicle_gets_per_line_semantics(spark):
+    """ADVICE r4: a vehicle whose pings span TWO lines in one input gets
+    per-(linenumber, id) dedup/time_diff/thresholds — the documented,
+    deliberate divergence from the reference's bare-id part-1 windows
+    (PPE:71-126). The sample-data goldens are single-line-per-vehicle
+    and cannot catch a regression here, so this fixture pins it:
+    mixed-line grouping would produce ONE threshold for the vehicle and
+    a nonzero time_diff at one line's first ping."""
+    rows = []
+    # line LA: gaps [0,10,10,10,10,60]; (1.003,1.0) duplicated at t=40
+    for t, lng in [(0, 1.0), (10, 1.001), (20, 1.002), (30, 1.003), (100, 1.004)]:
+        rows.append(("V1", "LA", lng, 1.0, t))
+    rows.append(("V1", "LA", 1.003, 1.0, 40))
+    # line LB: gaps [0,5,5,5,5]; (1.0,1.0) repeats LA's coordinate
+    for t, lng in [(0, 1.0), (5, 2.001), (10, 2.002), (15, 2.003), (20, 2.004)]:
+        rows.append(("V1", "LB", lng, 1.0, t))
+    gps = spark.createDataFrame(
+        rows, "id string, linenumber string, lng double, lat double, sec long"
+    ).select(
+        "id",
+        "linenumber",
+        "lng",
+        "lat",
+        F.lit("x").alias("t"),
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+    )
+    # no terminals anywhere near → retag never fires
+    bus_line = spark.createDataFrame(
+        [("LA", 89.0, 170.0, 2, 0)],
+        "existLine_id string, x double, y double, direction int, position int",
+    )
+    out = prepare_pings(gps, bus_line).collect()
+
+    by_line = {}
+    for r in out:
+        by_line.setdefault(r["linenumber"], []).append(r)
+    # dedup is per (id, LINE, lng, lat): the within-LA duplicate drops,
+    # the cross-line coordinate repeat survives on both lines
+    assert len(by_line["LA"]) == 5
+    assert len(by_line["LB"]) == 5
+    assert sum(1 for r in out if (r["lng"], r["lat"]) == (1.0, 1.0)) == 2
+    # time_diff restarts at EACH line's first ping
+    for rows_ in by_line.values():
+        first = min(rows_, key=lambda r: r["ts"])
+        assert first["time_diff"] == 0.0
+    # one threshold per (line, vehicle), and they differ across lines —
+    # bare-id grouping would have produced a single mixed value
+    th = {ln: {r["threshold"] for r in rs} for ln, rs in by_line.items()}
+    assert th["LA"] == {60.0}
+    assert th["LB"] == {5.0}

@@ -94,6 +94,8 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         "sim_topk_lsh",            # vectorized hyperplane-bucket kernel
         "dd_embedding_cosine_blocked",  # same bucket kernel (by design)
         "sim_topk_ivf",            # centroid-assignment matmul kernel
+        "sim_topk_ivf_build",      # same kernel (index assignment)
+        "sim_topk_ivf_query",      # same kernel (query-side probe)
     }
     for name in sorted(corpus.CORPUS):
         if name in pandas_backed:

@@ -1,17 +1,62 @@
 """Registry-shape tests: the driver's correctness gate only checks the
-first ``DRIVER_WINDOW`` registered queries, so the tier-0 set must stay
-exactly that size and cover every SURVEY.md §2 family. Round 1 lost all
-window/streaming/pipeline/multimodal driver rows to registration order;
-this pins the fix.
+first ``DRIVER_WINDOW`` registered queries, so the effective window must
+stay exactly that size and cover every SURVEY.md §2 family — under EVERY
+rotation key. Round 1 lost all window/streaming/pipeline/multimodal
+driver rows to registration order; r5 added the per-round rotation
+(corpus.ROTATION_GROUPS), so the invariants are asserted across a full
+cycle of round keys, not one static composition.
 """
 
 from __future__ import annotations
 
+import pytest
+
 from gpssbzd_spark import corpus
 
+# enough keys to exercise every alternate of the largest group (5
+# choices) at every offset
+KEYS = list(range(1, 12))
 
-def _window_names() -> list[str]:
-    return list(corpus.queries())[: corpus.DRIVER_WINDOW]
+# non-rotating tier-0 rows: every one must be in the window at EVERY
+# key (one name per §2 component or merged-component slot)
+FIXED = [
+    # scans/projections/filters/order/sets
+    "s_csv_roundtrip", "p1_scan_project_filter", "p5_filter_in_list",
+    "p9_dedup_keep_first", "p13_null_handling", "o1_global_topk",
+    # joins
+    "j1_join_inner", "j2_join_left_broadcast_dim", "j3_join_left_attach_agg",
+    "j4_self_theta_pair_join", "j8_range_join_broadcast",
+    # aggregates
+    "a4_percentile_exact", "a5_collect_list_ordered", "a7_tpch_q1_rollup",
+    "a8_rollup_grouping",
+    # scalar functions (merged rows cover F3+U2, W4+W5)
+    "f1_datetime_parts", "f1_timestamp_arithmetic",
+    "f3_haversine_native_and_sql",
+    # window functions
+    "w1_lag_lead", "w2_running_sum", "w3_topk_per_group",
+    "w45_bidirectional_fill", "w6_ranking_set", "w7_sessionize_gap",
+    "w8_range_frame_trailing",
+    # streaming (4 fixed + the tumbling/sliding rotation slot)
+    "st_session_window", "st_enrich_dim", "st_stateful_sessionize",
+    # pipelines
+    "bz_pipeline_cascade", "pe_pipeline_segments",
+    "tc_pipeline_dbscan", "tc_pipeline_components",
+    # dataprep / similarity / multimodal
+    "dd_minhash_lsh_pairs", "dd_simhash_buckets",
+    "dd_embedding_cosine_blocked", "tx_token_jaccard_pairs",
+    "sim_topk_brute", "sim_topk_lsh", "mm_frame_sample",
+]
+
+# rows-only (no oracle) rows allowed in the window: the genuinely
+# non-SQL-expressible ops. Constant across keys — every rotation
+# alternate carries a real oracle by construction.
+ALLOWED_NO_ORACLE = {
+    "dd_minhash_lsh_pairs",
+    "dd_simhash_buckets",
+    "dd_embedding_cosine_blocked",
+    "sim_topk_lsh",
+    "tc_pipeline_dbscan",
+}
 
 
 def test_tier0_exactly_fills_driver_window():
@@ -23,69 +68,73 @@ def test_tier0_exactly_fills_driver_window():
         "so fewer wastes correctness slots and more silently drops "
         "queries past the cap"
     )
-    assert set(_window_names()) == {q.name for q in tier0}
 
 
-def test_driver_window_covers_every_family():
-    """Each SURVEY §2 family (and each §2.11 dataprep family) must have at
-    least one query inside the driver window."""
-    names = _window_names()
-
-    def has(prefix: str) -> bool:
-        return any(n.startswith(prefix) for n in names)
-
-    # relational core
-    for prefix in ["p1", "p5", "p7", "p9", "p13", "o1", "set_"]:
-        assert has(prefix), f"projection/order/set family {prefix} fell out"
-    for j in ["j1", "j2", "j3", "j4", "j5", "j7", "j8"]:
-        assert has(j), f"join family {j} fell out of the driver window"
-    for a in ["a2", "a4", "a5", "a7", "a8"]:
-        assert has(a), f"aggregate family {a} fell out of the driver window"
-    for f in ["f1", "f2", "f3", "f5"]:
-        assert has(f), f"function family {f} fell out of the driver window"
-    # F3+U2 share one merged row covering both haversine surfaces
-    assert has("f3_haversine_native_and_sql"), "merged F3/U2 row fell out"
-    # the whole window-function family W1-W8 (r01's biggest gap);
-    # W4+W5 share the merged bidirectional-fill row
-    for w in ["w1", "w2", "w3", "w45", "w6", "w7", "w8"]:
-        assert has(w), f"window family {w} fell out of the driver window"
-    # streaming (4 window/stateful shapes + the stream-static enrich join),
-    # pipelines, dataprep, similarity, multimodal
-    assert sum(n.startswith("st_") for n in names) == 5
-    for p in ["bz_pipeline", "pe_pipeline", "tc_pipeline_dbscan", "tc_pipeline_components"]:
-        assert has(p), f"pipeline composite {p} fell out"
-    for d in [
-        "dd_exact",
-        "dd_minhash",
-        "dd_simhash",
-        "dd_embedding_cosine_pairs",
-        "dd_embedding_cosine_blocked",
-        "tx_doc_features",
-        "tx_token_jaccard",
-        "sim_topk_brute",
-        "sim_topk_lsh",
-        "mm_",
-    ]:
-        assert has(d), f"dataprep family {d} fell out of the driver window"
-
-
-def test_oracle_share_in_window():
-    """Most in-window queries must carry a real DuckDB oracle (rows-only
-    rows prove far less); only the genuinely non-SQL-expressible ops
-    (seeded-hash LSH families, multimodal binary kernels, clustering)
-    may omit one."""
+def test_rotation_groups_well_formed():
+    """Anchors are tier-0, alternates tier-2 WITH an oracle (a rows-only
+    alternate would silently weaken the window the round it rotates in),
+    and no name appears in two groups."""
     corpus._load_all()
-    names = _window_names()
-    no_oracle = [n for n in names if corpus.CORPUS[n].oracle is None]
-    allowed = {
-        "dd_minhash_lsh_pairs",
-        "dd_simhash_buckets",
-        "dd_embedding_cosine_blocked",
-        "sim_topk_lsh",
-        "mm_resize_pipeline",
-        "tc_pipeline_dbscan",
-    }
-    assert set(no_oracle) <= allowed, (
-        f"unexpected rows-only queries in the driver window: "
-        f"{sorted(set(no_oracle) - allowed)}"
+    seen: set[str] = set()
+    for anchor, alts in corpus.ROTATION_GROUPS:
+        assert corpus.CORPUS[anchor].tier == 0, anchor
+        for name in (anchor, *alts):
+            assert name in corpus.CORPUS, f"unknown rotation name {name}"
+            assert name not in seen, f"{name} in two rotation groups"
+            seen.add(name)
+        for alt in alts:
+            assert corpus.CORPUS[alt].tier == 2, alt
+            assert corpus.CORPUS[alt].oracle is not None, (
+                f"rotation alternate {alt} has no oracle"
+            )
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_driver_window_invariants_under_rotation(key):
+    """At every round key: exactly DRIVER_WINDOW queries, every fixed
+    family row present, exactly ONE member of each rotation group, and
+    no unexpected rows-only entries."""
+    names = corpus.window_names(key)
+    assert len(names) == corpus.DRIVER_WINDOW
+    in_window = set(names)
+
+    missing = [n for n in FIXED if n not in in_window]
+    assert not missing, f"fixed family rows fell out at key {key}: {missing}"
+
+    for anchor, alts in corpus.ROTATION_GROUPS:
+        members = [n for n in (anchor, *alts) if n in in_window]
+        assert len(members) == 1, (
+            f"rotation group {anchor} has {members} in window at key {key}"
+        )
+
+    no_oracle = {n for n in names if corpus.CORPUS[n].oracle is None}
+    assert no_oracle <= ALLOWED_NO_ORACLE, (
+        f"unexpected rows-only queries in the driver window at key "
+        f"{key}: {sorted(no_oracle - ALLOWED_NO_ORACLE)}"
     )
+
+
+def test_rotation_changes_window_between_rounds():
+    """Consecutive round keys must produce different window compositions
+    (the whole point: tier-2 oracles earn driver rows over rounds), and
+    every rotation alternate must appear within a full cycle."""
+    comps = [set(corpus.window_names(k)) for k in KEYS]
+    assert all(a != b for a, b in zip(comps, comps[1:]))
+    everyone = set().union(*comps)
+    for anchor, alts in corpus.ROTATION_GROUPS:
+        for name in (anchor, *alts):
+            assert name in everyone, (
+                f"{name} never rotates into the window across keys {KEYS}"
+            )
+
+
+def test_oracle_sql_tracks_rotated_window():
+    """queries()/oracle_sql() must agree under the CURRENT round key:
+    every in-window oracled name appears in oracle_sql with a non-empty
+    string (the driver consumes both dicts, misalignment = silent
+    rows-only downgrade)."""
+    qs = list(corpus.queries())[: corpus.DRIVER_WINDOW]
+    oracles = corpus.oracle_sql()
+    for n in qs:
+        if corpus.CORPUS[n].oracle is not None:
+            assert oracles[n].strip(), n
