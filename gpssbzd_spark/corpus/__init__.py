@@ -77,6 +77,7 @@ def query(name: str, oracle: str | None = None, note: str = "", tier: int = 0):
 # --------------------------------------------------------------------------
 
 ROTATION_GROUPS: list[tuple[str, list[str]]] = [
+    ("tc_pipeline_dbscan", ["tc_pipeline_dbscan_general"]),
     ("p7_filter_distinct",
      ["p7_filter_compound_bool", "p10_distinct_projection",
       "p8_sql_string_filter", "p12_cast_types"]),

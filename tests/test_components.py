@@ -230,3 +230,40 @@ def test_dbscan_distributed_routes_agree(spark, patterns, line_params):
     )
     traj.unpersist()
     assert a == b and len(a) > 0
+
+
+def test_general_dbscan_corpus_point_classes(spark):
+    """The oracled general-min_samples corpus row must exhibit ALL
+    three DBSCAN point classes with the designed chain-site structure
+    (see corpus/pipelines.py _TC_GENERAL_PTS): per line, trajectory
+    ordinals r0-5 are cores of cluster 0, r6 is a BORDER adopting
+    cluster 0 (its only neighbor r5 is core, its own degree 1 < 4),
+    r7-11 are a second core clique, r12-19 are noise. The DuckDB
+    hash-match (test_corpus_oracle / driver) proves Spark==SQL; this
+    pins that the fixture actually exercises border handling rather
+    than degenerating into cliques-only."""
+    from gpssbzd_spark.corpus import pipelines as cp
+
+    pdf = cp.tc_pipeline_dbscan_general(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    for line, grp in pdf.groupby("linenumber"):
+        by_r = {
+            (int(r["id"]) // 5) * 5 + int(r["patternID"]): r["cluster"]
+            for _, r in grp.iterrows()
+        }
+        chain = {by_r[r] for r in range(0, 6) if r in by_r}
+        assert len(chain) == 1 and chain != {-1}, (line, chain)
+        if 6 in by_r:
+            assert by_r[6] == chain.pop(), (
+                f"border lost its chain cluster on line {line}"
+            )
+            chain = {by_r[6]}
+        second = {by_r[r] for r in range(7, 12) if r in by_r}
+        assert len(second) == 1 and second != {-1}, (line, second)
+        # cluster NUMBERS are the per-line rank of each component's min
+        # core key STRING (so "12" < "2" — data-dependent); classes and
+        # separation are the invariant, not which gets 0
+        assert second != chain, line
+        noise = {by_r[r] for r in range(12, 20) if r in by_r}
+        assert noise <= {-1}, (line, noise)

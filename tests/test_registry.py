@@ -38,9 +38,10 @@ FIXED = [
     "w8_range_frame_trailing",
     # streaming (4 fixed + the tumbling/sliding rotation slot)
     "st_session_window", "st_enrich_dim", "st_stateful_sessionize",
-    # pipelines
+    # pipelines (tc_pipeline_dbscan rotates with its oracled
+    # general-min_samples twin, so it is group-checked, not FIXED)
     "bz_pipeline_cascade", "pe_pipeline_segments",
-    "tc_pipeline_dbscan", "tc_pipeline_components",
+    "tc_pipeline_components",
     # dataprep / similarity / multimodal
     "dd_minhash_lsh_pairs", "dd_simhash_buckets",
     "dd_embedding_cosine_blocked", "tx_token_jaccard_pairs",
