@@ -7,14 +7,17 @@ Decode kernels come in three flavors, selected by ``decode=``:
   (sha256-folded features, seeded thumbnail bytes), so partitioning,
   schema, UDF signatures and Arrow batch shapes are real and tested
   end-to-end with zero native dependencies;
-- ``"real"`` — Pillow-backed image decode/resize, IMPORT-GUARDED: the
-  import is attempted lazily inside the executor-side kernel, and a
-  missing Pillow raises ``NotImplementedError`` naming the dependency
-  (this container ships no Pillow/ffmpeg — the real path is exercised
-  by tests/test_dataprep.py only where PIL imports, and the stub
-  contract is asserted where it doesn't);
-- ``"auto"`` — ``real`` when Pillow is importable on the driver, else
-  ``fake``.
+- ``"real"`` — real decoders per kind: images via Pillow
+  (IMPORT-GUARDED — a missing Pillow raises ``NotImplementedError``
+  naming the dependency; this container ships no Pillow/ffmpeg, so the
+  image path is exercised by tests/test_dataprep.py only where PIL
+  imports, and the stub contract is asserted where it doesn't), audio
+  via the stdlib ``wave`` module + numpy (ALWAYS available — WAV
+  header + PCM statistics need no native deps, so the audio real path
+  runs and is tested in this container), video stubbed (no ffmpeg;
+  frame sampling stays metadata-driven, :func:`sample_frames`);
+- ``"auto"`` — per kind: images ``real`` iff Pillow is importable else
+  ``fake``; audio always ``real`` (stdlib); video ``fake``.
 
 The Spark-side plumbing — ``mapInPandas`` batch iteration, Arrow
 transfer of binary columns, metadata struct schemas, partition-count
@@ -144,22 +147,67 @@ def _real_features(content: bytes | None) -> list[float]:
     return (feats + [0.0] * _FEATURE_DIM)[:_FEATURE_DIM]
 
 
+def _real_audio_features(content: bytes | None) -> list[float]:
+    """Stdlib-``wave``-backed WAV features: (duration_ms, channels,
+    framerate, sample_width, RMS and peak of PCM amplitude normalized
+    to [0,1]), zero-padded to _FEATURE_DIM. No native deps — unlike the
+    Pillow image path this real decoder always runs. Undecodable bytes
+    degrade to the all-zero vector per-row (one corrupt blob must not
+    kill a 100 TB scan), matching :func:`_real_features`."""
+    import wave
+
+    if not content:
+        return [0.0] * _FEATURE_DIM
+    try:
+        r = wave.open(io.BytesIO(content), "rb")
+        nch, sw = r.getnchannels(), r.getsampwidth()
+        rate, nf = r.getframerate(), r.getnframes()
+        raw = r.readframes(nf)
+    except Exception:
+        return [0.0] * _FEATURE_DIM
+    dur_ms = 1000.0 * nf / rate if rate else 0.0
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None or not raw:
+        rms = peak = 0.0
+    else:
+        pcm = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sw == 1:  # 8-bit WAV is unsigned, centered at 128
+            pcm -= 128.0
+        scale = float(2 ** (8 * sw - 1))
+        rms = float(np.sqrt(np.mean(pcm * pcm)) / scale)
+        peak = float(np.max(np.abs(pcm)) / scale)
+    feats = [dur_ms, float(nch), float(rate), float(sw), rms, peak]
+    return (feats + [0.0] * _FEATURE_DIM)[:_FEATURE_DIM]
+
+
 def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     """media df → (media_id, kind, n_bytes, feature array<double>).
 
     ``mapInPandas`` so one Arrow batch of binary blobs is decoded per
-    iteration — the real decoder (``decode='real'``, Pillow) and the
-    deterministic stub share the same kernel seam. Batch size is
-    governed by spark.sql.execution.arrow.maxRecordsPerBatch; with real
-    media blobs, lower it so a batch of decoded frames fits executor
-    memory.
+    iteration — the real decoders and the deterministic stub share the
+    same kernel seam, dispatched per ``meta.kind`` (module docstring:
+    image → Pillow, audio → stdlib wave, video/unknown → stub). Batch
+    size is governed by spark.sql.execution.arrow.maxRecordsPerBatch;
+    with real media blobs, lower it so a batch of decoded frames fits
+    executor memory.
     """
-    decode = _resolve_decode(decode, "media decode")
-    kernel = _real_features if decode == "real" else _fake_features
+    assert decode in ("fake", "real", "auto"), decode
+    if decode == "real" and not _pil_available():
+        # strict contract preserved: real demands every real kernel,
+        # and the image one needs Pillow
+        _resolve_decode("real", "media decode")
+    real_image = decode == "real" or (decode == "auto" and _pil_available())
+    real_audio = decode in ("real", "auto")
+    img_kernel = _real_features if real_image else _fake_features
+    audio_kernel = _real_audio_features if real_audio else _fake_features
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             meta = _meta_frame(pdf["meta"])
+            is_audio = (meta["kind"] == "audio").to_numpy()
+            feature = pd.Series(index=pdf.index, dtype=object)
+            feature[is_audio] = pdf["content"][is_audio].map(audio_kernel)
+            feature[~is_audio] = pdf["content"][~is_audio].map(img_kernel)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -167,7 +215,7 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
                     "n_bytes": pdf["content"].map(
                         lambda b: 0 if b is None else len(b)
                     ),
-                    "feature": pdf["content"].map(kernel),
+                    "feature": feature,
                 }
             )
 

@@ -523,3 +523,58 @@ def test_ivf_seed_sample_filters_below_take_ordered(spark):
     # the filter is below (after, in print order) the TakeOrdered node
     assert plan.index("TakeOrderedAndProject") < plan.index("pmod"), plan
     assert len(df.collect()) == k
+
+
+def test_media_real_audio_decode_stdlib(spark):
+    """The audio real path needs NO native deps (stdlib wave + numpy),
+    so unlike the Pillow image path it runs in this container: under
+    decode='auto' audio rows get true WAV features (duration, channels,
+    rate, width, normalized RMS/peak) while a corrupt blob degrades
+    per-row to zeros; image rows in the same batch keep the fake
+    kernel when Pillow is absent (per-kind dispatch)."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+
+    def wav(nch, rate, samples):
+        buf = _io.BytesIO()
+        w = _wave.open(buf, "wb")
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(_np.asarray(samples, dtype=_np.int16).tobytes())
+        w.close()
+        return buf.getvalue()
+
+    # 8000 frames at 8 kHz mono => exactly 1000 ms; constant amplitude
+    # 16384 => rms == peak == 0.5 exactly (power of two: no float fuzz)
+    a1 = wav(1, 8000, [16384] * 8000)
+    audio = spark.createDataFrame(
+        [(1, a1), (2, b"not-a-wav")], "media_id long, blob binary"
+    )
+    media = media_from_binary(audio, "media_id", "blob", kind="audio", mime="audio/wav")
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode="auto").collect()
+    }
+    assert feats[1][:4] == [1000.0, 1.0, 8000.0, 2.0]
+    assert feats[1][4] == pytest.approx(0.5) and feats[1][5] == pytest.approx(0.5)
+    assert feats[2] == [0.0] * 8  # corrupt blob → zeros, no crash
+
+    # mixed batch: image rows still dispatch to their own kernel
+    img = media_from_binary(
+        spark.createDataFrame([(3, b"img-bytes")], "media_id long, blob binary"),
+        "media_id", "blob", kind="image", mime="image/png",
+    )
+    mixed = {
+        r.media_id: r.feature
+        for r in extract_features(media.union(img), decode="auto").collect()
+    }
+    assert mixed[1] == feats[1]
+    if not _HAS_PIL:
+        fake = {
+            r.media_id: r.feature
+            for r in extract_features(img, decode="fake").collect()
+        }
+        assert mixed[3] == fake[3]  # image falls back to the stub

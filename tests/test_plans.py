@@ -110,6 +110,24 @@ def test_brute_force_topk_broadcasts_queries_never_shuffles_corpus(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_persisted_query_prunes_index_partitions(spark):
+    """The steady-state IVF query must scan ONLY the probed centroids'
+    partitions of the persisted cid-partitioned index — Spark's dynamic
+    partition pruning against the broadcast probe set. Without DPP the
+    'inverted file' reads the whole index every query and the
+    n_probe/n_centroids scan-fraction promise is fiction at 100 TB."""
+    from gpssbzd_spark.corpus.dataprep import (
+        sim_topk_ivf_build,
+        sim_topk_ivf_query,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sim_topk_ivf_build(spark, sf)  # ensure the index exists for this gen
+    plan = final_plan(sim_topk_ivf_query(spark, sf))
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters: [isnotnull(cid" in plan, plan
+
+
 def test_pair_join_shuffles_on_group_key_once(spark):
     """The O(n²)-per-group pair generator must be a single equi-join on
     the group key (broadcast at test scale, shuffled-hash/sort-merge at
