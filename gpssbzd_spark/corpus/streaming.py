@@ -24,6 +24,7 @@ from gpssbzd_spark.streaming.windows import (
     enrich_with_dim,
     session_window_agg,
     sliding_window_agg,
+    stream_stream_interval_join,
     tumbling_window_agg,
 )
 
@@ -194,3 +195,38 @@ def st_enrich_dim(spark, sf_dir):
 def st_stateful_sessionize(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return streaming_gap_sessionize(ev, gap_seconds=1800.0)
+
+
+@query(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT l.event_id AS err_event, r.event_id AS follow_event,
+           l.user_id,
+           ROUND(r.value, 4) AS follow_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL '2 hours'
+    WHERE l.event_type = 'error'
+    """,
+    note="stream-stream event-time interval join: for every error "
+    "event, the same user's follow-up events within 2 hours "
+    "(streaming/windows.py stream_stream_interval_join — watermarks on "
+    "BOTH sides bound the join state to watermark+interval at 100 TB; "
+    "batch twin is the identical range-predicate equi-join, checked "
+    "here; true cross-micro-batch pairing is pinned by the "
+    "tests/test_streaming.py parity test). Rotation alternate of "
+    "st_enrich_dim: the two streaming joins share one driver slot",
+    tier=2,
+)
+def st_stream_stream_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    joined = stream_stream_interval_join(
+        errors, ev, on=["user_id"], max_delay="2 hours"
+    )
+    return joined.select(
+        F.col("l.event_id").alias("err_event"),
+        F.col("r.event_id").alias("follow_event"),
+        F.col("l.user_id").alias("user_id"),
+        F.round(F.col("r.value"), 4).alias("follow_value"),
+    )

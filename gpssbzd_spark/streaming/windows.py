@@ -136,6 +136,49 @@ def session_window_agg(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+    strict_lower: bool = True,
+) -> DataFrame:
+    """Event-time stream-stream interval join: pair each left row with
+    right rows of the same keys whose timestamp falls in
+    ``(left_ts, left_ts + max_delay]`` (lower bound inclusive when
+    ``strict_lower=False``).
+
+    One definition, batch AND stream (the module's contract): on
+    streaming inputs both sides are watermarked — REQUIRED by Spark for
+    stream-stream joins, since the time-range condition plus watermark
+    is what lets the state store evict rows older than
+    ``watermark + max_delay`` instead of buffering both streams forever
+    (the 100 TB concern: unbounded join state). Inner joins emit rows as
+    soon as both sides match; outer variants additionally wait for the
+    watermark before emitting nulls. On batch inputs the watermark is a
+    no-op and Catalyst plans a plain range-predicate equi-join — the
+    parity pytest drives both and the corpus oracle checks the batch
+    twin against DuckDB.
+    """
+    lw = with_watermark(left, left_ts, watermark).alias("l")
+    rw = with_watermark(right, right_ts, watermark).alias("r")
+    cond = None
+    for k in on:
+        eq = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = eq if cond is None else cond & eq
+    lo = F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}")
+    if not strict_lower:
+        lo = F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
+    hi = F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(
+        f"INTERVAL {max_delay}"
+    )
+    return lw.join(rw, cond & lo & hi, how)
+
+
 def dedup_within_watermark(
     df: DataFrame, subset: Sequence[str], ts_col: str, delay: str
 ) -> DataFrame:

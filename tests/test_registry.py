@@ -36,8 +36,9 @@ FIXED = [
     "w1_lag_lead", "w2_running_sum", "w3_topk_per_group",
     "w45_bidirectional_fill", "w6_ranking_set", "w7_sessionize_gap",
     "w8_range_frame_trailing",
-    # streaming (4 fixed + the tumbling/sliding rotation slot)
-    "st_session_window", "st_enrich_dim", "st_stateful_sessionize",
+    # streaming (2 fixed + the tumbling/sliding and enrich/stream-stream
+    # rotation slots)
+    "st_session_window", "st_stateful_sessionize",
     # pipelines (tc_pipeline_dbscan rotates with its oracled
     # general-min_samples twin, so it is group-checked, not FIXED)
     "bz_pipeline_cascade", "pe_pipeline_segments",
