@@ -92,7 +92,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("dd_exact_dup_groups", ["dd_exact_dedup_survivors"]),
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
-      "dp_pipeline_corpus_clean"]),
+      "dp_pipeline_corpus_clean", "tx_bpe_token_count"]),
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window", ["st_sliding_window"]),

@@ -214,6 +214,7 @@ from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
     lsh_topk,
 )
 from gpssbzd_spark.dataprep.text import (  # noqa: E402
+    bpe_token_count,
     STOPWORDS,
     doc_fingerprint,
     language_id,
@@ -823,4 +824,35 @@ def dp_pipeline_corpus_clean(spark, sf_dir):
         "lang_guess",
         "n_tokens",
         _F.round("alpha_ratio", 4).alias("alpha_ratio"),
+    )
+
+
+@query(
+    "tx_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_bpe_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                AS BIGINT) AS n_ws_tokens
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    note="token counting, both units a training pipeline budgets with: "
+    "BPE-pretokenizer match count (dataprep/text.py bpe_token_count — "
+    "lookahead-free ASCII pattern so Spark's Java regex and DuckDB's "
+    "RE2 count identically) next to the whitespace word count; "
+    "tx rotation alternate",
+    tier=2,
+)
+def tx_bpe_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(
+        _F.col("text").isNotNull()
+    )
+    feats = quality_features(_F.col("text"))
+    return d.select(
+        "doc_id",
+        bpe_token_count(_F.col("text")).alias("n_bpe_tokens"),
+        feats["n_tokens"].alias("n_ws_tokens"),
     )

@@ -46,6 +46,26 @@ def tokens(text_col: Column, distinct: bool = False) -> Column:
     return F.array_distinct(t) if distinct else t
 
 
+# GPT-2-style pretokenizer, simplified to be dialect-portable: letter
+# runs, digit runs, and symbol runs, each optionally absorbing one
+# leading space (the BPE convention that a token owns its preceding
+# space). Deliberately NO lookahead (RE2/DuckDB lacks it) and ASCII
+# classes only (a non-BMP char would count differently under Java's
+# UTF-16 code units vs RE2's codepoints; the fixture corpus is ASCII).
+# Alternation is leftmost-first in both engines, so counts agree.
+BPE_PRETOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """Subword-tokenizer-shaped token count: number of BPE pretokenizer
+    matches (the unit a GPT-2-family BPE then splits further — the
+    standard "how many tokens is this corpus" estimate a training-data
+    pipeline budgets with, vs :func:`tokens`' whitespace words).
+    Whitespace runs between pretokens are not themselves counted. NULL
+    text → NULL."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_RE), 0))
+
+
 def language_id(text_col: Column) -> Column:
     """Best-guess language code: 'zh' if CJK chars dominate, else the
     stopword list with the largest distinct-token overlap ('und' if no

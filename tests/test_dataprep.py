@@ -578,3 +578,34 @@ def test_media_real_audio_decode_stdlib(spark):
             for r in extract_features(img, decode="fake").collect()
         }
         assert mixed[3] == fake[3]  # image falls back to the stub
+
+
+def test_bpe_token_count_matches_python_reference(spark):
+    """bpe_token_count must equal a plain-Python re count of the same
+    lookahead-free pretokenizer pattern (and differ from the whitespace
+    count where punctuation splits off)."""
+    import re as _re
+
+    from gpssbzd_spark.dataprep.text import BPE_PRETOKEN_RE, bpe_token_count
+
+    texts = [
+        "Hello, world! 42 cats",     # 6 pretokens vs 4 ws words
+        "  leading and trailing  ",
+        "",
+        "no-punct words only here",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    pat = _re.compile(BPE_PRETOKEN_RE)
+    for i, t in enumerate(texts):
+        want = None if t is None else len(pat.findall(t))
+        assert got[i] == want, (t, got[i], want)
+    assert got[0] == 6
