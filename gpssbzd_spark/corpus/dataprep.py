@@ -856,3 +856,29 @@ def tx_bpe_token_count(spark, sf_dir):
         bpe_token_count(_F.col("text")).alias("n_bpe_tokens"),
         feats["n_tokens"].alias("n_ws_tokens"),
     )
+
+
+from gpssbzd_spark.dataprep.splits import hash_split, hash_split_sql  # noqa: E402
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@query(
+    "dp_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           {hash_split_sql("doc_id", _SPLIT_WEIGHTS)} AS split
+    FROM documents
+    """,
+    note="deterministic train/val/test assignment (dataprep/splits.py): "
+    "content-keyed md5-hex bucketing with cumulative-weight thresholds "
+    "compared lexicographically — the anti-leakage split a training "
+    "pipeline needs (randomSplit reassigns rows across reruns/"
+    "partitionings). Pure per-row projection: no shuffle, no state, "
+    "engine-portable (the oracle evaluates the IDENTICAL construction). "
+    "dd rotation alternate",
+    tier=2,
+)
+def dp_hash_split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id", _SPLIT_WEIGHTS)

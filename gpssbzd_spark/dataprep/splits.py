@@ -1,0 +1,102 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``randomSplit`` is the textbook answer and the wrong one for a corpus:
+it is nondeterministic across reruns and partitionings, so yesterday's
+validation example can be today's training example (leakage). The
+standard production construction is a content-keyed HASH split: bucket
+each row by a cryptographic hash of its id + salt, map cumulative
+weight ranges onto the bucket space, and the assignment is a pure
+function of (id, salt) — stable under reruns, repartitioning, engine
+version, and even engine CHOICE.
+
+Portability note (this is why md5-hex + string compare, not xxhash):
+Spark's ``xxhash64``/``hash`` have no DuckDB twin, but ``md5`` is
+bit-identical everywhere. A fixed-length hex prefix of the digest is
+uniform over 16^k, and LEXICOGRAPHIC comparison of hex strings equals
+numeric comparison of the underlying value — so thresholds are just
+zero-padded hex literals and the whole assignment stays in codegen'd
+string ops any engine can mirror (no 64-bit integer conversion
+dialects). At 100 TB the split is a stateless per-row projection: no
+shuffle, no state, fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # 16^8 = 4.3e9 buckets: granularity ~2.3e-10
+
+
+def _bucket_hex(id_col: Column, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), id_col.cast("string"))),
+        1,
+        _HEX_DIGITS,
+    )
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(split_name, upper-bound hex threshold) in declaration order;
+    the last bound is forced to 'ffffffff…' so rounding never leaves a
+    bucket unassigned."""
+    total = float(sum(weights.values()))
+    assert total > 0, "weights must sum > 0"
+    space = 16**_HEX_DIGITS
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    names = list(weights)
+    for name in names:
+        cum += weights[name] / total
+        bound = min(space, int(round(cum * space)))
+        out.append((name, format(bound, f"0{_HEX_DIGITS}x")))
+    out[-1] = (names[-1], "f" * _HEX_DIGITS)
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split name, deterministically by id.
+
+    ``weights`` maps split name → relative weight (normalized
+    internally), e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``.
+    Changing ``salt`` produces an independent assignment; keeping it
+    fixes every id's split forever (the anti-leakage contract). Null
+    ids hash as the string 'None'-less empty via cast — they land in a
+    deterministic bucket rather than a null split.
+    """
+    bucket = _bucket_hex(F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt)
+    # reversed + otherwise-chaining builds
+    #   when(b <= t1, s1).otherwise(when(b <= t2, s2).otherwise(... s_last))
+    # so the FIRST (smallest) matching bound wins — exactly the
+    # cumulative-range semantics
+    expr = None
+    for name, bound in reversed(split_thresholds(weights)):
+        lit = F.lit(name)
+        if expr is None:
+            expr = lit  # last split is the unconditional tail
+        else:
+            expr = F.when(bucket <= F.lit(bound), lit).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_sql(
+    id_expr: str, weights: dict[str, float], salt: str = "split-v1"
+) -> str:
+    """The DuckDB/ANSI twin of :func:`hash_split`'s assignment CASE —
+    used by the corpus oracle so both engines evaluate the identical
+    construction."""
+    bucket = (
+        f"substr(md5('{salt}' || '|' || COALESCE(CAST({id_expr} AS VARCHAR), '')),"
+        f" 1, {_HEX_DIGITS})"
+    )
+    ths = split_thresholds(weights)
+    cases = " ".join(
+        f"WHEN {bucket} <= '{bound}' THEN '{name}'" for name, bound in ths[:-1]
+    )
+    return f"CASE {cases} ELSE '{ths[-1][0]}' END"

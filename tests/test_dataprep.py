@@ -609,3 +609,29 @@ def test_bpe_token_count_matches_python_reference(spark):
         want = None if t is None else len(pat.findall(t))
         assert got[i] == want, (t, got[i], want)
     assert got[0] == 6
+
+
+def test_hash_split_deterministic_disjoint_weighted(spark):
+    """hash_split's anti-leakage contract: same (id, salt) → same split
+    across reruns AND partitionings; every row gets exactly one split;
+    realized shares track the weights; a different salt reassigns."""
+    from gpssbzd_spark.dataprep.splits import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id", w).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(13), "doc_id", w).collect()
+    }
+    assert a == b  # stable under partitioning / rerun
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    for name, frac in w.items():
+        share = sum(1 for s in a.values() if s == name) / n
+        assert abs(share - frac) < 0.02, (name, share)
+    c = {
+        r.doc_id: r.split
+        for r in hash_split(df, "doc_id", w, salt="other").collect()
+    }
+    assert c != a  # salt gives an independent assignment
