@@ -882,3 +882,37 @@ _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 def dp_hash_split(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return hash_split(d, "doc_id", _SPLIT_WEIGHTS)
+
+
+from gpssbzd_spark.dataprep.splits import (  # noqa: E402
+    deterministic_sample,
+    deterministic_sample_sql,
+)
+
+
+@query(
+    "dp_weighted_mixture",
+    oracle=f"""
+    SELECT 'web' AS source, doc_id FROM documents
+    WHERE {deterministic_sample_sql("doc_id", 0.5, "mix-web")}
+    UNION ALL
+    SELECT 'books' AS source, doc_id FROM documents
+    WHERE {deterministic_sample_sql("doc_id", 0.2, "mix-books")}
+    """,
+    note="weighted dataset mixture from deterministic hash-fraction "
+    "samples (dataprep/splits.py deterministic_sample): two sources "
+    "drawn at 0.5/0.2 with independent salts and unioned — repeatable "
+    "across reruns and task retries (df.sample() is not), stateless "
+    "and shuffle-free at 100 TB. Oracle evaluates the identical "
+    "predicates. dd rotation alternate",
+    tier=2,
+)
+def dp_weighted_mixture(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    web = deterministic_sample(d, "doc_id", 0.5, salt="mix-web").select(
+        _F.lit("web").alias("source"), "doc_id"
+    )
+    books = deterministic_sample(d, "doc_id", 0.2, salt="mix-books").select(
+        _F.lit("books").alias("source"), "doc_id"
+    )
+    return web.unionByName(books)

@@ -100,3 +100,44 @@ def hash_split_sql(
         f"WHEN {bucket} <= '{bound}' THEN '{name}'" for name, bound in ths[:-1]
     )
     return f"CASE {cases} ELSE '{ths[-1][0]}' END"
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample-v1"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, keyed by id hash —
+    the repeatable alternative to ``df.sample()`` (which draws per
+    task attempt: a retried task can emit a DIFFERENT sample mid-job).
+    Same id + salt → same keep/drop decision forever, so downstream
+    dedup/split stages see a stable corpus. Composing samples with
+    different salts is how a weighted dataset MIXTURE is built: union
+    per-source samples at their mixture weights, each source keyed by
+    its own salt."""
+    assert 0.0 <= fraction <= 1.0, fraction
+    if fraction >= 1.0:
+        # the full-space bound would need one hex digit more than the
+        # bucket width (0x100000000) — short-circuit instead
+        return df
+    bound = format(
+        int(round(fraction * 16**_HEX_DIGITS)), f"0{_HEX_DIGITS}x"
+    )
+    bucket = _bucket_hex(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt
+    )
+    # strict < so fraction=0 keeps nothing
+    return df.filter(bucket < F.lit(bound))
+
+
+def deterministic_sample_sql(
+    id_expr: str, fraction: float, salt: str = "sample-v1"
+) -> str:
+    """DuckDB/ANSI predicate twin of :func:`deterministic_sample`."""
+    if fraction >= 1.0:
+        return "TRUE"
+    bound = format(
+        int(round(fraction * 16**_HEX_DIGITS)), f"0{_HEX_DIGITS}x"
+    )
+    return (
+        f"substr(md5('{salt}' || '|' || COALESCE(CAST({id_expr} AS VARCHAR),"
+        f" '')), 1, {_HEX_DIGITS}) < '{bound}'"
+    )

@@ -635,3 +635,31 @@ def test_hash_split_deterministic_disjoint_weighted(spark):
         for r in hash_split(df, "doc_id", w, salt="other").collect()
     }
     assert c != a  # salt gives an independent assignment
+
+
+def test_deterministic_sample_stable_and_composable(spark):
+    """deterministic_sample: stable under repartitioning, monotone in
+    fraction with the SAME salt (a 0.2 sample is a subset of the 0.5
+    sample — the property that lets a pipeline grow a mixture without
+    reshuffling examples), near-independent across salts, and exact at
+    the 0/1 edges."""
+    from gpssbzd_spark.dataprep.splits import deterministic_sample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s50 = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.5, "s").collect()}
+    s20 = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.2, "s").collect()}
+    again = {
+        r.doc_id
+        for r in deterministic_sample(
+            df.repartition(7), "doc_id", 0.5, "s"
+        ).collect()
+    }
+    assert s50 == again
+    assert s20 <= s50  # same salt → nested samples
+    assert abs(len(s50) / 4000 - 0.5) < 0.03
+    assert abs(len(s20) / 4000 - 0.2) < 0.03
+    assert deterministic_sample(df, "doc_id", 0.0, "s").count() == 0
+    assert deterministic_sample(df, "doc_id", 1.0, "s").count() == 4000
+    other = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.5, "t").collect()}
+    overlap = len(s50 & other) / len(s50)
+    assert 0.35 < overlap < 0.65  # independent salts ≈ fraction overlap
