@@ -75,10 +75,12 @@ HEADLINE = [
     "sim_topk_ivf_query",
     "st_tumbling_window",
     "st_stateful_sessionize",
+    "st_stream_stream_join",
     "bz_pipeline_cascade",
     "pe_pipeline_segments",
     "tc_pipeline_dbscan",
     "tc_pipeline_components",
+    "tc_pipeline_dbscan_general",
 ]
 
 
