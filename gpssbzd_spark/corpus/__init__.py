@@ -93,7 +93,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
      ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture"]),
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
-      "dp_pipeline_corpus_clean", "tx_bpe_token_count"]),
+      "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub"]),
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window", ["st_sliding_window"]),

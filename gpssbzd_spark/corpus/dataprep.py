@@ -916,3 +916,59 @@ def dp_weighted_mixture(spark, sf_dir):
         _F.lit("books").alias("source"), "doc_id"
     )
     return web.unionByName(books)
+
+
+from gpssbzd_spark.dataprep.text import (  # noqa: E402
+    PII_PATTERNS,
+    pii_counts,
+    scrub_pii,
+)
+
+
+@query(
+    "tx_pii_scrub",
+    oracle=rf"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) 010-1234 at 10.0.0.'
+                  || CAST(doc_id % 255 AS VARCHAR) AS t2
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                 '{PII_PATTERNS["email"]}', '[PII]', 'g'),
+                 '{PII_PATTERNS["phone"]}', '[PII]', 'g'),
+                 '{PII_PATTERNS["ipv4"]}', '[PII]', 'g')) AS scrubbed_md5,
+           len(regexp_extract_all(t2, '{PII_PATTERNS["email"]}')) AS n_email,
+           len(regexp_extract_all(t2, '{PII_PATTERNS["phone"]}')) AS n_phone,
+           len(regexp_extract_all(t2, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4
+    FROM seeded
+    """,
+    note="PII scrubbing (dataprep/text.py scrub_pii): email/phone/IPv4 "
+    "redaction with lookaround-free ASCII patterns that Java regex and "
+    "RE2 match identically, verified by md5 of the scrubbed text plus "
+    "per-kind match counts. The fixture corpus carries no PII, so each "
+    "doc is seeded with a deterministic doc_id-derived email + phone + "
+    "IP on BOTH engines and the scrub must redact exactly those. "
+    "tx rotation alternate",
+    tier=2,
+)
+def tx_pii_scrub(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(_F.col("text").isNotNull())
+    t2 = _F.concat(
+        _F.col("text"),
+        _F.lit(" contact user"),
+        _F.col("doc_id").cast("string"),
+        _F.lit("@example.com or +1 (555) 010-1234 at 10.0.0."),
+        (_F.col("doc_id") % 255).cast("string"),
+    )
+    seeded = d.select("doc_id", t2.alias("t2"))
+    counts = pii_counts(_F.col("t2"))
+    return seeded.select(
+        "doc_id",
+        _F.md5(scrub_pii(_F.col("t2")).cast("binary")).alias("scrubbed_md5"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+    )

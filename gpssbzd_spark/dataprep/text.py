@@ -231,3 +231,42 @@ def doc_fingerprint(text_col: Column, k: int = 7, window: int = 4) -> Column:
         return pd.Series(out, dtype="object")
 
     return fp(text_col)
+
+
+# PII patterns, dialect-portable by construction: no lookaround (RE2
+# lacks it), no unicode classes (Java counts UTF-16 units), just
+# character classes + bounded repetition that Java regex (Spark) and
+# RE2 (DuckDB) match identically. The phone pattern is deliberately
+# aggressive (any +?digit [digits/space/()-]x6+ digit run) — a
+# training-data scrubber prefers false redactions over leaked numbers.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(
+    text_col: Column,
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+    token: str = "[PII]",
+) -> Column:
+    """Redact PII spans with ``token`` — chained global regexp_replace
+    in ``kinds`` order (order matters: an email eaten first cannot
+    later half-match the phone pattern; mirror the same order in any
+    SQL twin). Pure codegen'd string ops: at 100 TB this is a
+    stateless per-row projection on the scan, no Python, no shuffle."""
+    out = text_col
+    for k in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[k], token)
+    return out
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts on the ORIGINAL text (counts are
+    independent per kind; the scrub chain is not, so count before
+    scrubbing)."""
+    return {
+        k: F.size(F.regexp_extract_all(text_col, F.lit(p), 0))
+        for k, p in PII_PATTERNS.items()
+    }

@@ -663,3 +663,30 @@ def test_deterministic_sample_stable_and_composable(spark):
     other = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.5, "t").collect()}
     overlap = len(s50 & other) / len(s50)
     assert 0.35 < overlap < 0.65  # independent salts ≈ fraction overlap
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """scrub_pii removes emails/phones/IPs and leaves clean text alone;
+    pii_counts counts per kind on the original text."""
+    from gpssbzd_spark.dataprep.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@example.org now"),
+        (2, "call +44 (0) 20-7946 0958 today"),
+        (3, "host at 192.168.0.1 please"),
+        (4, "perfectly clean prose with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r.i: r
+        for r in df.select(
+            "i",
+            scrub_pii(F.col("t")).alias("s"),
+            *[v.alias(k) for k, v in pii_counts(F.col("t")).items()],
+        ).collect()
+    }
+    assert out[1].s == "mail [PII] now" and out[1].email == 1
+    assert "[PII]" in out[2].s and "7946" not in out[2].s and out[2].phone == 1
+    assert out[3].s == "host at [PII] please" and out[3].ipv4 == 1
+    assert out[4].s == rows[3][1]
+    assert (out[4].email, out[4].phone, out[4].ipv4) == (0, 0, 0)
