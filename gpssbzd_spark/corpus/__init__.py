@@ -90,7 +90,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("f2_string_case", ["f2_string_fns", "f4_case_when"]),
     ("f5_array_struct_math", ["f5_json_extract"]),
     ("dd_exact_dup_groups",
-     ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture"]),
+     ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture",
+      "dp_sequence_packing"]),
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub"]),

@@ -972,3 +972,48 @@ def tx_pii_scrub(spark, sf_dir):
         counts["phone"].alias("n_phone"),
         counts["ipv4"].alias("n_ipv4"),
     )
+
+
+from gpssbzd_spark.dataprep.splits import pack_documents  # noqa: E402
+
+
+@query(
+    "dp_sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             substr(md5('pack-v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 1)
+               AS bucket
+      FROM toks
+    ), c AS (
+      SELECT doc_id, n_tokens, bucket,
+             CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS "offset"
+      FROM b
+    )
+    SELECT doc_id, n_tokens, bucket, "offset",
+           CAST(floor("offset" / 512.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+    note="sequence packing for pretraining batches (dataprep/splits.py "
+    "pack_documents): concat-and-chunk over md5-hex-prefix buckets — "
+    "each doc gets the (bucket, token offset, pack id) its first token "
+    "lands at for a 512-token context budget, BPE-counted (16 buckets at this fixture scale so chunk boundaries are genuinely crossed). One window "
+    "over one shuffle, deterministic across reruns; the oracle runs the "
+    "identical bucketing/running-sum/chunking. dd rotation alternate",
+    tier=2,
+)
+def dp_sequence_packing(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(_F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", bpe_token_count(_F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(
+        toks, "doc_id", "n_tokens", budget=512, bucket_hex_chars=1
+    )

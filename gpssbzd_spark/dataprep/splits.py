@@ -141,3 +141,50 @@ def deterministic_sample_sql(
         f"substr(md5('{salt}' || '|' || COALESCE(CAST({id_expr} AS VARCHAR),"
         f" '')), 1, {_HEX_DIGITS}) < '{bound}'"
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    bucket_hex_chars: int = 2,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a
+    (bucket, pack_id, offset) so that concatenating a bucket's docs in
+    id order and slicing every ``budget`` tokens yields the packs — the
+    standard way pretraining pipelines fill fixed context windows
+    without padding waste.
+
+    True bin packing is sequential; the scalable formulation shards the
+    corpus into ``16^bucket_hex_chars`` deterministic hash buckets (an
+    md5-hex PREFIX kept as a string — engine-portable like
+    :func:`hash_split`, no integer-conversion dialects) and runs an
+    in-bucket running sum — one window over one shuffle,
+    O(corpus/buckets) sequential work per task, fully deterministic
+    across reruns. A doc belongs to the pack where its first token
+    lands (docs may span pack boundaries, exactly like concat-and-chunk
+    training data). At 100 TB raise ``bucket_hex_chars`` so each
+    bucket's token mass fits one task comfortably.
+    """
+    from pyspark.sql import Window
+
+    b = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+        1,
+        bucket_hex_chars,
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("bucket", b)
+    csum = F.sum(F.col(token_col)).over(w)
+    offset = (csum - F.col(token_col)).cast("long")
+    return out.select(
+        "*",
+        offset.alias("offset"),
+        F.floor(offset / F.lit(float(budget))).cast("long").alias("pack_id"),
+    )

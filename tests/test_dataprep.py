@@ -690,3 +690,36 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[3].s == "host at [PII] please" and out[3].ipv4 == 1
     assert out[4].s == rows[3][1]
     assert (out[4].email, out[4].phone, out[4].ipv4) == (0, 0, 0)
+
+
+def test_pack_documents_concat_and_chunk_invariants(spark):
+    """pack_documents: within a bucket (id order) each doc's offset is
+    the sum of its predecessors' tokens, pack_id = offset // budget,
+    every pack except a bucket's last is filled past the budget
+    boundary by construction, and the assignment is stable under
+    repartitioning."""
+    from gpssbzd_spark.dataprep.splits import pack_documents
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("n")
+    )
+    out = pack_documents(df, "doc_id", "n", budget=100, bucket_hex_chars=1)
+    rows = out.collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(by_bucket) > 1
+    saw_multi_pack = False
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rs:
+            assert r.offset == run, (r.doc_id, r.offset, run)
+            assert r.pack_id == r.offset // 100
+            run += r.n
+        saw_multi_pack |= rs[-1].pack_id > 0
+    assert saw_multi_pack  # fixture big enough to cross chunk bounds
+    again = pack_documents(
+        df.repartition(7), "doc_id", "n", budget=100, bucket_hex_chars=1
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
