@@ -213,3 +213,19 @@ def test_stage1_windows_share_one_partitioning(spark):
         "found a bare-id exchange; part-1 windows must key on "
         "(linenumber, id)"
     )
+
+
+def test_hash_split_is_shuffle_free_and_packing_shuffles_once(spark):
+    """The scale contracts of the splits module: hash_split/sample are
+    stateless per-row projections (NO exchange — at 100 TB they ride
+    the scan), and pack_documents is exactly ONE exchange (the bucket
+    hash partitioning its running-sum window needs)."""
+    plan_split = final_plan(q(spark, "dp_hash_split"))
+    assert "Exchange" not in plan_split, plan_split
+    plan_mix = final_plan(q(spark, "dp_weighted_mixture"))
+    assert "Exchange" not in plan_mix, plan_mix
+    plan_pack = final_plan(q(spark, "dp_sequence_packing"))
+    import re as _re
+
+    n_ex = len(_re.findall(r"Exchange hashpartitioning", plan_pack))
+    assert n_ex == 1, plan_pack
