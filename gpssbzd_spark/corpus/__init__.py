@@ -94,7 +94,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
       "dp_sequence_packing"]),
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
-      "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub"]),
+      "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",
+      "tx_repetition_filter"]),
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window", ["st_sliding_window"]),

@@ -1017,3 +1017,51 @@ def dp_sequence_packing(spark, sf_dir):
     return pack_documents(
         toks, "doc_id", "n_tokens", budget=512, bucket_hex_chars=1
     )
+
+
+from gpssbzd_spark.dataprep.text import repetition_features  # noqa: E402
+
+
+@query(
+    "tx_repetition_filter",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN n >= 2 THEN list_transform(
+               generate_series(1, n - 1), i -> toks[i] || ' ' || toks[i + 1])
+             END AS g2,
+             CASE WHEN n >= 3 THEN list_transform(
+               generate_series(1, n - 2),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             END AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                     / NULLIF(len(g2), 0), 4) AS dup_2gram_frac,
+           ROUND(1 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                     / NULLIF(len(g3), 0), 4) AS dup_3gram_frac
+    FROM g
+    """,
+    note="Gopher-style repetition quality signal: duplicate word 2-/3-"
+    "gram fractions per doc (dataprep/text.py repetition_features) — "
+    "boilerplate and keyword-stuffed docs score high and get filtered "
+    "before training. Native split/sequence/transform/array_distinct, "
+    "shuffle-free; the oracle builds the identical n-grams. tx rotation "
+    "alternate",
+    tier=2,
+)
+def tx_repetition_filter(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(_F.col("text").isNotNull())
+    feats = repetition_features(_F.col("text"))
+    return d.select(
+        "doc_id",
+        _F.round(feats["dup_2gram_frac"], 4).alias("dup_2gram_frac"),
+        _F.round(feats["dup_3gram_frac"], 4).alias("dup_3gram_frac"),
+    )

@@ -270,3 +270,40 @@ def pii_counts(text_col: Column) -> dict[str, Column]:
         k: F.size(F.regexp_extract_all(text_col, F.lit(p), 0))
         for k, p in PII_PATTERNS.items()
     }
+
+
+def repetition_features(
+    text_col: Column, ns: tuple[int, ...] = (2, 3)
+) -> dict[str, Column]:
+    """Gopher-style repetition signals: for each n, the fraction of
+    word n-grams that are duplicates (1 − distinct/total). Boilerplate,
+    keyword-stuffed, and looping documents score high and get filtered
+    before training. All native array ops (split → sequence → transform
+    → array_distinct): codegen'd, shuffle-free, and expressible 1:1 in
+    the SQL oracle. Docs with fewer than n tokens yield NULL (no
+    n-grams — NULL keeps them distinguishable from genuinely
+    repetition-free docs at 0.0)."""
+    toks = tokens(text_col)
+    n_toks = F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    out: dict[str, Column] = {}
+    for n in ns:
+        count = F.greatest(n_toks - (n - 1), F.lit(0))
+        # closure factory, NOT a default arg on the lambda: F.transform
+        # dispatches on lambda arity and would feed the array INDEX to
+        # a second parameter, clobbering the captured n. F.get is
+        # 0-based and takes a Column index (element_at needs foldable).
+        def _gram_at(n_: int):
+            return lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + off - 1) for off in range(n_)]
+            )
+
+        grams = F.transform(F.sequence(F.lit(1), count), _gram_at(n))
+        grams = F.when(count > 0, grams)
+        out[f"dup_{n}gram_frac"] = (
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.nullif(count, F.lit(0)).cast("double")
+        )
+    return out

@@ -723,3 +723,24 @@ def test_pack_documents_concat_and_chunk_invariants(spark):
         df.repartition(7), "doc_id", "n", budget=100, bucket_hex_chars=1
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_repetition_features_known_values(spark):
+    """dup n-gram fractions on hand-computable docs: 'a b a b c' has
+    four 2-grams with one duplicate (0.25) and three distinct 3-grams
+    (0.0); sub-n docs yield NULL, perfectly repetitive docs approach 1."""
+    from gpssbzd_spark.dataprep.text import repetition_features
+
+    rows = [(1, "a b a b c"), (2, "x"), (3, ""), (4, "spam " * 50)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    feats = repetition_features(F.col("t"))
+    out = {
+        r.i: r
+        for r in df.select(
+            "i", *[v.alias(k) for k, v in feats.items()]
+        ).collect()
+    }
+    assert out[1].dup_2gram_frac == pytest.approx(0.25)
+    assert out[1].dup_3gram_frac == pytest.approx(0.0)
+    assert out[2].dup_2gram_frac is None and out[3].dup_2gram_frac is None
+    assert out[4].dup_2gram_frac == pytest.approx(1 - 1 / 49)
