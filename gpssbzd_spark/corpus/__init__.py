@@ -99,7 +99,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window", ["st_sliding_window"]),
-    ("st_enrich_dim", ["st_stream_stream_join"]),
+    ("st_enrich_dim",
+     ["st_stream_stream_join", "st_dedup_within_watermark"]),
 ]
 
 _ROUND_KEY_CACHE: int | None = None

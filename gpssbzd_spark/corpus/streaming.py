@@ -230,3 +230,30 @@ def st_stream_stream_join(spark, sf_dir):
         F.col("l.user_id").alias("user_id"),
         F.round(F.col("r.value"), 4).alias("follow_value"),
     )
+
+
+@query(
+    "st_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    note="streaming dedup surface (streaming/windows.py "
+    "dedup_within_watermark): at-least-once sources re-deliver, and the "
+    "watermarked dropDuplicatesWithinWatermark bounds the dedup state "
+    "that a plain streaming dropDuplicates would grow forever. The "
+    "batch twin checked here is dropDuplicates on the key subset, "
+    "projected TO that subset so the result is engine-deterministic "
+    "(which non-key row survives is not part of the contract); the "
+    "true streaming behavior is pinned by "
+    "tests/test_streaming.py::test_streaming_dedup_within_watermark. "
+    "st rotation alternate",
+    tier=2,
+)
+def st_dedup_within_watermark(spark, sf_dir):
+    from gpssbzd_spark.streaming.windows import dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_within_watermark(
+        ev, subset=["user_id", "event_type"], ts_col="ts", delay="1 hour"
+    )
+    return out.select("user_id", "event_type")
