@@ -60,3 +60,39 @@ def write_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     getattr(writer, fmt)(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a BUCKETED catalog table — the co-located-join
+    layout for keys that are joined repeatedly.
+
+    Hive-style bucketing hashes ``bucket_cols`` into ``n_buckets`` files
+    per partition at WRITE time; two tables bucketed the same way join
+    with NO exchange on either side (Spark trusts the stored
+    distribution), turning the 100 TB fact-fact join from
+    shuffle-both-sides into a zipped per-bucket merge. ``sort_cols``
+    additionally pre-sorts within buckets so the sort-merge join skips
+    its sorts too. The reference re-shuffles its biggest join every run
+    (`Parallel/Pattern Extraction.scala` repartitions per stage); a
+    bucketed layout pays that shuffle once at ingest.
+
+    Requires a catalog (``saveAsTable``) — path-based writes cannot
+    carry bucket metadata; local tests use the default in-memory
+    catalog + spark-warehouse dir.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format(fmt)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

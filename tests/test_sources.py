@@ -151,3 +151,46 @@ def test_load_table_normalizes_ntz_and_nanos_timestamps(spark, tmp_path):
         for r in df.select("event_id", F.unix_millis("ts").alias("ms")).collect()
     }
     assert got == {1: 1704067200000, 2: 1718454896000}
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed the same way on the join key must sort-merge
+    join with ZERO Exchange nodes — the co-located fact-fact join that
+    pays its shuffle once at ingest instead of every query (SURVEY §4;
+    the 100 TB reason write_bucketed exists). Broadcast is disabled for
+    the probe so the planner cannot sidestep the bucketed path."""
+    from gpssbzd_spark.sources.tables import load_table
+    from gpssbzd_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "t_orders_b", ("o_orderkey",), 8,
+                   sort_cols=("o_orderkey",))
+    write_bucketed(li, "t_lineitem_b", ("l_orderkey",), 8,
+                   sort_cols=("l_orderkey",))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderkey", "l_quantity", "o_totalprice"
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # the shuffle-once-at-ingest claim: results match the plain join
+        n_plain = orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
