@@ -101,6 +101,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("st_tumbling_window", ["st_sliding_window"]),
     ("st_enrich_dim",
      ["st_stream_stream_join", "st_dedup_within_watermark"]),
+    ("j1_join_inner", ["j9_salted_join"]),
 ]
 
 _ROUND_KEY_CACHE: int | None = None

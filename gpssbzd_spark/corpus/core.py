@@ -1276,3 +1276,32 @@ def s_csv_roundtrip(spark, sf_dir):
         "s_nationkey",
         F.round("s_acctbal", 2).alias("s_acctbal"),
     )
+
+
+@query(
+    "j9_salted_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    note="J1's skew-hardened twin (operators/skew.py salted_join): the "
+    "big side salted by a deterministic hash mod 8, the dim replicated "
+    "across the salt space, joined on (key, salt) — identical rows to "
+    "the plain equi-join (this oracle IS the plain join), which is the "
+    "whole point: salting spreads a hot key over n_salt tasks without "
+    "changing semantics, for the joins AQE skew-splitting cannot touch "
+    "(stream-static, storage-bucketed). Rotation alternate of "
+    "j1_join_inner",
+    tier=2,
+)
+def j9_salted_join(spark, sf_dir):
+    from gpssbzd_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return salted_join(ev, dim, ["user_id"], n_salt=8).select(
+        "event_id", "user_id", "segment"
+    )
