@@ -593,6 +593,33 @@ def a1_count_distinct_group(spark, sf_dir):
 
 
 @query(
+    "a9_hll_mergeable_rollup",
+    oracle=None,
+    note="A9 (extension, operators/sketches.py): mergeable HyperLogLog "
+    "distinct-count rollup — per-(returnflag,status) 16 KB sketches of "
+    "l_orderkey built with hll_sketch_agg (map-side partial, one narrow "
+    "shuffle), then hll_union_agg merges the STORED sketches to the "
+    "returnflag level without rescanning raw data: the pattern that "
+    "turns a 100 TB daily->monthly distinct rollup into a KB-scale "
+    "merge. Sketch binaries are engine-specific so there is no DuckDB "
+    "twin (rows-only); the <=3-sigma accuracy bound vs exact "
+    "countDistinct is pinned in tests/test_operators.py.",
+    tier=2,
+)
+def a9_hll_mergeable_rollup(spark, sf_dir):
+    from gpssbzd_spark.operators.sketches import (
+        hll_estimate,
+        hll_partial,
+        hll_rollup,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    partials = hll_partial(li, ["l_returnflag", "l_linestatus"], "l_orderkey")
+    merged = hll_rollup(partials, ["l_returnflag"])
+    return hll_estimate(merged).orderBy("l_returnflag")
+
+
+@query(
     "a2_conditional_agg",
     oracle="""
     SELECT l_returnflag,

@@ -106,6 +106,63 @@ def tx_token_stats(spark, sf_dir):
 
 
 @query(
+    "tx_vocab_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), c AS (
+      SELECT token, COUNT(*) AS freq FROM toks
+      WHERE token <> '' GROUP BY token
+    )
+    SELECT token, freq,
+           ROUND(CAST(freq AS DOUBLE) / (SELECT SUM(freq) FROM c), 6)
+             AS rel_freq
+    FROM c WHERE freq >= 0.002 * (SELECT SUM(freq) FROM c)
+    """,
+    note="vocabulary heavy hitters: tokens above a phi=0.2% corpus "
+    "frequency threshold — the exact baseline of the Misra-Gries/"
+    "SpaceSaving frequent-items problem, and the stopword/boilerplate "
+    "discovery pass a corpus pipeline runs before filtering. explode -> "
+    "partial-agg count (map-side combine absorbs the token skew: 'the' "
+    "pre-aggregates per task before the shuffle) -> one-row total "
+    "broadcast back — no second scan, no driver loop; at 100 TB the "
+    "shuffle carries one row per distinct TYPE, not per token. tx "
+    "rotation alternate",
+    tier=2,
+)
+def tx_vocab_heavy_hitters(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F2.col("text").isNotNull() & (F2.length(F2.trim("text")) > 0)
+    )
+    counts = (
+        d.select(
+            F2.explode(F2.split(F2.lower(F2.trim(F2.col("text"))), r"\s+")).alias(
+                "token"
+            )
+        )
+        .filter(F2.col("token") != "")
+        .groupBy("token")
+        .agg(F2.count("*").alias("freq"))
+    )
+    total = counts.agg(F2.sum("freq").alias("_total"))
+    return (
+        counts.join(F2.broadcast(total))
+        .filter(F2.col("freq") >= 0.002 * F2.col("_total"))
+        .select(
+            "token",
+            "freq",
+            F2.round(F2.col("freq").cast("double") / F2.col("_total"), 6).alias(
+                "rel_freq"
+            ),
+        )
+    )
+
+
+@query(
     "tx_quality_score",
     oracle="""
     SELECT doc_id,
@@ -1064,4 +1121,75 @@ def tx_repetition_filter(spark, sf_dir):
         "doc_id",
         _F.round(feats["dup_2gram_frac"], 4).alias("dup_2gram_frac"),
         _F.round(feats["dup_3gram_frac"], 4).alias("dup_3gram_frac"),
+    )
+
+
+from gpssbzd_spark.dataprep.splits import (  # noqa: E402
+    stratified_sample,
+    stratified_sample_sql,
+)
+
+_STRAT_FRACTIONS = {"en": 0.25, "zh": 0.8}
+
+
+@query(
+    "dp_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {stratified_sample_sql("doc_id", "lang", _STRAT_FRACTIONS,
+                                 default_fraction=1.0)}
+    """,
+    note="per-stratum deterministic rebalancing (dataprep/splits.py "
+    "stratified_sample): downsample dominant languages (en 25%, zh 80%), "
+    "keep the tail whole — sampleBy's draw depends on partition layout "
+    "and rng state, this one is a pure function of (doc_id, salt), so "
+    "reruns, retries and repartitions keep the identical corpus and a "
+    "smaller fraction is always a subset of a larger one. Stateless "
+    "per-row predicate, no shuffle at any scale. Oracle evaluates the "
+    "identical md5-hex construction. dd rotation alternate",
+    tier=2,
+)
+def dp_stratified_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        d, "doc_id", "lang", _STRAT_FRACTIONS, default_fraction=1.0
+    )
+
+
+from gpssbzd_spark.functions.spatial import (  # noqa: E402
+    zorder_value,
+    zorder_value_sql,
+)
+
+_Z_LAT = (22.6, 22.61)
+_Z_LNG = (114.0, 115.0)
+_Z_LAT_EXPR = "22.6 + (event_id % 100) / 10000.0"
+_Z_LNG_EXPR = "114.0 + (event_id % 1000) / 1000.0"
+
+
+@query(
+    "dp_zorder_cells",
+    oracle=f"""
+    SELECT event_id,
+           {zorder_value_sql(_Z_LAT_EXPR, _Z_LNG_EXPR, _Z_LAT, _Z_LNG)} AS zval
+    FROM events
+    """,
+    note="Z-order (Morton) spatial clustering key (functions/spatial.py): "
+    "quantize (lat, lng) to 16-bit cells and interleave bits with "
+    "magic-number shifts — the lakehouse file-layout primitive that "
+    "makes parquet footer min/max prune BOTH dimensions of a bounding-"
+    "box query, which the reference's per-line partitioning cannot "
+    "(Parallel/Trajectory Clustering.py:293-316 co-locates lines, not "
+    "regions). Pure BIGINT bit arithmetic, codegen'd, shuffle-free; "
+    "zorder_layout adds the one range exchange a clustered WRITE needs. "
+    "Oracle evaluates the identical bit expression. dd rotation "
+    "alternate",
+    tier=2,
+)
+def dp_zorder_cells(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    lat = _F.lit(22.6) + (_F.col("event_id") % 100) / 10000.0
+    lng = _F.lit(114.0) + (_F.col("event_id") % 1000) / 1000.0
+    return ev.select(
+        "event_id", zorder_value(lat, lng, _Z_LAT, _Z_LNG).alias("zval")
     )

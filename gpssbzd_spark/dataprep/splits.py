@@ -143,6 +143,81 @@ def deterministic_sample_sql(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    salt: str = "strat-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``fractions[stratum]``
+    of each stratum's rows, keyed by id hash — the repeatable
+    alternative to ``df.sampleBy()`` (whose draw is tied to partition
+    layout and rng seeds, so a repartition or task retry changes the
+    sample). Rebalancing a skewed corpus (downsample the dominant
+    language, keep the long tail whole) is the canonical use.
+
+    The keep/drop decision is a pure function of (id, salt): the SAME
+    bucket value is compared against a per-stratum threshold, so
+    raising one stratum's fraction only ADDS rows to it (nested-sample
+    monotonicity — a 10% sample is a subset of the 20% one), and no
+    shuffle or state is involved at any scale. Strata not in
+    ``fractions`` fall back to ``default_fraction``.
+    """
+    for k, frac in fractions.items():
+        assert 0.0 <= frac <= 1.0, (k, frac)
+    assert 0.0 <= default_fraction <= 1.0, default_fraction
+
+    def _bound_lit(frac: float) -> Column:
+        if frac >= 1.0:
+            # one past the max bucket: strictly-greater than every hex
+            # string of width _HEX_DIGITS ('g' > 'f' lexicographically)
+            return F.lit("g")
+        return F.lit(format(int(round(frac * 16**_HEX_DIGITS)), f"0{_HEX_DIGITS}x"))
+
+    bound = None
+    for name, frac in fractions.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        bound = (
+            F.when(cond, _bound_lit(frac))
+            if bound is None
+            else bound.when(cond, _bound_lit(frac))
+        )
+    bound = _bound_lit(default_fraction) if bound is None else bound.otherwise(
+        _bound_lit(default_fraction)
+    )
+    bucket = _bucket_hex(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt
+    )
+    return df.filter(bucket < bound)
+
+
+def stratified_sample_sql(
+    id_expr: str,
+    stratum_expr: str,
+    fractions: dict[str, float],
+    salt: str = "strat-v1",
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB/ANSI predicate twin of :func:`stratified_sample`."""
+
+    def _bound(frac: float) -> str:
+        if frac >= 1.0:
+            return "g"
+        return format(int(round(frac * 16**_HEX_DIGITS)), f"0{_HEX_DIGITS}x")
+
+    bucket = (
+        f"substr(md5('{salt}' || '|' || COALESCE(CAST({id_expr} AS VARCHAR),"
+        f" '')), 1, {_HEX_DIGITS})"
+    )
+    cases = " ".join(
+        f"WHEN {stratum_expr} = '{name}' THEN '{_bound(frac)}'"
+        for name, frac in fractions.items()
+    )
+    return f"{bucket} < (CASE {cases} ELSE '{_bound(default_fraction)}' END)"
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str,

@@ -665,6 +665,50 @@ def test_deterministic_sample_stable_and_composable(spark):
     assert 0.35 < overlap < 0.65  # independent salts ≈ fraction overlap
 
 
+def test_stratified_sample_per_stratum_rates_and_nesting(spark):
+    """stratified_sample: each stratum is sampled at ITS fraction (the
+    bucket hash is shared, only the threshold varies), unknown strata
+    fall back to default_fraction, raising one stratum's fraction only
+    ADDS rows to that stratum (nested-sample monotonicity), and the
+    assignment survives repartitioning."""
+    from gpssbzd_spark.dataprep.splits import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "zh", "de"][i % 3]) for i in range(6000)],
+        "doc_id long, lang string",
+    )
+    fr = {"en": 0.2, "zh": 0.8}
+    kept = stratified_sample(df, "doc_id", "lang", fr, default_fraction=0.0)
+    by_lang: dict[str, set[int]] = {"en": set(), "zh": set(), "de": set()}
+    for r in kept.collect():
+        by_lang[r.lang].add(r.doc_id)
+    assert abs(len(by_lang["en"]) / 2000 - 0.2) < 0.04
+    assert abs(len(by_lang["zh"]) / 2000 - 0.8) < 0.04
+    assert not by_lang["de"]  # default_fraction=0 drops unknown strata
+
+    again = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(
+            df.repartition(11), "doc_id", "lang", fr, default_fraction=0.0
+        ).collect()
+    }
+    assert again == {
+        (i, lang) for lang, ids in by_lang.items() for i in ids
+    }
+
+    # monotonicity: en 0.2 → 0.5 is a strict superset on en, identical
+    # elsewhere; default_fraction=1.0 keeps every de row
+    wider = stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "zh": 0.8}, default_fraction=1.0
+    )
+    wide_by: dict[str, set[int]] = {"en": set(), "zh": set(), "de": set()}
+    for r in wider.collect():
+        wide_by[r.lang].add(r.doc_id)
+    assert by_lang["en"] <= wide_by["en"]
+    assert wide_by["zh"] == by_lang["zh"]
+    assert len(wide_by["de"]) == 2000
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     """scrub_pii removes emails/phones/IPs and leaves clean text alone;
     pii_counts counts per kind on the original text."""

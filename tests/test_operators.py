@@ -31,3 +31,42 @@ def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
         map(tuple, salted_join(big.repartition(5), small, ["k"], 8).collect())
     )
     assert s1 == s2
+
+
+def test_hll_sketch_rollup_accuracy_and_merge(spark):
+    """The mergeable-sketch contract (operators/sketches.py): per-group
+    HLL estimates track exact countDistinct within 3% (lgK=14 => 0.8%
+    rsd, ~3 sigma), and MERGING stored partials to a coarser level gives
+    the SAME estimate as sketching the coarse level directly — the
+    property that lets a 100 TB rollup run over stored KB-size sketches
+    instead of raw history."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.sketches import (
+        hll_estimate,
+        hll_partial,
+        hll_rollup,
+    )
+
+    # 3 coarse groups x 4 fine subgroups, overlapping member ids so the
+    # union is a real dedup (not a sum of disjoint counts)
+    df = spark.range(0, 120_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 12).alias("sub"),
+        (F.col("id") % 40_000).alias("member"),
+    )
+    partials = hll_partial(df, ["g", "sub"], "member")
+    merged = hll_estimate(hll_rollup(partials, ["g"]))
+    direct = hll_estimate(hll_partial(df, ["g"], "member"))
+    exact = df.groupBy("g").agg(F.countDistinct("member").alias("nd"))
+
+    m = {r.g: r.approx_nd for r in merged.collect()}
+    d = {r.g: r.approx_nd for r in direct.collect()}
+    e = {r.g: r.nd for r in exact.collect()}
+    assert set(m) == set(e) == {0, 1, 2}
+    for g in e:
+        assert abs(m[g] - e[g]) / e[g] < 0.03, (g, m[g], e[g])
+        # merged-from-partials tracks sketched-directly well inside
+        # the rsd (the union promotes HLL_4 registers to HLL_8, so the
+        # estimates are near-identical, not bit-identical)
+        assert abs(m[g] - d[g]) / d[g] < 0.005, (g, m[g], d[g])

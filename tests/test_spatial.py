@@ -1,0 +1,112 @@
+"""Z-order spatial clustering: bit-exact Morton codes vs a Python
+reference, engine parity via the corpus oracle (test_corpus_oracle
+covers dp_zorder_cells), and the property the layout exists for —
+bounding-box file skipping on parquet footer stats."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gpssbzd_spark.functions.spatial import (
+    BITS,
+    morton2,
+    quantize_cell,
+    zorder_layout,
+)
+
+
+def _py_morton2(x: int, y: int, bits: int = BITS) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton2_matches_bitwise_reference(spark):
+    """The magic-number spread must equal the per-bit interleave for
+    edge and random cells."""
+    import random
+
+    rng = random.Random(7)
+    cells = [0, 1, 2, 3, 65534, 65535] + [rng.randrange(65536) for _ in range(200)]
+    rows = [(x, y) for x in cells[:30] for y in cells[:30]] + [
+        (rng.randrange(65536), rng.randrange(65536)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", morton2(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        assert r.z == _py_morton2(r.x, r.y), (r.x, r.y)
+
+
+def test_quantize_cell_edges(spark):
+    """Range edges land in the edge cells; out-of-range clamps; the
+    grid is monotone."""
+    df = spark.createDataFrame(
+        [(v,) for v in [-1.0, 0.0, 0.25, 0.5, 0.999999, 1.0, 2.0]], "v double"
+    )
+    got = [r.c for r in df.select(quantize_cell(F.col("v"), 0.0, 1.0).alias("c")).collect()]
+    assert got[0] == 0 and got[1] == 0
+    assert got == sorted(got)
+    assert got[-1] == 65535 and got[-2] == 65535
+    assert got[2] == 16384 and got[3] == 32768
+
+
+def test_zorder_layout_prunes_bounding_boxes(spark, tmp_path):
+    """Write a uniform grid through zorder_layout and check the reason
+    the layout exists: for a small lat×lng box, the parquet footer
+    min/max stats exclude most files ON BOTH dimensions — which a
+    single-column sort cannot do for the second column."""
+    n = 128
+    pts = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("gx"), (F.col("id") % n).alias("gy")
+    )
+    pts = pts.select(
+        (22.0 + F.col("gx") / n).alias("lat"), (113.0 + F.col("gy") / n).alias("lng")
+    )
+    out = str(tmp_path / "z")
+    zorder_layout(pts, "lat", "lng", (22.0, 23.0), (113.0, 114.0), 16).write.parquet(out)
+
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) >= 12  # range partitioner may merge a couple
+
+    def stats(path, col):
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(col)
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            los.append(s.min)
+            his.append(s.max)
+        return min(los), max(his)
+
+    # a ~1/8 × 1/8 box in the middle
+    box_lat = (22.4, 22.525)
+    box_lng = (113.4, 113.525)
+    touched = 0
+    for f in files:
+        lat_lo, lat_hi = stats(f, "lat")
+        lng_lo, lng_hi = stats(f, "lng")
+        if lat_hi >= box_lat[0] and lat_lo <= box_lat[1] and (
+            lng_hi >= box_lng[0] and lng_lo <= box_lng[1]
+        ):
+            touched += 1
+    # a lat-only sort would touch ~1-2 files on lat but EVERY one of
+    # them spans all of lng; z-order keeps both tight — the box should
+    # hit well under half the files
+    assert touched <= len(files) // 2, (touched, len(files))
+
+    # correctness of the layout transform itself: no rows lost, zval
+    # nondecreasing within each file
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["zval"])
+        z = t.column("zval").to_pylist()
+        assert z == sorted(z)
+        total += len(z)
+    assert total == n * n
