@@ -80,11 +80,13 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("tc_pipeline_dbscan", ["tc_pipeline_dbscan_general"]),
     ("p7_filter_distinct",
      ["p7_filter_compound_bool", "p10_distinct_projection",
-      "p8_sql_string_filter", "p12_cast_types"]),
+      "p8_sql_string_filter", "p12_cast_types",
+      "p15_merge_upsert", "p16_snapshot_diff"]),
     ("j5_semi_anti_join", ["j5_semi_join", "j6_anti_join"]),
     ("a2_cascaded_conditional",
      ["a2_conditional_agg", "a3_cascaded_agg",
-      "a1_count_distinct_group", "a6_global_distinct_count"]),
+      "a1_count_distinct_group", "a6_global_distinct_count",
+      "a10_pivot_wide", "a11_unpivot_long"]),
     ("set_ops_tagged",
      ["set_union_distinct", "set_intersect", "set_except"]),
     ("f2_string_case", ["f2_string_fns", "f4_case_when"]),

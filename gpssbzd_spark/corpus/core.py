@@ -1332,3 +1332,210 @@ def j9_salted_join(spark, sf_dir):
     return salted_join(ev, dim, ["user_id"], n_salt=8).select(
         "event_id", "user_id", "segment"
     )
+
+
+@query(
+    "a10_pivot_wide",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_P,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+             AS price_O,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+             AS price_F,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+             AS price_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    note="A10 (extension, operators/reshape.py pivot_wide): long->wide "
+    "pivot with DECLARED category values — pivot without them runs an "
+    "eager full-table distinct just to learn the columns (a second "
+    "100 TB scan) and an unbounded category set explodes the schema; "
+    "declared, it is one groupBy with map-side partial agg, same cost "
+    "as A7. Empty cells: count coalesced to 0, sum left NULL, matching "
+    "the conditional-aggregation form the oracle uses (which is also "
+    "what Catalyst lowers pivot to). a2 rotation alternate",
+    tier=2,
+)
+def a10_pivot_wide(spark, sf_dir):
+    from gpssbzd_spark.operators.reshape import pivot_wide
+
+    o = _t(spark, sf_dir, "orders")
+    wide = pivot_wide(
+        o,
+        ["o_orderpriority"],
+        "o_orderstatus",
+        ["O", "F", "P"],
+        # count(*) is disallowed inside Pivot — count(lit(1)) is the
+        # same aggregate without the star resolution
+        {"n": F.count(F.lit(1)), "price": F.round(F.sum("o_totalprice"), 2)},
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{v}_n"), F.lit(0)).cast("long").alias(f"n_{v}")
+            for v in ("O", "F", "P")
+        ],
+        *[F.col(f"{v}_price").alias(f"price_{v}") for v in ("O", "F", "P")],
+    )
+
+
+@query(
+    "a11_unpivot_long",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    """,
+    note="A11 (extension, operators/reshape.py unpivot_long): wide->long "
+    "unpivot (SQL stack) — one output row per (id, measure), row-local "
+    "and shuffle-free (the oracle's UNION ALL form would scan twice; "
+    "stack scans once). Measures pre-cast to a common double so the "
+    "value column type is explicit. a2 rotation alternate",
+    tier=2,
+)
+def a11_unpivot_long(spark, sf_dir):
+    from gpssbzd_spark.operators.reshape import unpivot_long
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return unpivot_long(p, ["p_partkey"], ["p_size", "p_retailprice"])
+
+
+_MERGE_BASE_SQL = """
+  SELECT c_custkey, c_name, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal
+  FROM customer
+"""
+
+_MERGE_UPDATES_SQL = """
+  SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment,
+         ROUND(c_acctbal + 1000, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+         'INSERTED', 0.0
+  FROM customer WHERE c_custkey % 97 = 0
+"""
+
+
+@query(
+    "p15_merge_upsert",
+    oracle=f"""
+    WITH base AS ({_MERGE_BASE_SQL}), upd AS ({_MERGE_UPDATES_SQL})
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                ELSE b.c_name END AS c_name,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                ELSE b.c_mktsegment END AS c_mktsegment,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE b.c_acctbal END AS c_acctbal
+    FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    """,
+    note="P15 (extension, operators/cdc.py merge_upsert): apply a "
+    "correction batch to a table by key — MERGE INTO's copy-on-write "
+    "plan as one full outer join where the update side wins. A small "
+    "update batch broadcasts, so the 100 TB base is never shuffled; "
+    "the updates here are derived deterministically from the base "
+    "(10%-of-keys updates + synthetic inserts) so both engines build "
+    "the identical input. p rotation alternate",
+    tier=2,
+)
+def p15_merge_upsert(spark, sf_dir):
+    from gpssbzd_spark.operators.cdc import merge_upsert
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    upd_existing = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+    )
+    upd_new = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return merge_upsert(base, upd_existing.unionByName(upd_new), ["c_custkey"])
+
+
+_DIFF_OLD_SQL = """
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders
+"""
+
+_DIFF_NEW_SQL = """
+  SELECT o_orderkey, o_orderstatus,
+         ROUND(o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END,
+               2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', 1.0
+  FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+@query(
+    "p16_snapshot_diff",
+    oracle=f"""
+    WITH old AS ({_DIFF_OLD_SQL}), new AS ({_DIFF_NEW_SQL})
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+                ELSE n.o_orderstatus END AS o_orderstatus,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+                ELSE n.o_totalprice END AS o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op
+    FROM new n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+       OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+    """,
+    note="P16 (extension, operators/cdc.py snapshot_diff): CDC between "
+    "two snapshots — full outer join on the key, null-side decides "
+    "insert/delete, null-safe value comparison decides update vs "
+    "unchanged, unchanged rows dropped so output tracks CHURN, not "
+    "table size. The new snapshot is derived deterministically from "
+    "the old (deletes at %13, +10 price updates at %7, synthetic "
+    "inserts at %101) so both engines diff identical inputs. p "
+    "rotation alternate",
+    tier=2,
+)
+def p16_snapshot_diff(spark, sf_dir):
+    from gpssbzd_spark.operators.cdc import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    new_mut = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, 10).otherwise(0),
+            2,
+        ).alias("o_totalprice"),
+    )
+    new_ins = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new_mut.unionByName(new_ins), ["o_orderkey"])

@@ -70,3 +70,76 @@ def test_hll_sketch_rollup_accuracy_and_merge(spark):
         # the rsd (the union promotes HLL_4 registers to HLL_8, so the
         # estimates are near-identical, not bit-identical)
         assert abs(m[g] - d[g]) / d[g] < 0.005, (g, m[g], d[g])
+
+
+def test_merge_upsert_semantics(spark):
+    """merge_upsert: updates replace matched rows, inserts append,
+    untouched base rows pass through — and the result has exactly
+    base ∪ inserts keys (cdc.py)."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    got = {r.k: (r.name, r.v) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", 99.0),  # replaced
+        3: ("c", 30.0),
+        4: ("d", 40.0),  # inserted
+    }
+    # a small update batch must broadcast: the 100 TB base never shuffles
+    plan = merge_upsert(
+        base, F.broadcast(updates), ["k"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_churn_only(spark):
+    """snapshot_diff: emits insert/update/delete rows only — unchanged
+    rows are dropped, null-to-value transitions count as updates, and
+    delete rows carry the OLD values (cdc.py)."""
+    from gpssbzd_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 21.0), (4, "D", 40.0), (5, "e", 50.0)],
+        "k long, name string, v double",
+    )
+    got = {r.k: (r.op, r.name, r.v) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        2: ("update", "b", 21.0),  # NULL -> value is a change
+        3: ("delete", "c", 30.0),  # old values preserved
+        4: ("update", "D", 40.0),
+        5: ("insert", "e", 50.0),
+    }  # k=1 unchanged -> absent
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """unpivot_long is row-local (no exchange in the plan) and
+    pivot_wide(unpivot(df)) restores the original wide values
+    (reshape.py)."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.reshape import pivot_wide, unpivot_long
+
+    wide = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 20.0, 200.0)], "k long, m1 double, m2 double"
+    )
+    long = unpivot_long(wide, ["k"], ["m1", "m2"])
+    assert "Exchange" not in long._jdf.queryExecution().executedPlan().toString()
+    # single aggregate: pivot names columns by bare pivot value
+    back = pivot_wide(
+        long, ["k"], "metric", ["m1", "m2"], {"v": F.first("value")}
+    )
+    got = {r.k: (r.m1, r.m2) for r in back.collect()}
+    assert got == {1: (10.0, 100.0), 2: (20.0, 200.0)}
