@@ -102,7 +102,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window", ["st_sliding_window"]),
     ("st_enrich_dim",
-     ["st_stream_stream_join", "st_dedup_within_watermark"]),
+     ["st_stream_stream_join", "st_dedup_within_watermark",
+      "st_upsert_state"]),
     ("j1_join_inner", ["j9_salted_join"]),
 ]
 

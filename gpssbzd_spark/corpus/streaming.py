@@ -257,3 +257,39 @@ def st_dedup_within_watermark(spark, sf_dir):
         ev, subset=["user_id", "event_type"], ts_col="ts", delay="1 hour"
     )
     return out.select("user_id", "event_type")
+
+
+@query(
+    "st_upsert_state",
+    oracle="""
+    SELECT user_id, event_id, ts, ROUND(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    note="the keyed state a foreachBatch upsert sink materializes "
+    "(streaming/sources.py upsert_parquet_sink): one row per key, "
+    "latest by event time with a deterministic tie-break — computed "
+    "here in batch form (latest-per-key window) because the oracle "
+    "cannot drive micro-batches; the true incremental path (per-batch "
+    "collapse -> replay-safe order_col merge -> staged atomic swap, "
+    "surviving out-of-order files and redelivery) is pinned by "
+    "tests/test_streaming.py::test_upsert_sink_last_write_wins_and_"
+    "incremental. st_enrich rotation alternate",
+    tier=2,
+)
+def st_upsert_state(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", F.round("value", 2).alias("value"))
+    )

@@ -32,22 +32,38 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(
-    base: DataFrame, updates: DataFrame, keys: Sequence[str]
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
 ) -> DataFrame:
     """Apply ``updates`` to ``base`` by key: matched rows are replaced
     by the update row, unmatched update rows are appended, everything
-    else passes through. Both sides must share the schema."""
+    else passes through. Both sides must share the schema.
+
+    ``order_col`` makes the merge REPLAY-SAFE (MERGE INTO's ``WHEN
+    MATCHED AND u.ord >= b.ord``): a matched update wins only if its
+    order value (event time, version) is >= the base row's, so applying
+    change batches out of order — late files, at-least-once redelivery
+    — can never regress a key to an older row. Without it the update
+    side wins unconditionally (arrival order)."""
     cols = base.columns
     assert updates.columns == cols, "merge_upsert requires identical schemas"
     u = updates.select([F.col(c).alias(f"_u_{c}") for c in cols])
     cond = [F.col(k) == F.col(f"_u_{k}") for k in keys]
     joined = base.join(u, cond, "full_outer")
-    # the update side wins whenever it exists; its key columns are
-    # non-null by definition of the join condition
+    # the update side's key columns are non-null iff it exists for the
+    # joined row (definition of the join condition)
+    u_exists = F.col(f"_u_{keys[0]}").isNotNull()
+    if order_col is not None:
+        u_wins = u_exists & (
+            F.col(keys[0]).isNull()
+            | (F.col(f"_u_{order_col}") >= F.col(order_col))
+        )
+    else:
+        u_wins = u_exists
     picked = [
-        F.when(F.col(f"_u_{keys[0]}").isNotNull(), F.col(f"_u_{c}"))
-        .otherwise(F.col(c))
-        .alias(c)
+        F.when(u_wins, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
         for c in cols
     ]
     return joined.select(*picked)

@@ -143,3 +143,28 @@ def test_pivot_unpivot_roundtrip(spark):
     )
     got = {r.k: (r.m1, r.m2) for r in back.collect()}
     assert got == {1: (10.0, 100.0), 2: (20.0, 200.0)}
+
+
+def test_merge_upsert_order_col_replay_safe(spark):
+    """With order_col, applying an OLD change batch after a newer one
+    cannot regress a key (WHEN MATCHED AND u.ord >= b.ord); equal
+    order values let the update win (redelivery overwrites with the
+    identical row — idempotent)."""
+    from gpssbzd_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 100, "new"), (2, 50, "mid")], "k long, ver long, v string"
+    )
+    stale = spark.createDataFrame(
+        [(1, 90, "old"), (2, 50, "mid-redelivered"), (3, 10, "ins")],
+        "k long, ver long, v string",
+    )
+    got = {
+        r.k: (r.ver, r.v)
+        for r in merge_upsert(base, stale, ["k"], order_col="ver").collect()
+    }
+    assert got == {
+        1: (100, "new"),  # stale update rejected
+        2: (50, "mid-redelivered"),  # equal version: update wins
+        3: (10, "ins"),  # insert unaffected by the gate
+    }

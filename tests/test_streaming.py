@@ -296,3 +296,72 @@ def test_stream_stream_interval_join_batch_stream_parity(spark, events_dir):
     # the fixture's files split on time boundaries, so at least one pair
     # must genuinely cross a micro-batch boundary for the state claim
     assert rows, "no joined rows at all — fixture too sparse"
+
+
+def test_upsert_sink_last_write_wins_and_incremental(spark, tmp_path):
+    """The foreachBatch upsert sink (streaming/sources.py
+    upsert_parquet_sink): the target holds exactly one row per key —
+    the latest by ts — across (1) multiple interleaved micro-batches of
+    one run (maxFilesPerTrigger=1 forces per-file batches whose merges
+    compound), and (2) a second checkpointed run over late-arriving
+    files that must update existing keys without reprocessing old
+    ones."""
+    from gpssbzd_spark.streaming.sources import upsert_parquet_sink
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    ev = (
+        load_table(spark, SF, "events")
+        .orderBy("event_id")
+        .limit(600)
+        .select("event_id", "ts", "user_id", "value")
+        .toPandas()
+    )
+    for i, sl in enumerate((ev.iloc[:200], ev.iloc[200:400])):
+        sl.to_parquet(
+            os.path.join(src, f"f{i}.parquet"), index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def run():
+        stream = read_parquet_stream(
+            spark, src, schema, max_files_per_trigger=1
+        )
+        upsert_parquet_sink(
+            stream, target, ckpt, keys=["user_id"], order_col="ts"
+        )
+
+    def expected(pdf):
+        latest = pdf.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id", as_index=False
+        ).last()
+        return {
+            (r.user_id): (r.ts, r.value) for r in latest.itertuples()
+        }
+
+    run()
+    got = {
+        r.user_id: (r.ts, r.value)
+        for r in spark.read.parquet(target).collect()
+    }
+    # ties on (user_id, ts) resolve by row_number order — the fixture
+    # has unique (user_id, ts) pairs in this slice, so last() matches
+    assert got == expected(ev.iloc[:400])
+    assert len(got) == ev.iloc[:400]["user_id"].nunique()
+
+    # late file: only the new rows are merged (checkpoint high-water)
+    ev.iloc[400:].to_parquet(
+        os.path.join(src, "f2.parquet"), index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    run()
+    got2 = {
+        r.user_id: (r.ts, r.value)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got2 == expected(ev)
