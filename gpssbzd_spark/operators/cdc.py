@@ -7,20 +7,29 @@ correction batch into the table (upsert), and derive what changed
 between two snapshots (CDC — the feed that keeps downstream marts and
 caches incremental instead of full-refresh).
 
-Both are one full-outer-join shapes, no driver state:
+Shapes, and why upsert is NOT a full outer join here:
 
-- **upsert**: full outer join base↔updates on the key; update rows
-  take the updates side, unmatched base rows pass through, unmatched
-  update rows are inserts. On a lakehouse this is MERGE INTO's
-  copy-on-write plan; expressed declaratively Catalyst broadcasts the
-  updates side when it is small (the common case: a correction batch
-  against a 100 TB base), so the base is never shuffled — only
-  rewritten files' partitions are touched when paired with partition
-  pruning on the write.
-- **snapshot diff**: full outer join old↔new; null-side tells
-  insert/delete, value comparison (null-safe) tells update vs
-  unchanged. Emitting only changed rows keeps the output proportional
-  to churn, not table size.
+- **upsert**: the textbook formulation (full outer join, update side
+  wins) cannot broadcast — Spark has no broadcast-hash full outer
+  join, so it always plans as a sort-merge join that SHUFFLES THE
+  BASE. For a correction batch against a 100 TB base that is the
+  whole cost. The scalable formulation is anti-join + union: base
+  rows whose key is absent from the updates (one broadcastable
+  left-anti join — zero base shuffle) unioned with the update rows.
+  With an order-column gate it becomes two broadcast passes over the
+  base (left outer to pick surviving base rows, derived beaten-key
+  anti join on the updates) — two scans, still zero shuffles, which
+  beats one full-base shuffle both in IO amplification and in skew
+  exposure. On a lakehouse this is MERGE INTO's copy-on-write plan;
+  pair with partition pruning on the write so only touched files
+  rewrite.
+- **snapshot diff**: genuinely needs both sides of every key (an
+  insert is invisible to an anti-join formulation's output contract
+  here), so it IS a full outer join: null-side tells insert/delete,
+  null-safe value comparison tells update vs unchanged. Emitting only
+  changed rows keeps the output proportional to churn, not table
+  size. Both snapshots are the same size by nature, so the shuffle is
+  symmetric and unavoidable.
 """
 
 from __future__ import annotations
@@ -45,28 +54,43 @@ def merge_upsert(
     MATCHED AND u.ord >= b.ord``): a matched update wins only if its
     order value (event time, version) is >= the base row's, so applying
     change batches out of order — late files, at-least-once redelivery
-    — can never regress a key to an older row. Without it the update
-    side wins unconditionally (arrival order)."""
+    — can never regress a key to an older row. A NULL order value on
+    either side keeps the base row (the conservative read of an
+    unorderable pair). Without ``order_col`` the update side wins
+    unconditionally (arrival order).
+
+    Plan shape (the reason this is not a full outer join — see module
+    docstring): without ``order_col``, ONE left-anti join, which
+    broadcasts when ``updates`` is broadcastable and never shuffles
+    ``base``. With ``order_col``, a left-outer pass picks the
+    surviving base rows and the beaten update keys derived from it
+    feed a second anti join over ``updates`` — two base scans, still
+    zero base shuffles (tests/test_operators.py gates both plans
+    shuffle-free under a broadcast update side).
+    """
     cols = base.columns
     assert updates.columns == cols, "merge_upsert requires identical schemas"
-    u = updates.select([F.col(c).alias(f"_u_{c}") for c in cols])
-    cond = [F.col(k) == F.col(f"_u_{k}") for k in keys]
-    joined = base.join(u, cond, "full_outer")
-    # the update side's key columns are non-null iff it exists for the
-    # joined row (definition of the join condition)
-    u_exists = F.col(f"_u_{keys[0]}").isNotNull()
-    if order_col is not None:
-        u_wins = u_exists & (
-            F.col(keys[0]).isNull()
-            | (F.col(f"_u_{order_col}") >= F.col(order_col))
-        )
-    else:
-        u_wins = u_exists
-    picked = [
-        F.when(u_wins, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
-        for c in cols
-    ]
-    return joined.select(*picked)
+    keys = list(keys)
+    if order_col is None:
+        kept = base.join(updates, keys, "left_anti")
+        return kept.unionByName(updates)
+
+    u = updates.select(
+        [F.col(k) for k in keys]
+        + [F.col(order_col).alias("_u_ord"), F.lit(1).alias("_u_exists")]
+    )
+    joined = base.join(u, keys, "left")
+    # one shared, null-safe verdict so base-kept and update-beaten
+    # partition every matched key exactly once (a NULL comparison must
+    # not keep BOTH rows)
+    u_wins = F.coalesce(F.col("_u_ord") >= F.col(order_col), F.lit(False))
+    matched = F.col("_u_exists").isNotNull()
+    kept_base = joined.filter(~matched | ~u_wins).select(*cols)
+    # no distinct on the beaten keys: left-anti only tests existence,
+    # and a distinct here would be the plan's ONLY shuffle
+    beaten_keys = joined.filter(matched & ~u_wins).select(*keys)
+    emit_updates = updates.join(F.broadcast(beaten_keys), keys, "left_anti")
+    return kept_base.unionByName(emit_updates)
 
 
 def snapshot_diff(

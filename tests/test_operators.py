@@ -94,11 +94,17 @@ def test_merge_upsert_semantics(spark):
         3: ("c", 30.0),
         4: ("d", 40.0),  # inserted
     }
-    # a small update batch must broadcast: the 100 TB base never shuffles
-    plan = merge_upsert(
-        base, F.broadcast(updates), ["k"]
-    )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # the scale contract: a broadcast update batch must produce a plan
+    # with NO sort-merge join and NO hash-partition shuffle of the base
+    # (anti-join + union formulation; a full-outer formulation cannot
+    # broadcast and would shuffle the 100 TB base)
+    for oc in (None, "v"):
+        plan = merge_upsert(
+            base, F.broadcast(updates), ["k"], order_col=oc
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, oc
+        assert "Exchange hashpartitioning" not in plan, oc
+        assert "BroadcastHashJoin" in plan, oc
 
 
 def test_snapshot_diff_churn_only(spark):
