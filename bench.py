@@ -31,7 +31,10 @@ median-of-3 (medians compare conservatively against single-shot: equal
 on an idle machine, lower under load). r5 also splits ``sim_topk_ivf``
 into ``sim_topk_ivf_build`` + ``sim_topk_ivf_query`` (compare their SUM
 against r4's combined row; the query row alone is the steady-state
-probe cost a deployment with a persisted index pays).
+probe cost a deployment with a persisted index pays), and adds five
+rows for the r5 op families (HLL rollup, z-order keys, vocab heavy
+hitters, upsert merge, snapshot diff) — additive only; every
+pre-existing row's code path is unchanged.
 """
 
 from __future__ import annotations
@@ -81,6 +84,12 @@ HEADLINE = [
     "tc_pipeline_dbscan",
     "tc_pipeline_components",
     "tc_pipeline_dbscan_general",
+    # r5 additions — new op families (additive: earlier rows unchanged)
+    "a9_hll_mergeable_rollup",
+    "dp_zorder_cells",
+    "tx_vocab_heavy_hitters",
+    "p15_merge_upsert",
+    "p16_snapshot_diff",
 ]
 
 
