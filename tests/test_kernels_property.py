@@ -267,3 +267,46 @@ def test_simhash_batch_kernel_256_token_row():
     row = [-1] * 300  # every bit set in all 300 tokens → majority all 64 bits
     out = _simhash64_udf.func(pd.Series([row, [0] * 300], dtype=object)).tolist()
     assert out == [-1, 0]
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert replay property (operators/cdc.py): with an order column
+# whose values are unique per key, folding change batches through the
+# merge yields the max-order row per key REGARDLESS of application
+# order — the exactly-once-state guarantee the streaming upsert sink
+# leans on under out-of-order files and redelivery.
+# ---------------------------------------------------------------------------
+
+change_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 1000), st.integers(0, 10**6)),
+    min_size=1,
+    max_size=24,
+).map(
+    # unique (key, ver) so ties cannot make the outcome order-dependent
+    lambda rows: list({(k, v): (k, v, p) for k, v, p in rows}.values())
+)
+
+
+@given(change_rows, st.integers(1, 4), st.randoms(use_true_random=False))
+@settings(max_examples=8, deadline=None)
+def test_merge_upsert_fold_is_order_independent(spark, rows, n_batches, rnd):
+    from gpssbzd_spark.operators.cdc import merge_upsert
+
+    rnd.shuffle(rows)
+    batches = [rows[i::n_batches] for i in range(n_batches)]
+    batches = [b for b in batches if b]
+    rnd.shuffle(batches)
+
+    schema = "k long, ver long, payload long"
+    state = spark.createDataFrame(batches[0], schema)
+    for b in batches[1:]:
+        state = merge_upsert(
+            state, spark.createDataFrame(b, schema), ["k"], order_col="ver"
+        )
+    got = {r.k: (r.ver, r.payload) for r in state.collect()}
+
+    expect: dict[int, tuple[int, int]] = {}
+    for k, v, p in rows:
+        if k not in expect or v > expect[k][0]:
+            expect[k] = (v, p)
+    assert got == expect
