@@ -297,6 +297,16 @@ def test_merge_upsert_fold_is_order_independent(spark, rows, n_batches, rnd):
     batches = [b for b in batches if b]
     rnd.shuffle(batches)
 
+    def collapse(b):
+        # merge_upsert's contract: the caller collapses each batch to
+        # one row per key first (upsert_parquet_sink does exactly this)
+        best = {}
+        for k, v, pld in b:
+            if k not in best or v > best[k][1]:
+                best[k] = (k, v, pld)
+        return list(best.values())
+
+    batches = [collapse(b) for b in batches]
     schema = "k long, ver long, payload long"
     state = spark.createDataFrame(batches[0], schema)
     for b in batches[1:]:
