@@ -93,7 +93,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("f5_array_struct_math", ["f5_json_extract"]),
     ("dd_exact_dup_groups",
      ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture",
-      "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells"]),
+      "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells",
+      "dd_minhash_portable_pairs"]),
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",

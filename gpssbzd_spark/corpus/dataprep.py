@@ -1197,3 +1197,30 @@ def dp_zorder_cells(spark, sf_dir):
     return ev.select(
         "event_id", zorder_value(lat, lng, _Z_LAT, _Z_LNG).alias("zval")
     )
+
+
+from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
+    minhash_lsh_portable,
+    minhash_lsh_portable_sql,
+)
+
+
+@query(
+    "dd_minhash_portable_pairs",
+    oracle=minhash_lsh_portable_sql(),
+    note="MinHash-LSH with an ENGINE-PORTABLE hash family "
+    "(dataprep/dedup.py minhash_lsh_portable): per-permutation min of "
+    "an md5-hex prefix over word 3-gram shingles, banded candidate "
+    "join, exact-Jaccard verify — the same algorithm as the Arrow-"
+    "kernel path (dd_minhash_lsh_pairs, rows-only by necessity: its "
+    "multiply-shift family has no DuckDB twin) but every stage here is "
+    "replayable by the oracle, so the FAMILY's banding/verify logic "
+    "gets end-to-end hash-compared driver evidence. Kernel stays the "
+    "100 TB hot path (md5-per-shingle costs ~5-10x); this is the "
+    "cross-check and the no-Python-worker fallback. dd rotation "
+    "alternate",
+    tier=2,
+)
+def dd_minhash_portable_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_portable(d)

@@ -666,3 +666,182 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable MinHash-LSH (full-oracle variant)
+# ---------------------------------------------------------------------------
+
+def _portable_tokens(col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != ""
+    )
+
+
+def _portable_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct lowercase word n-gram shingles (Broder's original
+    document-resemblance unit), natively; <n tokens → empty array."""
+    toks = _portable_tokens(col)
+    cnt = F.size(toks)
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_lsh_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an ENGINE-PORTABLE hash family —
+    the fully-oracled twin of :func:`minhash_dedup_pairs`.
+
+    The production kernel's multiply-shift / xxhash64 permutations have
+    no DuckDB equivalent, so that path is checkable only rows-only.
+    This variant draws each permutation as ``min over shingles of
+    substr(md5('mh<i>|' || shingle), 1, 8)`` — md5 is bit-identical in
+    every engine and a fixed-width hex prefix under lexicographic min
+    is a uniform keyed hash — so the ENTIRE pipeline (shingling →
+    signatures → banding → candidate join → exact-Jaccard verify) can
+    be replayed by the DuckDB oracle and hash-compared
+    (:func:`minhash_lsh_portable_sql` builds the identical SQL).
+
+    Same algorithm and plan shape as the kernel path: banded equi-join
+    on concatenated signature rows (never all-pairs), candidate pairs
+    deduped BEFORE the shingle arrays are re-attached (two hash joins
+    by id, so the arrays ship once per verified pair, not once per
+    band collision). md5-per-shingle is ~5-10× the kernel's cost — use
+    the kernel on the 100 TB hot path; this variant is the correctness
+    cross-check and the fallback where Python workers are unavailable.
+    """
+    assert num_hashes % bands == 0, (num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    docs = (
+        df.select(
+            F.col(id_col),
+            _portable_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    sig = [
+        F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s, i=i: F.substring(
+                    F.md5(F.concat(F.lit(f"mh{i}|"), s).cast("binary")), 1, 8
+                ),
+            )
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = docs.select(id_col, *sig)
+    band_vals = F.array(
+        *[
+            F.concat_ws(
+                "",
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        id_col, F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_idx", "band_val"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_portable_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_portable` — the identical
+    pipeline, built from the same parameters."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(trim({text_col})), '\\s+'),"
+        f" x -> x <> '')"
+    )
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(shingle_n))
+    sh = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len(t) - {shingle_n - 1}), i -> {gram}))"
+    )
+    hashes = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> substr(md5('mh{i}|' || s), 1, 8)),"
+        f" 'min') AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "(" + " || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f") AS b{b}"
+        for b in range(bands)
+    )
+    long_union = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band_idx, b{b} AS band_val FROM bands"
+        for b in range(bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, {toks} AS t FROM {table} WHERE {text_col} IS NOT NULL
+    ), docs AS (
+      SELECT {id_col}, {sh} AS sh FROM tok WHERE len(t) >= {shingle_n}
+    ), sigs AS (
+      SELECT {id_col}, {hashes} FROM docs
+    ), bands AS (
+      SELECT {id_col}, {band_exprs} FROM sigs
+    ), banded AS ({long_union}
+    ), cand AS (
+      SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
+      FROM banded l JOIN banded r USING (band_idx, band_val)
+      WHERE l.{id_col} < r.{id_col}
+    ), pairs AS (
+      SELECT id_a, id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM cand JOIN docs a ON a.{id_col} = cand.id_a
+                JOIN docs b ON b.{id_col} = cand.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+                 4) AS jaccard
+    FROM pairs
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+          / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+          >= {threshold}
+    """

@@ -59,6 +59,7 @@ _MUST_BE_NONEMPTY = [
     "bz_pipeline_cascade",
     "dd_exact_dup_groups",
     "dd_minhash_lsh_pairs",
+    "dd_minhash_portable_pairs",
     "dd_embedding_cosine_pairs",
     "dd_embedding_cosine_blocked",
     "j5_semi_anti_join",
