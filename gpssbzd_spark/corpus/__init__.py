@@ -94,7 +94,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("dd_exact_dup_groups",
      ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture",
       "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells",
-      "dd_minhash_portable_pairs"]),
+      "dd_minhash_portable_pairs", "dd_simhash_portable_pairs"]),
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",

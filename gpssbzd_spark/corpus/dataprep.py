@@ -1224,3 +1224,27 @@ from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
 def dd_minhash_portable_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_portable(d)
+
+
+from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
+    simhash_portable,
+    simhash_portable_sql,
+)
+
+
+@query(
+    "dd_simhash_portable_pairs",
+    oracle=simhash_portable_sql(),
+    note="64-bit SimHash with an ENGINE-PORTABLE hash family "
+    "(dataprep/dedup.py simhash_portable): per-token md5-derived 32-bit "
+    "halves, tf-weighted Charikar bit-majority (strict, like the "
+    "kernel), 8-band pigeonhole candidates, bit_count(xor) verify — "
+    "the fully-oracled twin of the Arrow-kernel dd_simhash_near_pairs "
+    "(rows-only by necessity: numpy xxhash family). Together with "
+    "dd_minhash_portable_pairs this makes every near-dup FAMILY's "
+    "banding + verify logic end-to-end hash-comparable against DuckDB. "
+    "dd rotation alternate",
+    tier=2,
+)
+def dd_simhash_portable_pairs(spark, sf_dir):
+    return simhash_portable(load_table(spark, sf_dir, "documents"))

@@ -845,3 +845,199 @@ def minhash_lsh_portable_sql(
           / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
           >= {threshold}
     """
+
+
+def simhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs with an ENGINE-PORTABLE hash
+    family — the fully-oracled twin of :func:`simhash_near_pairs`
+    (whose vectorized kernel family is numpy-specific, hence
+    rows-only).
+
+    Per distinct token, a 64-bit hash taken as TWO 32-bit halves of an
+    md5-hex prefix (hex->int via ``conv``/`'0x'||` cast, both engines
+    bit-identical; a single signed 64-bit parse could overflow on a
+    high bit, halves cannot). Per document, the classic Charikar
+    bit-majority: bit j is 1 iff the +1/-1 votes of its tokens' j-th
+    bits sum >= 0. Banding is pigeonhole on ``bands`` equal bit-slices
+    across the two halves, so every pair within
+    ``max_hamming <= bands - 1`` is guaranteed a colliding band
+    (complete cover, same argument as the kernel path); candidates are
+    verified with ``bit_count(xor)`` summed over the halves. One
+    explode + one grouped aggregation + banded equi-joins — no
+    all-pairs stage, no Python worker. Token-less docs drop out at the
+    explode (the kernel path's degenerate-bucket guard, inherited for
+    free). 64 bits matters on a template-heavy corpus: at 32 bits the
+    shared-boilerplate majority vote collides essentially everything
+    (observed ~18% of ALL pairs under hamming<=3 on the fixture).
+
+    :func:`simhash_portable_sql` replays the identical pipeline in
+    DuckDB for the cross-engine hash comparison.
+    """
+    assert 64 % bands == 0 and bands % 2 == 0, bands
+    assert max_hamming <= bands - 1, "pigeonhole cover needs hamming < bands"
+    bits_per_band = 64 // bands
+    half_bands = bands // 2
+    # tokens WITH multiplicity (like the kernel path's simhash64):
+    # term-frequency-weighted votes separate template-heavy docs that
+    # share most of their VOCABULARY but not their token distribution —
+    # set-based votes collide essentially the whole fixture corpus
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_portable_tokens(F.col(text_col))).alias("token"),
+    )
+    h = F.md5(F.concat(F.lit("sh|"), F.col("token")).cast("binary"))
+    v_lo = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    v_hi = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    votes = toks.select(id_col, v_lo.alias("vl"), v_hi.alias("vh"))
+
+    def vote_sum(col: str, j: int, name: str) -> Column:
+        bit = F.shiftright(F.col(col), j).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(name)
+
+    sums = votes.groupBy(id_col).agg(
+        *[vote_sum("vl", j, f"l{j}") for j in range(32)],
+        *[vote_sum("vh", j, f"h{j}") for j in range(32)],
+    )
+
+    def pack(prefix: str) -> Column:
+        sig = None
+        for j in range(32):
+            # strict majority like the kernel (votes*2 > n): ties -> 0
+            bit = (
+                F.when(F.col(f"{prefix}{j}") > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+            )
+            term = F.shiftleft(bit, j)
+            sig = term if sig is None else sig + term
+        return sig
+
+    sigs = sums.select(
+        id_col, pack("l").alias("sig_lo"), pack("h").alias("sig_hi")
+    )
+    mask = (1 << bits_per_band) - 1
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("sig_lo"), b * bits_per_band).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(half_bands)
+        ],
+        *[
+            F.shiftright(F.col("sig_hi"), b * bits_per_band).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(half_bands)
+        ],
+    )
+    banded = sigs.select(
+        id_col, F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_idx", "band_val"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig_lo").alias("lo_a"),
+        F.col("sig_hi").alias("hi_a"),
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig_lo").alias("lo_b"),
+        F.col("sig_hi").alias("hi_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("bigint")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_portable_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB twin of :func:`simhash_portable`, same parameters."""
+    assert 64 % bands == 0 and bands % 2 == 0
+    bits_per_band = 64 // bands
+    half_bands = bands // 2
+    mask = (1 << bits_per_band) - 1
+    sums = ", ".join(
+        f"SUM(CASE WHEN (vl >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS l{j}"
+        for j in range(32)
+    ) + ", " + ", ".join(
+        f"SUM(CASE WHEN (vh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS h{j}"
+        for j in range(32)
+    )
+
+    def pack(prefix: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {prefix}{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END"
+            f" << {j})"
+            for j in range(32)
+        )
+
+    band_exprs = ", ".join(
+        f"(sig_lo >> {b * bits_per_band}) & {mask} AS b{b}"
+        for b in range(half_bands)
+    ) + ", " + ", ".join(
+        f"(sig_hi >> {b * bits_per_band}) & {mask} AS b{half_bands + b}"
+        for b in range(half_bands)
+    )
+    long_union = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band_idx, b{b} AS band_val FROM bander"
+        for b in range(2 * half_bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col},
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim({text_col})), '\\s+'),
+               x -> x <> '')) AS token
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ), hv AS (
+      SELECT {id_col},
+             CAST('0x' || substr(md5('sh|' || token), 1, 8) AS BIGINT) AS vl,
+             CAST('0x' || substr(md5('sh|' || token), 9, 8) AS BIGINT) AS vh
+      FROM tok
+    ), sums AS (
+      SELECT {id_col}, {sums} FROM hv GROUP BY {id_col}
+    ), sigs AS (
+      SELECT {id_col}, {pack("l")} AS sig_lo, {pack("h")} AS sig_hi FROM sums
+    ), bander AS (
+      SELECT {id_col}, {band_exprs} FROM sigs
+    ), banded AS ({long_union}
+    ), cand AS (
+      SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
+      FROM banded l JOIN banded r USING (band_idx, band_val)
+      WHERE l.{id_col} < r.{id_col}
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+    FROM cand JOIN sigs a ON a.{id_col} = cand.id_a
+              JOIN sigs b ON b.{id_col} = cand.id_b
+    WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+          + bit_count(xor(a.sig_hi, b.sig_hi)) <= {max_hamming}
+    """
