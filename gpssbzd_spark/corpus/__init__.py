@@ -93,8 +93,12 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("f5_array_struct_math", ["f5_json_extract"]),
     ("dd_exact_dup_groups",
      ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture",
-      "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells",
-      "dd_minhash_portable_pairs", "dd_simhash_portable_pairs"]),
+      "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells"]),
+    # the portable twins rotate against their kernel counterparts'
+    # rows-only slots: alternate rounds give the SAME family hash-match
+    # driver evidence (portable md5 family) and kernel-path rows
+    ("dd_minhash_lsh_pairs", ["dd_minhash_portable_pairs"]),
+    ("dd_simhash_buckets", ["dd_simhash_portable_pairs"]),
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",
