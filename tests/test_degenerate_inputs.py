@@ -115,3 +115,65 @@ def test_extract_features_tolerates_null_meta(spark):
     assert out[1]["kind"] == "image"
     assert out[2]["kind"] is None  # passed through, not crashed
     assert out[2]["n_bytes"] == 3
+
+
+def test_new_mutation_and_layout_ops_degrade_on_degenerate_input(spark):
+    """r5 ops under empty/null input: empty updates leave the base
+    untouched, an empty base makes every update an insert, snapshot
+    diff of identical tables is empty, diff against an empty old
+    labels everything insert, stratified sampling passes null ids into
+    a deterministic bucket instead of crashing, the portable near-dup
+    pipelines drop null/empty docs, and zorder values clamp (never
+    null) for out-of-range coordinates."""
+    from gpssbzd_spark.dataprep.dedup import minhash_lsh_portable, simhash_portable
+    from gpssbzd_spark.dataprep.splits import stratified_sample
+    from gpssbzd_spark.functions.spatial import zorder_value
+    from gpssbzd_spark.operators.cdc import merge_upsert, snapshot_diff
+
+    schema = "k long, v double"
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], schema)
+    empty = spark.createDataFrame([], schema)
+
+    assert sorted(map(tuple, merge_upsert(base, empty, ["k"]).collect())) == [
+        (1, 1.0),
+        (2, 2.0),
+    ]
+    assert sorted(map(tuple, merge_upsert(empty, base, ["k"]).collect())) == [
+        (1, 1.0),
+        (2, 2.0),
+    ]
+    assert merge_upsert(empty, empty, ["k"]).count() == 0
+    assert snapshot_diff(base, base, ["k"]).count() == 0
+    ins = snapshot_diff(empty, base, ["k"])
+    assert {r.op for r in ins.collect()} == {"insert"} and ins.count() == 2
+    assert {r.op for r in snapshot_diff(base, empty, ["k"]).collect()} == {"delete"}
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two"), (5, "x")],
+        "doc_id long, text string",
+    )
+    # too short for 3-gram shingles / no tokens: everything drops, no crash
+    assert minhash_lsh_portable(docs).count() == 0
+    assert simhash_portable(docs).count() == 0
+
+    strat = spark.createDataFrame(
+        [(None, "en"), (7, None), (8, "zh")], "doc_id long, lang string"
+    )
+    out = stratified_sample(
+        strat, "doc_id", "lang", {"en": 1.0, "zh": 1.0}, default_fraction=1.0
+    )
+    # fraction 1.0 everywhere keeps every row, including null id/stratum
+    assert out.count() == 3
+
+    z = spark.createDataFrame(
+        [(-1000.0, -1000.0), (1000.0, 1000.0)], "lat double, lng double"
+    )
+    got = [
+        r.z
+        for r in z.select(
+            zorder_value(
+                F.col("lat"), F.col("lng"), (22.0, 23.0), (113.0, 114.0)
+            ).alias("z")
+        ).collect()
+    ]
+    assert got[0] == 0 and got[1] == (1 << 32) - 1  # clamped to corner cells
