@@ -98,6 +98,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     # rows-only slots: alternate rounds give the SAME family hash-match
     # driver evidence (portable md5 family) and kernel-path rows
     ("dd_minhash_lsh_pairs", ["dd_minhash_portable_pairs"]),
+    ("dd_embedding_cosine_blocked", ["dd_embedding_lsh_portable_pairs"]),
     ("dd_simhash_buckets", ["dd_simhash_portable_pairs"]),
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",

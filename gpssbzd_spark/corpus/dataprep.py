@@ -1248,3 +1248,29 @@ from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
 )
 def dd_simhash_portable_pairs(spark, sf_dir):
     return simhash_portable(load_table(spark, sf_dir, "documents"))
+
+
+from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
+    embedding_lsh_portable,
+    embedding_lsh_portable_sql,
+)
+
+
+@query(
+    "dd_embedding_lsh_portable_pairs",
+    oracle=embedding_lsh_portable_sql(),
+    note="OR-amplified sign-LSH embedding near-dup pairs with EXACT "
+    "cross-engine arithmetic (dataprep/dedup.py embedding_lsh_portable): "
+    "embeddings quantized to round(x*1000) BIGINTs (integer dots/norms "
+    "are order-independent, float sums are not), md5-derived Rademacher "
+    "+-1 hyperplanes embedded as literals on BOTH sides, bit-packed "
+    "bucket signs, per-(table,bucket) candidate join, exact quantized "
+    "cosine verify — the fully-oracled twin of the numpy-Gaussian "
+    "kernel row dd_embedding_cosine_blocked (rows-only by necessity). "
+    "With minhash and simhash portable twins, EVERY near-dup family "
+    "now has end-to-end hash-compared driver evidence on twin rounds. "
+    "Rotates against the kernel row",
+    tier=2,
+)
+def dd_embedding_lsh_portable_pairs(spark, sf_dir):
+    return embedding_lsh_portable(load_table(spark, sf_dir, "embeddings"))

@@ -1041,3 +1041,182 @@ def simhash_portable_sql(
     WHERE bit_count(xor(a.sig_lo, b.sig_lo))
           + bit_count(xor(a.sig_hi, b.sig_hi)) <= {max_hamming}
     """
+
+
+def _rademacher_signs(
+    n_tables: int, n_planes: int, dim: int
+) -> list[tuple[int, int, list[int]]]:
+    """(table, plane, ±1-vector) triples, deterministically from md5 —
+    computable identically in any language, so the Spark side and the
+    SQL oracle embed the SAME literals. Rademacher hyperplanes are a
+    standard sign-LSH family (Achlioptas-style ±1 projections preserve
+    angles like Gaussian ones)."""
+    import hashlib
+
+    out = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            digest = hashlib.md5(f"pl|{t}|{p}".encode()).digest()
+            # extend deterministically past 128 bits by re-hashing
+            bits: list[int] = []
+            block = digest
+            while len(bits) < dim:
+                for byte in block:
+                    for k in range(8):
+                        bits.append(1 if (byte >> k) & 1 else -1)
+                block = hashlib.md5(block).digest()
+            out.append((t, p, bits[:dim]))
+    return out
+
+
+def embedding_lsh_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """OR-amplified sign-LSH embedding near-dup pairs with EXACT
+    cross-engine arithmetic — the fully-oracled twin of
+    :func:`embedding_lsh_pairs` (whose numpy Gaussian planes and
+    matmul-order float sums no other engine can replay bit-for-bit).
+
+    Two moves make every stage integer-exact and therefore
+    hash-comparable:
+
+    - embeddings quantize to ``round(x·scale)`` BIGINTs once — dot
+      products and norms over ints are order-independent and identical
+      in any engine (float summation order is not);
+    - hyperplanes are ±1 Rademacher vectors derived from md5
+      (:func:`_rademacher_signs`), embedded as LITERALS on both sides.
+
+    The pipeline is the relational mirror of the kernel path: a tiny
+    planes table (n_tables·n_planes rows) cross-joins the quantized
+    vectors (a broadcast, vectors scan once), per-(id, table) bucket =
+    the bit-packed dot signs, candidates self-join per (table, bucket),
+    and the verify is exact cosine ON THE QUANTIZED ints ≥ threshold.
+    Precision 1.0 w.r.t. the quantized cosine by construction; the
+    quantization itself perturbs cosine by O(1/scale) — at scale=1000
+    that is ±~0.002, documented as this variant's contract. Kernel path
+    stays the hot path; this is the cross-check and fallback.
+    """
+    spark = df.sparkSession
+    # bit precomputed in Python: shiftleft needs a literal count, and a
+    # plain column is cheaper than a CASE over p anyway
+    planes = spark.createDataFrame(
+        [(t, p, 1 << p, sgn) for t, p, sgn in
+         _rademacher_signs(n_tables, n_planes, dim)],
+        "t int, p int, bit long, sgn array<bigint>",
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+    sq_norm = F.aggregate(
+        F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    vecs = (
+        df.select(F.col(id_col).alias("_id"), q.alias("q"))
+        .withColumn("_sq", sq_norm)
+        .filter(F.col("_sq") > 0)
+    )
+    dot_plane = F.aggregate(
+        F.zip_with("q", "sgn", lambda a, s: a * s),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dots = vecs.join(F.broadcast(planes)).select(
+        "_id", "t", "bit", dot_plane.alias("d")
+    )
+    bucket_bit = F.when(F.col("d") >= 0, F.col("bit")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    buckets = dots.groupBy("_id", "t").agg(F.sum(bucket_bit).alias("bucket"))
+    cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), ["t", "bucket"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    a = vecs.select(
+        F.col("_id").alias("id_a"), F.col("q").alias("qa"), F.col("_sq").alias("sa")
+    )
+    b = vecs.select(
+        F.col("_id").alias("id_b"), F.col("q").alias("qb"), F.col("_sq").alias("sb")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot_ab.cast("double") / (
+        F.sqrt(F.col("sa").cast("double")) * F.sqrt(F.col("sb").cast("double"))
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def embedding_lsh_portable_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`embedding_lsh_portable`, embedding the
+    SAME md5-derived ±1 plane literals."""
+    rows = ", ".join(
+        f"({t}, {p}, [{', '.join(str(s) for s in sgn)}]::BIGINT[])"
+        for t, p, sgn in _rademacher_signs(n_tables, n_planes, dim)
+    )
+    return f"""
+    WITH planes(t, p, sgn) AS (VALUES {rows}),
+    vecs AS (
+      SELECT {id_col} AS _id,
+             list_transform({vec_col},
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+      FROM {table}
+    ), vq AS (
+      SELECT _id, q,
+             list_sum(list_transform(q, x -> x * x)) AS sq
+      FROM vecs
+    ), keep AS (
+      SELECT * FROM vq WHERE sq > 0
+    ), dots AS (
+      SELECT _id, t, p,
+             list_sum(list_transform(generate_series(1, {dim}),
+               j -> q[j] * sgn[j])) AS d
+      FROM keep CROSS JOIN planes
+    ), buckets AS (
+      SELECT _id, t,
+             SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p)
+                 ELSE 0 END) AS bucket
+      FROM dots GROUP BY _id, t
+    ), cand AS (
+      SELECT DISTINCT l._id AS id_a, r._id AS id_b
+      FROM buckets l JOIN buckets r USING (t, bucket)
+      WHERE l._id < r._id
+    ), verified AS (
+      SELECT id_a, id_b,
+             CAST(list_sum(list_transform(generate_series(1, {dim}),
+               j -> a.q[j] * b.q[j])) AS DOUBLE)
+             / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE)))
+               AS cos_sim
+      FROM cand JOIN keep a ON a._id = cand.id_a
+                JOIN keep b ON b._id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(cos_sim, 4) AS cos_sim
+    FROM verified WHERE cos_sim >= {threshold}
+    """

@@ -61,6 +61,7 @@ _MUST_BE_NONEMPTY = [
     "dd_minhash_lsh_pairs",
     "dd_minhash_portable_pairs",
     "dd_simhash_portable_pairs",
+    "dd_embedding_lsh_portable_pairs",
     "dd_embedding_cosine_pairs",
     "dd_embedding_cosine_blocked",
     "j5_semi_anti_join",

@@ -43,10 +43,10 @@ FIXED = [
     # general-min_samples twin, so it is group-checked, not FIXED)
     "bz_pipeline_cascade", "pe_pipeline_segments",
     "tc_pipeline_components",
-    # dataprep / similarity / multimodal (the minhash/simhash kernel
-    # rows rotate with their engine-portable fully-oracled twins, so
-    # they are group-checked, not FIXED)
-    "dd_embedding_cosine_blocked", "tx_token_jaccard_pairs",
+    # dataprep / similarity / multimodal (the minhash/simhash/
+    # embedding-LSH kernel rows rotate with their engine-portable
+    # fully-oracled twins, so they are group-checked, not FIXED)
+    "tx_token_jaccard_pairs",
     "sim_topk_brute", "sim_topk_lsh", "mm_frame_sample",
 ]
 
