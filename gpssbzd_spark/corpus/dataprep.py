@@ -1274,3 +1274,27 @@ from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
 )
 def dd_embedding_lsh_portable_pairs(spark, sf_dir):
     return embedding_lsh_portable(load_table(spark, sf_dir, "embeddings"))
+
+
+from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
+    ann_lsh_portable,
+    ann_lsh_portable_sql,
+)
+
+
+@query(
+    "sim_topk_lsh_portable",
+    oracle=ann_lsh_portable_sql(),
+    note="hyperplane-LSH cosine top-k with EXACT cross-engine "
+    "arithmetic (dataprep/similarity.py ann_lsh_portable): quantized-"
+    "integer vectors, md5-derived Rademacher plane literals, 1-bit "
+    "multi-probe on the query side, candidates ranked by exact "
+    "quantized cosine with a vec_id tie-break — the fully-oracled twin "
+    "of the numpy-kernel sim_topk_lsh (rows-only by necessity). The "
+    "oracle replicates the identical candidate set, so LSH recall is a "
+    "tuning property (pytest-pinned on the kernel), never a comparison "
+    "mismatch. Rotates against the kernel row",
+    tier=2,
+)
+def sim_topk_lsh_portable(spark, sf_dir):
+    return ann_lsh_portable(load_table(spark, sf_dir, "embeddings"))

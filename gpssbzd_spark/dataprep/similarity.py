@@ -466,3 +466,184 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_lsh_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_queries: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Hyperplane-LSH cosine top-k with EXACT cross-engine arithmetic —
+    the fully-oracled twin of :func:`lsh_topk` (whose numpy Gaussian
+    planes and float matmul sums no other engine replays bit-for-bit).
+
+    Same two moves as ``dedup.embedding_lsh_portable``: vectors
+    quantize to ``round(x·scale)`` BIGINTs (integer dots/norms are
+    order-independent), hyperplanes are md5-derived Rademacher ±1
+    literals shared with the SQL twin. Search shape mirrors the
+    kernel path: per-table bit-packed bucket signs for corpus AND
+    queries, 1-bit multi-probe on the query side (each query probes
+    its bucket plus every hamming-1 neighbour — the same probes=1
+    recall boost), candidates = bucket equi-join, then exact quantized
+    cosine + row_number rank with a vec_id tie-break. Ranking happens
+    among CANDIDATES, so the oracle replicates the identical candidate
+    set — approximation error vs brute force is a recall property
+    (pinned in pytest for the kernel), never a comparison mismatch.
+    """
+    from gpssbzd_spark.dataprep.dedup import _rademacher_signs
+
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        [
+            (t, p, 1 << p, sgn)
+            for t, p, sgn in _rademacher_signs(n_tables, n_planes, dim)
+        ],
+        "t int, p int, bit long, sgn array<bigint>",
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+    sq = F.aggregate(
+        F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    vecs = (
+        df.select(F.col(id_col).alias("_id"), q.alias("q"))
+        .withColumn("_sq", sq)
+        .filter(F.col("_sq") > 0)
+    )
+    dot_plane = F.aggregate(
+        F.zip_with("q", "sgn", lambda a, s: a * s),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    buckets = (
+        vecs.join(F.broadcast(planes))
+        .select(
+            "_id",
+            "t",
+            F.when(dot_plane >= 0, F.col("bit"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("bb"),
+        )
+        .groupBy("_id", "t")
+        .agg(F.sum("bb").alias("bucket"))
+    )
+    qb = buckets.filter(F.col("_id") < n_queries)
+    probe_vals = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    probes = qb.select(
+        F.col("_id").alias("query_id"),
+        "t",
+        F.explode(probe_vals).alias("bucket"),
+    )
+    cand = (
+        probes.join(buckets, ["t", "bucket"])
+        .select("query_id", F.col("_id").alias("vec_id"))
+        .distinct()
+    )
+    qs = vecs.select(
+        F.col("_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("_sq").alias("qsq"),
+    )
+    cs = vecs.select(
+        F.col("_id").alias("vec_id"),
+        F.col("q").alias("cq"),
+        F.col("_sq").alias("csq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "cq", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("qsq").cast("double")) * F.sqrt(F.col("csq").cast("double"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.join(qs, "query_id")
+        .join(cs, "vec_id")
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+        )
+    )
+
+
+def ann_lsh_portable_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_queries: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`ann_lsh_portable`, same plane literals."""
+    from gpssbzd_spark.dataprep.dedup import _rademacher_signs
+
+    rows = ", ".join(
+        f"({t}, {p}, [{', '.join(str(s) for s in sgn)}]::BIGINT[])"
+        for t, p, sgn in _rademacher_signs(n_tables, n_planes, dim)
+    )
+    flips = ", ".join(["(0)"] + [f"({1 << p})" for p in range(n_planes)])
+    return f"""
+    WITH planes(t, p, sgn) AS (VALUES {rows}),
+    vq AS (
+      SELECT {id_col} AS _id,
+             list_transform({vec_col},
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+      FROM {table}
+    ), keep AS (
+      SELECT _id, q, list_sum(list_transform(q, x -> x * x)) AS sq
+      FROM vq
+      WHERE list_sum(list_transform(q, x -> x * x)) > 0
+    ), buckets AS (
+      SELECT _id, t,
+             SUM(CASE WHEN list_sum(list_transform(
+                   generate_series(1, {dim}), j -> q[j] * sgn[j])) >= 0
+                 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+      FROM keep CROSS JOIN planes GROUP BY _id, t
+    ), probes AS (
+      SELECT b._id AS query_id, b.t,
+             CASE WHEN f.f = 0 THEN b.bucket
+                  ELSE xor(b.bucket, f.f) END AS bucket
+      FROM buckets b CROSS JOIN (VALUES {flips}) f(f)
+      WHERE b._id < {n_queries}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, b._id AS vec_id
+      FROM probes p JOIN buckets b USING (t, bucket)
+    ), scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             CAST(list_sum(list_transform(generate_series(1, {dim}),
+               j -> qs.q[j] * cs.q[j])) AS DOUBLE)
+             / (sqrt(CAST(qs.sq AS DOUBLE)) * sqrt(CAST(cs.sq AS DOUBLE)))
+               AS cos_sim
+      FROM cand JOIN keep qs ON qs._id = cand.query_id
+                JOIN keep cs ON cs._id = cand.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= {k}
+    """

@@ -62,6 +62,7 @@ _MUST_BE_NONEMPTY = [
     "dd_minhash_portable_pairs",
     "dd_simhash_portable_pairs",
     "dd_embedding_lsh_portable_pairs",
+    "sim_topk_lsh_portable",
     "dd_embedding_cosine_pairs",
     "dd_embedding_cosine_blocked",
     "j5_semi_anti_join",

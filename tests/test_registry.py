@@ -47,7 +47,7 @@ FIXED = [
     # embedding-LSH kernel rows rotate with their engine-portable
     # fully-oracled twins, so they are group-checked, not FIXED)
     "tx_token_jaccard_pairs",
-    "sim_topk_brute", "sim_topk_lsh", "mm_frame_sample",
+    "sim_topk_brute", "mm_frame_sample",
 ]
 
 # rows-only (no oracle) rows allowed in the window: the genuinely
