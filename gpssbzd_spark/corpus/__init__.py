@@ -101,6 +101,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("dd_embedding_cosine_blocked", ["dd_embedding_lsh_portable_pairs"]),
     ("dd_simhash_buckets", ["dd_simhash_portable_pairs"]),
     ("sim_topk_lsh", ["sim_topk_lsh_portable"]),
+    ("sim_topk_brute", ["sim_topk_ivf_portable"]),
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",

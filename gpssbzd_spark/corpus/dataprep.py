@@ -1298,3 +1298,28 @@ from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
 )
 def sim_topk_lsh_portable(spark, sf_dir):
     return ann_lsh_portable(load_table(spark, sf_dir, "embeddings"))
+
+
+from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
+    ivf_flat_portable,
+    ivf_flat_portable_sql,
+)
+
+
+@query(
+    "sim_topk_ivf_portable",
+    oracle=ivf_flat_portable_sql(),
+    note="IVF-flat cosine top-k with EXACT cross-engine arithmetic "
+    "(dataprep/similarity.py ivf_flat_portable): deterministic hash-"
+    "sampled codebook (the md5-smallest ids ARE the centroids — "
+    "sampled codebooks are the standard k-means init; skipping Lloyd "
+    "trades recall, which the kernel path pins in pytest, never "
+    "correctness), quantized-integer argmax assignment with centroid "
+    "tie-break, n_probe nearest lists per query, exact quantized-"
+    "cosine ranking — the fully-oracled twin of the engine-seeded "
+    "sim_topk_ivf. Rotates against sim_topk_brute so the IVF family "
+    "earns hash-matched driver evidence on twin rounds",
+    tier=2,
+)
+def sim_topk_ivf_portable(spark, sf_dir):
+    return ivf_flat_portable(load_table(spark, sf_dir, "embeddings"))

@@ -647,3 +647,181 @@ def ann_lsh_portable_sql(
     SELECT query_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+def ivf_flat_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    n_queries: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-flat cosine top-k with EXACT cross-engine arithmetic — the
+    fully-oracled twin of :func:`ivf_topk`.
+
+    The kernel IVF's k-means codebook is engine-seeded (numpy Lloyd
+    iterations over float sums), unreplayable elsewhere. This variant
+    keeps the IVF SHAPE but swaps the codebook for a deterministic
+    hash-sampled one: the ``n_centroids`` vectors whose
+    ``md5('ivf|' || id)`` sorts smallest ARE the centroids (sampled
+    codebooks are the standard k-means init — skipping Lloyd trades
+    recall, not correctness, and recall is the kernel path's pytest-
+    pinned property). Everything else is the quantized-integer
+    machinery of the other portable twins: assignment = argmax
+    quantized cosine over the broadcast codebook (centroid-id
+    tie-break), queries probe their ``n_probe`` nearest lists, and
+    candidates rank by exact quantized cosine. The DuckDB twin
+    (:func:`ivf_flat_portable_sql`) replays every stage, codebook
+    included.
+    """
+    from pyspark.sql import Window
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+    sq = F.aggregate(
+        F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    vecs = (
+        df.select(F.col(id_col).alias("_id"), q.alias("q"))
+        .withColumn("_sq", sq)
+        .filter(F.col("_sq") > 0)
+    )
+    cents = (
+        vecs.orderBy(F.md5(F.concat(F.lit("ivf|"), F.col("_id").cast("string"))))
+        .limit(n_centroids)
+        .select(
+            F.col("_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("_sq").alias("csq"),
+        )
+    )
+    dot_c = F.aggregate(
+        F.zip_with("q", "cq", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cos_c = dot_c.cast("double") / (
+        F.sqrt(F.col("_sq").cast("double")) * F.sqrt(F.col("csq").cast("double"))
+    )
+    scored_c = vecs.join(F.broadcast(cents)).select(
+        "_id", "cid", cos_c.alias("ccos")
+    )
+    w_assign = Window.partitionBy("_id").orderBy(
+        F.col("ccos").desc(), F.col("cid")
+    )
+    ranked_c = scored_c.withColumn("crank", F.row_number().over(w_assign))
+    lists = ranked_c.filter(F.col("crank") == 1).select(
+        F.col("_id").alias("vec_id"), "cid"
+    )
+    probes = (
+        ranked_c.filter(
+            (F.col("_id") < n_queries) & (F.col("crank") <= n_probe)
+        )
+        .select(F.col("_id").alias("query_id"), "cid")
+    )
+    cand = (
+        probes.join(lists, "cid").select("query_id", "vec_id").distinct()
+    )
+    qs = vecs.select(
+        F.col("_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("_sq").alias("qsq"),
+    )
+    cs = vecs.select(
+        F.col("_id").alias("vec_id"),
+        F.col("q").alias("vq"),
+        F.col("_sq").alias("vsq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "vq", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("qsq").cast("double")) * F.sqrt(F.col("vsq").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.join(qs, "query_id")
+        .join(cs, "vec_id")
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+        )
+    )
+
+
+def ivf_flat_portable_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    n_queries: int = 10,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`ivf_flat_portable`."""
+    return f"""
+    WITH vq AS (
+      SELECT {id_col} AS _id,
+             list_transform({vec_col},
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+      FROM {table}
+    ), keep AS (
+      SELECT _id, q, list_sum(list_transform(q, x -> x * x)) AS sq
+      FROM vq
+      WHERE list_sum(list_transform(q, x -> x * x)) > 0
+    ), cents AS (
+      SELECT _id AS cid, q AS cq, sq AS csq
+      FROM keep
+      ORDER BY md5('ivf|' || CAST(_id AS VARCHAR))
+      LIMIT {n_centroids}
+    ), scored_c AS (
+      SELECT keep._id, cents.cid,
+             CAST(list_sum(list_transform(generate_series(1, {dim}),
+               j -> keep.q[j] * cents.cq[j])) AS DOUBLE)
+             / (sqrt(CAST(keep.sq AS DOUBLE)) * sqrt(CAST(cents.csq AS DOUBLE)))
+               AS ccos
+      FROM keep CROSS JOIN cents
+    ), ranked_c AS (
+      SELECT _id, cid, ccos,
+             row_number() OVER (PARTITION BY _id
+                                ORDER BY ccos DESC, cid) AS crank
+      FROM scored_c
+    ), lists AS (
+      SELECT _id AS vec_id, cid FROM ranked_c WHERE crank = 1
+    ), probes AS (
+      SELECT _id AS query_id, cid FROM ranked_c
+      WHERE _id < {n_queries} AND crank <= {n_probe}
+    ), cand AS (
+      SELECT DISTINCT probes.query_id, lists.vec_id
+      FROM probes JOIN lists USING (cid)
+    ), scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             CAST(list_sum(list_transform(generate_series(1, {dim}),
+               j -> qs.q[j] * cs.q[j])) AS DOUBLE)
+             / (sqrt(CAST(qs.sq AS DOUBLE)) * sqrt(CAST(cs.sq AS DOUBLE)))
+               AS cos_sim
+      FROM cand JOIN keep qs ON qs._id = cand.query_id
+                JOIN keep cs ON cs._id = cand.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= {k}
+    """

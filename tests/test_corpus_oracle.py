@@ -63,6 +63,7 @@ _MUST_BE_NONEMPTY = [
     "dd_simhash_portable_pairs",
     "dd_embedding_lsh_portable_pairs",
     "sim_topk_lsh_portable",
+    "sim_topk_ivf_portable",
     "dd_embedding_cosine_pairs",
     "dd_embedding_cosine_blocked",
     "j5_semi_anti_join",

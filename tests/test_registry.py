@@ -46,8 +46,7 @@ FIXED = [
     # dataprep / similarity / multimodal (the minhash/simhash/
     # embedding-LSH kernel rows rotate with their engine-portable
     # fully-oracled twins, so they are group-checked, not FIXED)
-    "tx_token_jaccard_pairs",
-    "sim_topk_brute", "mm_frame_sample",
+    "tx_token_jaccard_pairs", "mm_frame_sample",
 ]
 
 # rows-only (no oracle) rows allowed in the window: the genuinely
