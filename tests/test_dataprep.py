@@ -788,3 +788,40 @@ def test_repetition_features_known_values(spark):
     assert out[1].dup_3gram_frac == pytest.approx(0.0)
     assert out[2].dup_2gram_frac is None and out[3].dup_2gram_frac is None
     assert out[4].dup_2gram_frac == pytest.approx(1 - 1 / 49)
+
+
+def test_portable_ann_twins_recall_floor(spark, sf_dir):
+    """The portable LSH/IVF top-k twins trade recall for cross-engine
+    exactness — pin that the trade is bounded: recall@5 vs the exact
+    brute-force baseline stays above a floor on the fixture (observed
+    0.88 LSH / 0.60 IVF; floors leave slack for fixture regeneration).
+    Correctness (candidate set + ranking) is separately hash-compared
+    against DuckDB in test_corpus_oracle."""
+    from gpssbzd_spark.dataprep.similarity import (
+        ann_lsh_portable,
+        brute_force_topk,
+        ivf_flat_portable,
+    )
+    from gpssbzd_spark.sources.tables import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    emk = em.filter(sq > 0)
+    queries = emk.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emk, queries, k=5).collect()
+    }
+    lsh = {(r.query_id, r.vec_id) for r in ann_lsh_portable(em).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in ivf_flat_portable(em).collect()}
+    assert len(lsh & truth) / len(truth) >= 0.7
+    assert len(ivf & truth) / len(truth) >= 0.4
