@@ -97,7 +97,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     # the portable twins rotate against their kernel counterparts'
     # rows-only slots: alternate rounds give the SAME family hash-match
     # driver evidence (portable md5 family) and kernel-path rows
-    ("dd_minhash_lsh_pairs", ["dd_minhash_portable_pairs"]),
+    ("dd_minhash_lsh_pairs",
+     ["dd_minhash_portable_pairs", "dd_neardup_clusters"]),
     ("dd_embedding_cosine_blocked", ["dd_embedding_lsh_portable_pairs"]),
     ("dd_simhash_buckets", ["dd_simhash_portable_pairs"]),
     ("sim_topk_lsh", ["sim_topk_lsh_portable"]),
@@ -105,7 +106,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("tx_doc_features",
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",
-      "tx_repetition_filter", "tx_vocab_heavy_hitters"]),
+      "tx_repetition_filter", "tx_vocab_heavy_hitters",
+      "dp_decontaminate_overlap"]),
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window", ["st_sliding_window"]),

@@ -1323,3 +1323,91 @@ from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
 )
 def sim_topk_ivf_portable(spark, sf_dir):
     return ivf_flat_portable(load_table(spark, sf_dir, "embeddings"))
+
+
+from gpssbzd_spark.dataprep.decontam import (  # noqa: E402
+    contamination_pairs,
+    contamination_pairs_sql,
+)
+
+# deterministic md5-prefix split of `documents` into a pseudo benchmark
+# (hex prefix '0' → 1/16 of docs) and the training remainder — the same
+# salt-keyed construction as dp_hash_split, replayed verbatim by the
+# oracle. A real deployment passes the actual benchmark suite as
+# eval_df; the asymmetry (tiny eval, huge train) is what the broadcast
+# design assumes and the split preserves it.
+_DECON_EVAL_PRED = "substr(md5('decon|' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+_DECON_TRAIN_PRED = "substr(md5('decon|' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0'"
+
+
+def _decon_split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(
+        _F.col("text").isNotNull()
+    )
+    bucket = _F.substring(
+        _F.md5(
+            _F.concat(_F.lit("decon|"), _F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        1,
+    )
+    return d.filter(bucket != "0"), d.filter(bucket == "0")
+
+
+@query(
+    "dp_decontaminate_overlap",
+    oracle=contamination_pairs_sql(_DECON_TRAIN_PRED, _DECON_EVAL_PRED, n=4),
+    note="benchmark decontamination (dataprep/decontam.py "
+    "contamination_pairs): word 4-gram overlap between the training "
+    "corpus and a held-out eval set — the pre-training hygiene step of "
+    "the GPT-3/PaLM data pipelines. Eval grams are deduped, counted and "
+    "BROADCAST (benchmarks are MBs; the corpus is the 100 TB side and "
+    "never shuffles for the match — scan → explode → broadcast hash "
+    "join → partial agg; the only shuffle is the groupBy over actual "
+    "contamination pairs, bounded by leakage, not corpus size). Grams "
+    "join on 64-bit md5-hex prefixes, bit-identical in DuckDB, so the "
+    "oracle replays the whole pipeline including the hash-split into "
+    "train/eval. eval_coverage = shared grams / eval doc's grams is "
+    "the decision signal; decontaminate() anti-joins docs over the "
+    "threshold. dd rotation alternate",
+    tier=2,
+)
+def dp_decontaminate_overlap(spark, sf_dir):
+    # n=4 on this fixture corpus (docs average ~54 tokens; production
+    # pipelines use 8-13 on full-page docs — same plan either way):
+    # ~33 contaminated pairs at sf0.01 vs 2 at n=5, so the driver row
+    # actually exercises the join/agg, not an empty-result fast path
+    train, ev = _decon_split(spark, sf_dir)
+    return contamination_pairs(train, ev, n=4)
+
+
+from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
+    neardup_clusters,
+    neardup_clusters_sql,
+)
+
+
+@query(
+    "dd_neardup_clusters",
+    oracle=neardup_clusters_sql(minhash_lsh_portable_sql()),
+    note="cluster-level fuzzy dedup (dataprep/dedup.py "
+    "neardup_clusters): connected components over the portable "
+    "MinHash-LSH near-dup pair graph → (doc, component rep = min id, "
+    "component size) — the post-pairwise step of the RefinedWeb/"
+    "SlimPajama-style fuzzy-dedup stage (near-duplication is transitive "
+    "in intent: survivors are chosen per component, or pairwise "
+    "keep-min can drop a family member no survivor is near). Labeling "
+    "is the size-routed plans/components.py machinery (driver "
+    "union-find under the cap, hash-min + path-halving loop past it — "
+    "no size wall; the pair graph is bounded by actual duplication, "
+    "not corpus size). FULL oracle: the DuckDB twin replays the "
+    "portable pair pipeline, then a recursive-CTE min-label closure "
+    "with the same lpad-20 node keys. dd rotation alternate",
+    tier=2,
+)
+def dd_neardup_clusters(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_portable(d)
+    return neardup_clusters(pairs)

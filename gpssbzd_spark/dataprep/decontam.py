@@ -1,0 +1,163 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and a held-out evaluation set (SURVEY.md §2.11 extension surface; not
+present in the reference — this is the standard pre-training hygiene
+step every LLM data pipeline runs so eval benchmarks are not leaked
+into the training set; cf. the n-gram overlap procedures described in
+the GPT-3 and PaLM papers).
+
+Scale design (the asymmetry IS the design): the training side is the
+100 TB corpus, the eval side is a benchmark suite — MBs, millions of
+n-grams at most. So the eval n-gram set is **broadcast** and the train
+side never shuffles for the match: scan → per-row n-gram explode →
+broadcast hash join → partial-aggregated (train_id, eval_id) counts.
+The only shuffle is the final groupBy over *matching* pairs, whose
+cardinality is bounded by actual contamination (tiny), not corpus
+size. Removing contaminated docs is then a broadcast left-anti join —
+again no shuffle of the big side.
+
+N-grams are compared via a fixed-width md5-hex prefix rather than the
+raw gram string: 16 hex chars = 64 bits makes accidental collisions
+negligible (~1e-19 per pair at 1e9 distinct grams), ships 16 bytes
+instead of arbitrary-length text through the join, and is bit-identical
+in every engine so the DuckDB oracle replays the exact pipeline
+(:func:`contamination_pairs_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gpssbzd_spark.dataprep.dedup import _portable_shingles
+
+
+def _gram_keys(text_col: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text_col`` as 64-bit md5-hex keys."""
+    return F.transform(
+        _portable_shingles(text_col, n),
+        lambda g: F.substring(F.md5(F.concat(F.lit("dc|"), g).cast("binary")), 1, 16),
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    n: int = 5,
+) -> DataFrame:
+    """(train_id, eval_id, n_common, eval_coverage) for every train/eval
+    doc pair sharing at least one word ``n``-gram.
+
+    ``eval_coverage`` = n_common / |eval doc's distinct n-grams| — the
+    fraction of the benchmark item reproduced by the training doc, the
+    usual decision signal (a stray idiom shared with a long eval doc is
+    noise; 0.8 coverage is a leak).
+
+    The eval side is exploded, deduped per doc, counted, and BROADCAST;
+    the train side streams: no shuffle touches the big table. Join keys
+    are 64-bit md5 prefixes (see module docstring).
+    """
+    eval_text = eval_text_col or text_col
+    eval_id = eval_id_col or id_col
+
+    ev = eval_df.select(
+        F.col(eval_id).alias("eval_id"),
+        _gram_keys(F.col(eval_text), n).alias("_grams"),
+    ).filter(F.size("_grams") > 0)
+    ev_grams = ev.select(
+        "eval_id",
+        F.size("_grams").alias("eval_grams"),
+        F.explode("_grams").alias("gram"),
+    )
+
+    tr_grams = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(_gram_keys(F.col(text_col), n)).alias("gram"),
+    )
+
+    hits = tr_grams.join(F.broadcast(ev_grams), "gram")
+    return (
+        hits.groupBy("train_id", "eval_id", "eval_grams")
+        .agg(F.count("*").alias("n_common"))
+        .select(
+            "train_id",
+            "eval_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("eval_grams"), 4
+            ).alias("eval_coverage"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_coverage: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """Training docs with contaminated rows removed: any train doc whose
+    n-gram overlap covers ≥ ``min_coverage`` of SOME eval doc is
+    dropped. Broadcast left-anti join — the corpus never shuffles."""
+    bad = (
+        contamination_pairs(
+            train, eval_df, text_col=text_col, id_col=id_col, n=n, **kwargs
+        )
+        .filter(F.col("eval_coverage") >= min_coverage)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def _grams_sql(text_col: str, n: int) -> str:
+    """DuckDB expression: distinct word n-gram md5-prefix keys of
+    ``text_col`` — the twin of :func:`_gram_keys` (same tokenizer as
+    dedup._portable_shingles, same 'dc|' salt)."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(trim({text_col})), '\\s+'),"
+        f" x -> x <> '')"
+    )
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return (
+        f"(SELECT list_transform(list_distinct(list_transform("
+        f"generate_series(1, len(t) - {n - 1}), i -> {gram})),"
+        f" g -> substr(md5('dc|' || g), 1, 16))"
+        f" FROM (SELECT {toks} AS t) WHERE len(t) >= {n})"
+    )
+
+
+def contamination_pairs_sql(
+    train_pred: str,
+    eval_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> str:
+    """DuckDB twin of :func:`contamination_pairs` over one table split
+    into train/eval by the given WHERE predicates."""
+    grams = _grams_sql(text_col, n)
+    return f"""
+    WITH ev AS (
+      SELECT {id_col} AS eval_id, {grams} AS grams
+      FROM {table} WHERE {text_col} IS NOT NULL AND ({eval_pred})
+    ), evg AS (
+      SELECT eval_id, len(grams) AS eval_grams, unnest(grams) AS gram
+      FROM ev WHERE len(grams) > 0
+    ), trg AS (
+      SELECT {id_col} AS train_id, unnest({grams}) AS gram
+      FROM {table} WHERE {text_col} IS NOT NULL AND ({train_pred})
+    )
+    SELECT train_id, eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / eval_grams, 4) AS eval_coverage
+    FROM trg JOIN evg USING (gram)
+    GROUP BY train_id, eval_id, eval_grams
+    """

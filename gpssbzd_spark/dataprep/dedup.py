@@ -1165,6 +1165,132 @@ def embedding_lsh_portable(
     )
 
 
+# ---------------------------------------------------------------------------
+# Near-dup cluster canonicalization (fuzzy dedup, full pipeline)
+# ---------------------------------------------------------------------------
+
+def _node_key(col: Column) -> Column:
+    """Fixed-width node key: lpad to 20 chars so lexicographic order
+    equals numeric order for non-negative integer ids (the min-label
+    component rep is then the min NUMERIC id, not '10' < '9')."""
+    return F.lpad(col.cast("string"), 20, "0")
+
+
+def neardup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Cluster-level fuzzy dedup: connected components over a near-dup
+    pair graph → ``(doc_id, cluster_rep, cluster_size)`` for every doc
+    in some cluster (size ≥ 2 by construction; untouched docs are
+    implicitly their own singleton).
+
+    This is the step production pipelines (e.g. the fuzzy-dedup stage
+    described in the RefinedWeb and SlimPajama reports) run AFTER
+    pairwise MinHash/SimHash: near-duplication is transitive in intent
+    (A≈B, B≈C ⇒ one family), so survivors must be chosen per connected
+    component, not per pair — pairwise keep-min would let B delete C
+    while A deletes B, keeping {A} but dropping a family member no
+    surviving doc is near. Rep = min id in the component.
+
+    Scale: the pair graph is bounded by actual near-duplication, orders
+    of magnitude smaller than the corpus; components are labeled by the
+    size-routed machinery of :func:`~gpssbzd_spark.plans.components.
+    connected_components` (driver union-find under the cap, hash-min +
+    path-halving dataflow loop past it — no size wall). Ids must be
+    non-negative integers (or fixed-width strings); see
+    :func:`_node_key`.
+    """
+    from gpssbzd_spark.plans.components import connected_components
+
+    ids = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    mapping = ids.select("id", _node_key(F.col("id")).alias("node"))
+    edges = pairs.select(
+        _node_key(F.col(id_a)).alias("src"), _node_key(F.col(id_b)).alias("dst")
+    )
+    cc = connected_components(mapping.select("node"), edges)
+    labeled = cc.join(mapping, "node").select("id", "label")
+    reps = mapping.select(
+        F.col("node").alias("label"), F.col("id").alias("cluster_rep")
+    )
+    sizes = labeled.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        labeled.join(reps, "label")
+        .join(sizes, "label")
+        .select(
+            F.col("id").alias("doc_id"), "cluster_rep", "cluster_size"
+        )
+    )
+
+
+def neardup_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every clustered doc except its component's rep (min id);
+    docs in no near-dup pair survive untouched. One anti-join on id —
+    the corpus shuffles once, the (small) victim set streams."""
+    clusters = neardup_clusters(pairs, id_a=id_a, id_b=id_b)
+    victims = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(victims, id_col, "left_anti")
+
+
+def neardup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`neardup_clusters`: min-label transitive
+    closure (recursive CTE) over the symmetrized pair graph produced by
+    ``pairs_sql`` (any query with id_a/id_b columns — e.g.
+    :func:`minhash_lsh_portable_sql`), same lpad-20 node keys.
+
+    Dialect trap, pinned here: under ``WITH RECURSIVE``, DuckDB treats
+    the top-level ``UNION`` of ANY cte in the block as the
+    recursive-union operator and skips its global dedup even when the
+    cte never references itself — so ``ids``/``sym`` dedup explicitly
+    via ``SELECT DISTINCT`` over ``UNION ALL`` subqueries. ``reach``
+    keeps the plain ``UNION``: there the recursive fixpoint semantics
+    (dedup across iterations) is exactly what we want."""
+    return f"""
+    WITH RECURSIVE prs AS ({pairs_sql}
+    ), ids AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM prs UNION ALL SELECT id_b AS id FROM prs)
+    ), nodes AS (
+      SELECT id, lpad(CAST(id AS VARCHAR), 20, '0') AS node FROM ids
+    ), sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT lpad(CAST(id_a AS VARCHAR), 20, '0') AS src,
+               lpad(CAST(id_b AS VARCHAR), 20, '0') AS dst FROM prs
+        UNION ALL
+        SELECT lpad(CAST(id_b AS VARCHAR), 20, '0') AS src,
+               lpad(CAST(id_a AS VARCHAR), 20, '0') AS dst FROM prs)
+    ), reach AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT s.dst AS node, r.label FROM reach r JOIN sym s ON r.node = s.src
+    ), comp AS (
+      SELECT node, min(label) AS label FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT n.id, c.label FROM nodes n JOIN comp c USING (node)
+    ), sizes AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM labeled GROUP BY label
+    ), reps AS (
+      SELECT node AS label, id AS cluster_rep FROM nodes
+    )
+    SELECT l.id AS doc_id, r.cluster_rep, s.cluster_size
+    FROM labeled l JOIN reps r USING (label) JOIN sizes s USING (label)
+    """
+
+
 def embedding_lsh_portable_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",

@@ -825,3 +825,77 @@ def test_portable_ann_twins_recall_floor(spark, sf_dir):
     ivf = {(r.query_id, r.vec_id) for r in ivf_flat_portable(em).collect()}
     assert len(lsh & truth) / len(truth) >= 0.7
     assert len(ivf & truth) / len(truth) >= 0.4
+
+
+def test_neardup_clusters_transitive_family(spark):
+    """A≈B and B≈C must land in ONE cluster with rep=min id even when
+    A and C share no pair (transitivity through the component), and
+    neardup_dedup must keep exactly the rep + untouched docs."""
+    from gpssbzd_spark.dataprep.dedup import neardup_clusters, neardup_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "alone"), (10, "x"), (11, "y")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_rep, r.cluster_size)
+        for r in neardup_clusters(pairs).collect()
+    }
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+    kept = {r.doc_id for r in neardup_dedup(docs, pairs).collect()}
+    assert kept == {1, 9, 10}
+
+
+def test_neardup_clusters_rep_is_numeric_min(spark):
+    """The lpad-20 node key must make the rep the numeric min, not the
+    string min ('10' < '9' lexicographically)."""
+    from gpssbzd_spark.dataprep.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame([(10, 9)], "id_a long, id_b long")
+    out = neardup_clusters(pairs).collect()
+    assert {r.cluster_rep for r in out} == {9}
+
+
+def test_contamination_pairs_and_decontaminate(spark):
+    """Known-overlap fixture: a train doc reproducing an eval doc
+    verbatim scores coverage 1.0 and is dropped; a doc sharing one
+    stray n-gram with a longer eval doc scores low and survives."""
+    from gpssbzd_spark.dataprep.decontam import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [
+            (1, leak),  # verbatim leak
+            (2, "totally unrelated text about spark partitions and joins"),
+            # shares exactly one 5-gram prefix of the eval doc
+            (3, "the quick brown fox jumps into a very different river bed"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    pairs = {
+        (r.train_id, r.eval_id): (r.n_common, r.eval_coverage)
+        for r in contamination_pairs(train, ev, n=5).collect()
+    }
+    assert pairs[(1, 100)][1] == 1.0
+    assert (2, 100) not in pairs
+    assert pairs[(3, 100)][0] == 1 and pairs[(3, 100)][1] < 0.5
+    kept = {r.doc_id for r in decontaminate(train, ev, n=5, min_coverage=0.5).collect()}
+    assert kept == {2, 3}
+
+
+def test_contamination_join_is_broadcast(spark):
+    """The 100 TB contract: the match joins the (tiny) eval gram set by
+    BROADCAST — no shuffle of the exploded corpus side."""
+    from gpssbzd_spark.dataprep.decontam import contamination_pairs
+
+    train = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    ev = spark.createDataFrame([(2, "a b c d e")], "doc_id long, text string")
+    plan = contamination_pairs(train, ev, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
