@@ -90,6 +90,9 @@ HEADLINE = [
     "tx_vocab_heavy_hitters",
     "p15_merge_upsert",
     "p16_snapshot_diff",
+    # r5 late additions — decontamination + cluster-level fuzzy dedup
+    "dp_decontaminate_overlap",
+    "dd_neardup_clusters",
 ]
 
 

@@ -115,6 +115,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
      ["st_stream_stream_join", "st_dedup_within_watermark",
       "st_upsert_state"]),
     ("j1_join_inner", ["j9_salted_join"]),
+    ("s_csv_roundtrip", ["s_jsonl_roundtrip"]),
 ]
 
 _ROUND_KEY_CACHE: int | None = None

@@ -1306,6 +1306,59 @@ def s_csv_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s_jsonl_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    """,
+    note="JSONL source round-trip (sources/jsonl.py — §2.11 extension: "
+    "training corpora ship as JSON-lines; the reference is CSV-only): "
+    "write customer to JSONL under the S7 target_files knob, read it "
+    "back through the declared-StructType PERMISSIVE scan (never "
+    "inferSchema — inference is a second full pass at 100 TB), oracle "
+    "vs the parquet original. Doubles survive bit-exactly (shortest-"
+    "roundtrip printing); rounding happens AFTER the round-trip on both "
+    "engines. Corrupt-line quarantine is pinned in tests/"
+    "test_sources.py. Rotation alternate of s_csv_roundtrip",
+    tier=2,
+)
+def s_jsonl_roundtrip(spark, sf_dir):
+    import os
+
+    from pyspark.sql import types as T
+
+    from gpssbzd_spark.sources.jsonl import read_jsonl
+    from gpssbzd_spark.sources.writers import write_partitioned
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        "jsonl_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    write_partitioned(cust, out_dir, fmt="json", target_files=2)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = read_jsonl(spark, out_dir, schema)
+    return back.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+
+
+@query(
     "j9_salted_join",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_mktsegment AS segment

@@ -20,8 +20,9 @@ KEYS = list(range(1, 12))
 # non-rotating tier-0 rows: every one must be in the window at EVERY
 # key (one name per §2 component or merged-component slot)
 FIXED = [
-    # scans/projections/filters/order/sets
-    "s_csv_roundtrip", "p1_scan_project_filter", "p5_filter_in_list",
+    # scans/projections/filters/order/sets (s_csv_roundtrip rotates
+    # with the JSONL round-trip twin, group-checked not FIXED)
+    "p1_scan_project_filter", "p5_filter_in_list",
     "p9_dedup_keep_first", "p13_null_handling", "o1_global_topk",
     # joins (j1 rotates with its salted twin, group-checked not FIXED)
     "j2_join_left_broadcast_dim", "j3_join_left_attach_agg",

@@ -194,3 +194,50 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_jsonl_declared_schema_and_corrupt_quarantine(spark, tmp_path):
+    """read_jsonl types rows from the declared schema without inference,
+    parses only projected fields, and (keep_corrupt=True) quarantines a
+    malformed line in _corrupt_record instead of failing the scan."""
+    from pyspark.sql import types as T
+
+    from gpssbzd_spark.sources.jsonl import CORRUPT_COL, read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "extra": 9}\n'
+        '{"doc_id": 2, "text": "world"}\n'
+        "this line is not json at all\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = read_jsonl(spark, str(p), schema).orderBy("doc_id").collect()
+    assert [r.doc_id for r in rows] == [None, 1, 2]  # bad line nulled, kept
+    assert rows[1].text == "hello"
+
+    kept = read_jsonl(spark, str(p), schema, keep_corrupt=True)
+    bad = kept.filter(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert len(bad) == 1 and bad[0][CORRUPT_COL].startswith("this line")
+
+
+def test_parse_json_col_typed_struct_and_null_on_malformed(spark):
+    from gpssbzd_spark.sources.jsonl import parse_json_col
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 3.5, "tag": "a"}'), (2, "{broken")],
+        "id long, props string",
+    )
+    out = (
+        df.select(
+            "id", parse_json_col(F.col("props"), "k double, tag string").alias("p")
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0].p.k == 3.5 and out[0].p.tag == "a"
+    assert out[1].p is None or out[1].p.k is None  # malformed -> null, no crash
