@@ -680,20 +680,27 @@ def _portable_tokens(col: Column) -> Column:
 
 def _portable_shingles(col: Column, n: int = 3) -> Column:
     """Distinct lowercase word n-gram shingles (Broder's original
-    document-resemblance unit), natively; <n tokens → empty array."""
+    document-resemblance unit), natively; <n tokens → empty array.
+
+    Built as the element-wise concat of ``n`` SHIFTED SLICES of the
+    token array (``zip_with`` chain), not as
+    ``transform(indices, i -> concat(element_at(toks, i+j)...))``:
+    lambda bodies embed their argument expressions and higher-order
+    functions block subexpression elimination, so the element_at form
+    re-evaluates the whole split+filter tokenization per gram PER
+    POSITION — O(tokens²·n) per document, measured 13.8s for 5000
+    300-char docs at sf0.1 vs ~0.5s for this formulation (same trick
+    as text.doc_fingerprint_native's sliding minima)."""
     toks = _portable_tokens(col)
     cnt = F.size(toks)
-    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )
+    length = F.greatest(cnt - (n - 1), F.lit(0))
+    shifted = [F.slice(toks, 1 + j, length) for j in range(n)]
+    grams = shifted[0]
+    for s in shifted[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.concat(a, F.lit(" "), b))
+    # NULL text → empty array (slices of a NULL array are NULL; the old
+    # formulation returned [] and callers filter on size(sh) > 0)
+    return F.coalesce(F.array_distinct(grams), F.array().cast("array<string>"))
 
 
 def minhash_lsh_portable(
@@ -734,6 +741,12 @@ def minhash_lsh_portable(
             _portable_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
         .filter(F.size("sh") > 0)
+        # consumed three times (signatures + both verify sides); without
+        # this, CollapseProject inlines the shingle expression into all
+        # consumers and the tokenization runs 3x (8x pre-optimizer for
+        # the per-permutation signature projections) — the repo's
+        # persist-iteratively-reused-inputs rule
+        .persist()
     )
     sig = [
         F.array_min(
@@ -1202,6 +1215,12 @@ def neardup_clusters(
     """
     from gpssbzd_spark.plans.components import connected_components
 
+    # the pair graph is consumed repeatedly (edges + both endpoint
+    # projections, then mapping again for rep/size joins) and is tiny by
+    # construction — persist it or the upstream near-dup pipeline that
+    # produced it re-runs once per consumer (measured 80s → 8s at sf0.1
+    # over the portable MinHash pipeline)
+    pairs = pairs.persist()
     ids = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))

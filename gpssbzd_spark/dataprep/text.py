@@ -290,16 +290,17 @@ def repetition_features(
     out: dict[str, Column] = {}
     for n in ns:
         count = F.greatest(n_toks - (n - 1), F.lit(0))
-        # closure factory, NOT a default arg on the lambda: F.transform
-        # dispatches on lambda arity and would feed the array INDEX to
-        # a second parameter, clobbering the captured n. F.get is
-        # 0-based and takes a Column index (element_at needs foldable).
-        def _gram_at(n_: int):
-            return lambda i: F.concat_ws(
-                " ", *[F.get(toks, i + off - 1) for off in range(n_)]
-            )
-
-        grams = F.transform(F.sequence(F.lit(1), count), _gram_at(n))
+        # n-grams as the element-wise concat of n SHIFTED SLICES of the
+        # token array, not transform(sequence, i -> concat(get(toks,
+        # i+off))): lambda bodies embed their argument expressions and
+        # HOFs block subexpression elimination, so the get() form
+        # re-tokenizes the document per gram per offset — O(tokens²·n)
+        # (same fix as dedup._portable_shingles / the
+        # doc_fingerprint_native sliding minima)
+        shifted = [F.slice(toks, 1 + off, count) for off in range(n)]
+        grams = shifted[0]
+        for s in shifted[1:]:
+            grams = F.zip_with(grams, s, lambda a, b: F.concat(a, F.lit(" "), b))
         grams = F.when(count > 0, grams)
         out[f"dup_{n}gram_frac"] = (
             F.lit(1.0)
