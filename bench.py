@@ -93,6 +93,11 @@ HEADLINE = [
     # r5 late additions — decontamination + cluster-level fuzzy dedup
     "dp_decontaminate_overlap",
     "dd_neardup_clusters",
+    # r5 final additions — mergeable quantile rollup, unigram LM
+    # scoring, seeded shard shuffle
+    "a12_hist_quantile_rollup",
+    "tx_unigram_logprob",
+    "dp_shard_shuffle",
 ]
 
 

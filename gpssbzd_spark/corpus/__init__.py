@@ -86,14 +86,16 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("a2_cascaded_conditional",
      ["a2_conditional_agg", "a3_cascaded_agg",
       "a1_count_distinct_group", "a6_global_distinct_count",
-      "a10_pivot_wide", "a11_unpivot_long"]),
+      "a10_pivot_wide", "a11_unpivot_long",
+      "a12_hist_quantile_rollup"]),
     ("set_ops_tagged",
      ["set_union_distinct", "set_intersect", "set_except"]),
     ("f2_string_case", ["f2_string_fns", "f4_case_when"]),
     ("f5_array_struct_math", ["f5_json_extract"]),
     ("dd_exact_dup_groups",
      ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture",
-      "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells"]),
+      "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells",
+      "dp_shard_shuffle"]),
     # the portable twins rotate against their kernel counterparts'
     # rows-only slots: alternate rounds give the SAME family hash-match
     # driver evidence (portable md5 family) and kernel-path rows
@@ -107,7 +109,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",
       "tx_repetition_filter", "tx_vocab_heavy_hitters",
-      "dp_decontaminate_overlap"]),
+      "dp_decontaminate_overlap", "tx_unigram_logprob"]),
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window", ["st_sliding_window"]),

@@ -619,6 +619,72 @@ def a9_hll_mergeable_rollup(spark, sf_dir):
     return hll_estimate(merged).orderBy("l_returnflag")
 
 
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 110000.0, 110
+
+
+def _hist_oracle() -> str:
+    from gpssbzd_spark.operators.sketches import hist_quantile_sql
+
+    return hist_quantile_sql(
+        "lineitem",
+        "l_returnflag",
+        "l_linestatus",
+        "l_extendedprice",
+        {"p50_est": 0.5, "p95_est": 0.95},
+        _HIST_LO,
+        _HIST_HI,
+        _HIST_BINS,
+    )
+
+
+@query(
+    "a12_hist_quantile_rollup",
+    oracle=_hist_oracle(),
+    note="A12 (extension, operators/sketches.py): mergeable fixed-bin "
+    "histogram quantile rollup — per-(returnflag,status) 110-bin count "
+    "arrays (partial-aggregable: map-side combine, shuffle carries "
+    "(group, 880 B) rows), merged to the returnflag level by "
+    "elementwise sum WITHOUT rescanning raw data, then p50/p95 read "
+    "off the merged counts (lower edge of the first bin reaching rank "
+    "ceil(q*total)). The deterministic-integer twin of a9's HLL rollup "
+    "for quantiles: unlike percentile_approx or t-digest the whole "
+    "pipeline is exact integer arithmetic, so the DuckDB oracle "
+    "replays bin assignment, merge, and rank rule verbatim. Error "
+    "bound = one bin width (1000 on this domain), pinned vs exact "
+    "percentiles in tests/test_operators.py.",
+    tier=2,
+)
+def a12_hist_quantile_rollup(spark, sf_dir):
+    from gpssbzd_spark.operators.sketches import (
+        hist_partial,
+        hist_quantile,
+        hist_rollup,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    partials = hist_partial(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        _HIST_LO,
+        _HIST_HI,
+        _HIST_BINS,
+    )
+    merged = hist_rollup(partials, ["l_returnflag"], _HIST_BINS)
+    h = F.col("hist")
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    return merged.select(
+        F.col("l_returnflag").alias("grp"),
+        total.alias("n_values"),
+        F.round(
+            hist_quantile(h, 0.5, _HIST_LO, _HIST_HI, _HIST_BINS), 6
+        ).alias("p50_est"),
+        F.round(
+            hist_quantile(h, 0.95, _HIST_LO, _HIST_HI, _HIST_BINS), 6
+        ).alias("p95_est"),
+    )
+
+
 @query(
     "a2_conditional_agg",
     oracle="""

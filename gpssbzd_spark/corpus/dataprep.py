@@ -166,6 +166,32 @@ def tx_vocab_heavy_hitters(spark, sf_dir):
     )
 
 
+def _unigram_oracle() -> str:
+    from gpssbzd_spark.dataprep.text import unigram_logprob_sql
+
+    return unigram_logprob_sql(vocab_size=256, round_to=4)
+
+
+@query(
+    "tx_unigram_logprob",
+    oracle=_unigram_oracle(),
+    note="corpus-trained unigram LM quality score (dataprep/text.py): "
+    "mean log10 token probability under the corpus's own top-256 "
+    "unigram distribution, OOV half-count floor — the cheap stand-in "
+    "for perplexity filtering (CCNet-style) with no external model. "
+    "Two passes: freq count (map-side combine absorbs Zipf skew, "
+    "deterministic top-V cut on (freq DESC, token ASC)), then scoring "
+    "joins the exploded corpus to the BROADCAST 256-row vocab — the "
+    "corpus side never shuffles for the join. tx rotation alternate",
+    tier=2,
+)
+def tx_unigram_logprob(spark, sf_dir):
+    from gpssbzd_spark.dataprep.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d, vocab_size=256, round_to=4)
+
+
 @query(
     "tx_quality_score",
     oracle="""
@@ -948,7 +974,51 @@ def dp_hash_split(spark, sf_dir):
 from gpssbzd_spark.dataprep.splits import (  # noqa: E402
     deterministic_sample,
     deterministic_sample_sql,
+    seeded_shuffle,
+    seeded_shuffle_sql,
 )
+
+_SHUFFLE_SHARDS, _SHUFFLE_SALT = 8, "epoch-0"
+_SHARD_EXPR, _KEY_EXPR = seeded_shuffle_sql(
+    "doc_id", _SHUFFLE_SHARDS, _SHUFFLE_SALT
+)
+
+
+@query(
+    "dp_shard_shuffle",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, {_SHARD_EXPR} AS shard, {_KEY_EXPR} AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS pos
+    FROM assigned
+    """,
+    note="seeded deterministic training-shard shuffle (dataprep/"
+    "splits.py seeded_shuffle): uniform shard id via the portable "
+    "hex-threshold hash_split + an independently-salted md5 order key "
+    "— the reproducible replacement for orderBy(rand()) when writing "
+    "epoch shards (rand() re-draws per task attempt). Both columns "
+    "are stateless per-row projections; the scale write is "
+    "repartition(shard)+sortWithinPartitions(key) (no global sort, no "
+    "per-shard window — the row_number here is the bounded oracle "
+    "check only). dd rotation alternate",
+    tier=2,
+)
+def dp_shard_shuffle(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = seeded_shuffle(d, "doc_id", _SHUFFLE_SHARDS, salt=_SHUFFLE_SALT)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return out.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
 
 
 @query(

@@ -143,6 +143,62 @@ def deterministic_sample_sql(
     )
 
 
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    salt: str = "shuffle-v1",
+    shard_col: str = "shard",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle into ``num_shards`` shards — the
+    reproducible replacement for ``df.orderBy(rand())`` when writing
+    training shards (rand() re-draws per task attempt; a retry emits a
+    different epoch order). Each row gets
+
+    - ``shard``: a uniform deterministic shard id — literally
+      :func:`hash_split` with ``num_shards`` equal weights, so the
+      assignment stays in the same portable hex-threshold CASE;
+    - ``shuffle_key``: a full md5 hex of (salt#order | id), salted
+      independently of the shard bucket. Sorting a shard by it yields a
+      uniform deterministic permutation of that shard's rows.
+
+    Both are stateless per-row projections (no shuffle, no state). The
+    intended 100 TB write is ``repartition(num_shards, shard)`` +
+    ``sortWithinPartitions(shuffle_key)`` — each executor sorts only
+    its shard; no global sort, no per-shard window (a
+    ``row_number() over (partition by shard)`` would put one whole
+    shard on one task — fine for the bounded oracle check in corpus
+    `dp_shard_shuffle`, wrong at scale).
+    """
+    assert num_shards >= 1, num_shards
+    weights = {str(i): 1.0 for i in range(num_shards)}
+    out = hash_split(df, id_col, weights, salt=salt, out_col=shard_col)
+    out = out.withColumn(shard_col, F.col(shard_col).cast("int"))
+    order_key = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.lit("#order|"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+    )
+    return out.withColumn(key_col, order_key)
+
+
+def seeded_shuffle_sql(
+    id_expr: str, num_shards: int, salt: str = "shuffle-v1"
+) -> tuple[str, str]:
+    """DuckDB/ANSI twins of :func:`seeded_shuffle`'s two projections:
+    (shard_expr, key_expr)."""
+    weights = {str(i): 1.0 for i in range(num_shards)}
+    shard = f"CAST({hash_split_sql(id_expr, weights, salt=salt)} AS INT)"
+    key = (
+        f"md5('{salt}' || '#order|' || "
+        f"COALESCE(CAST({id_expr} AS VARCHAR), ''))"
+    )
+    return shard, key
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -270,6 +270,89 @@ def pii_counts(text_col: Column) -> dict[str, Column]:
         k: F.size(F.regexp_extract_all(text_col, F.lit(p), 0))
         for k, p in PII_PATTERNS.items()
     }
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+    round_to: int = 4,
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: the
+    mean log10 probability of its tokens under the corpus's own top-V
+    unigram distribution (OOV tokens get a half-count floor 0.5/total).
+    The cheap stand-in for perplexity-based quality filtering (CCNet /
+    Gopher style) when no external LM is available: gibberish and
+    boilerplate-free natural text separate on this score.
+
+    Two passes, both scale-shaped: (1) token frequencies via explode →
+    partial-agg count (map-side combine absorbs Zipf skew); the top-V
+    vocab cut is a TakeOrdered of V rows, deterministic under ties via
+    (freq DESC, token ASC); (2) per-doc scoring joins the exploded
+    corpus to the BROADCAST V-row vocab — the corpus side never
+    shuffles for the join, then one groupBy(doc) mean. Deterministic
+    end-to-end; the DuckDB oracle replays it verbatim (corpus
+    `tx_unigram_logprob`).
+
+    Returns (id_col, n_tokens, mean_logprob) — docs with zero tokens
+    are dropped (no tokens ⇒ no score).
+    """
+    d = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
+    tok = d.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count("*").alias("freq")).persist()
+    total = freq.agg(F.sum("freq").alias("_total"))
+    vocab = freq.orderBy(F.col("freq").desc(), F.col("token")).limit(vocab_size)
+    scored = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .join(F.broadcast(total))
+        .withColumn(
+            "_lp",
+            F.log10(
+                F.coalesce(F.col("freq").cast("double"), F.lit(0.5))
+                / F.col("_total")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("_lp"), round_to).alias("mean_logprob"),
+    )
+
+
+def unigram_logprob_sql(
+    vocab_size: int = 256, round_to: int = 4
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob` over the `documents`
+    view: same tokenizer, same deterministic top-V cut, same OOV
+    floor, same log10/avg arithmetic."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), tok AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), freq AS (
+      SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    ), total AS (
+      SELECT SUM(freq) AS total FROM freq
+    ), vocab AS (
+      SELECT token, freq FROM freq
+      ORDER BY freq DESC, token ASC LIMIT {vocab_size}
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(log10(COALESCE(CAST(v.freq AS DOUBLE), 0.5)
+                           / (SELECT total FROM total))), {round_to})
+             AS mean_logprob
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """
 
 
 def repetition_features(

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 LG_CONFIG_K = 14  # 16 KB sketches, ~0.8% rsd
@@ -69,3 +69,125 @@ def hll_estimate(df: DataFrame, sketch_name: str = "hll", out: str = "approx_nd"
     return df.withColumn(out, F.hll_sketch_estimate(F.col(sketch_name))).drop(
         sketch_name
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histograms: the quantile counterpart of the HLL
+# rollup above. `percentile_approx` (SURVEY §2.4 A4) answers one group
+# at one granularity; a warehouse rollup wants per-fine-group partials
+# it can MERGE to any coarser level (daily→monthly, (flag,status)→flag)
+# without rescanning raw data. A fixed-bin count histogram is the
+# simplest mergeable quantile sketch: the partial is `bins` longs, the
+# merge is an elementwise sum (both fully partial-aggregable — map-side
+# combine, one narrow shuffle of (group, bins·8 B) rows), and — unlike
+# HLL binaries or t-digest centroids — the whole pipeline is
+# deterministic integer arithmetic, so the DuckDB oracle can replay it
+# exactly (corpus `a12_hist_quantile_rollup`). Error is bounded by the
+# bin width: the estimate returned for quantile q is the LOWER EDGE of
+# the first bin whose cumulative count reaches rank ceil(q·total).
+# ---------------------------------------------------------------------------
+
+
+def hist_bin(col: Column, lo: float, hi: float, bins: int) -> Column:
+    """0-based bin index of ``col`` in ``bins`` equal-width bins over
+    [lo, hi); out-of-range values clamp to the edge bins, NULL stays
+    NULL (excluded from every count)."""
+    w = (hi - lo) / bins
+    raw = F.floor((col - F.lit(float(lo))) / F.lit(w))
+    clamped = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    # least/greatest IGNORE null args (they return the extreme of the
+    # non-null ones), so without the guard a NULL value would land in
+    # bin 0 instead of being excluded
+    return F.when(col.isNotNull(), clamped)
+
+
+def hist_partial(
+    df: DataFrame,
+    group_by: Sequence[str],
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    name: str = "hist",
+) -> DataFrame:
+    """Per-group bin-count array — the storable partial. One aggregate
+    pass; every `count(when(bin==i))` is partial-aggregable, so the
+    shuffle carries (group, bins longs) regardless of input size."""
+    b = hist_bin(F.col(col), lo, hi, bins)
+    counts = [F.count(F.when(b == i, True)) for i in range(bins)]
+    return df.groupBy(*group_by).agg(F.array(*counts).alias(name))
+
+
+def hist_rollup(
+    partials: DataFrame,
+    group_by: Sequence[str],
+    bins: int,
+    name: str = "hist",
+) -> DataFrame:
+    """Merge stored partials to a coarser grouping: elementwise sum of
+    the count arrays, never a rescan of raw data."""
+    sums = [F.sum(F.element_at(F.col(name), i + 1)) for i in range(bins)]
+    return partials.groupBy(*group_by).agg(F.array(*sums).alias(name))
+
+
+def hist_quantile(
+    hist_col: Column, q: float, lo: float, hi: float, bins: int
+) -> Column:
+    """Quantile estimate from a bin-count array: the lower edge of the
+    first bin whose cumulative count reaches rank ceil(q·total).
+    NULL for an all-empty histogram. Pure JVM expression (no UDF); the
+    O(bins²) running-sum transform is over `bins` elements per GROUP
+    row, not per input row."""
+    w = (hi - lo) / bins
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(hist_col, zero, lambda a, x: a + x)
+    target = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(float(q)) * total))
+    cum = F.transform(
+        F.sequence(F.lit(1), F.lit(bins)),
+        lambda i: F.aggregate(F.slice(hist_col, 1, i), zero, lambda a, x: a + x),
+    )
+    idx0 = F.size(F.filter(cum, lambda c: c < target))
+    est = F.lit(float(lo)) + idx0.cast("double") * F.lit(w)
+    return F.when(total > 0, est)
+
+
+def hist_quantile_sql(
+    table: str,
+    group_expr: str,
+    fine_expr: str,
+    col: str,
+    quantiles: dict[str, float],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> str:
+    """ANSI-SQL twin of partial→rollup→quantile for the DuckDB oracle:
+    identical bin assignment, identical rank rule, identical lower-edge
+    arithmetic (bin width embedded at full repr precision)."""
+    w = repr((hi - lo) / bins)
+    qcols = ",\n       ".join(
+        f"ROUND({repr(float(lo))} + MIN(CASE WHEN cum >= "
+        f"GREATEST(1, CEIL({repr(float(q))} * total)) THEN bin END) * {w}, 6)"
+        f" AS {alias}"
+        for alias, q in quantiles.items()
+    )
+    return f"""
+    WITH binned AS (
+      SELECT {group_expr} AS grp, {fine_expr} AS fine,
+             CAST(LEAST({bins - 1}, GREATEST(0,
+               FLOOR(({col} - {repr(float(lo))}) / {w}))) AS INT) AS bin
+      FROM {table} WHERE {col} IS NOT NULL
+    ), fine_counts AS (
+      SELECT grp, fine, bin, COUNT(*) AS c FROM binned GROUP BY grp, fine, bin
+    ), merged AS (
+      SELECT grp, bin, SUM(c) AS c FROM fine_counts GROUP BY grp, bin
+    ), cum AS (
+      SELECT grp, bin, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY grp) AS total
+      FROM merged
+    )
+    SELECT grp, CAST(MAX(total) AS BIGINT) AS n_values,
+       {qcols}
+    FROM cum GROUP BY grp
+    """

@@ -637,6 +637,58 @@ def test_hash_split_deterministic_disjoint_weighted(spark):
     assert c != a  # salt gives an independent assignment
 
 
+def test_seeded_shuffle_uniform_deterministic_decorrelated(spark):
+    """seeded_shuffle: stable under repartitioning; shard shares are
+    near-uniform; the order key is unique and NOT correlated with the
+    shard choice (a shard's members must not cluster in key space —
+    independent salts); a different salt permutes differently."""
+    from gpssbzd_spark.dataprep.splits import seeded_shuffle
+
+    df = spark.range(0, 8000).withColumnRenamed("id", "doc_id")
+    rows = seeded_shuffle(df, "doc_id", 8, salt="e0").collect()
+    again = {
+        r.doc_id: (r.shard, r.shuffle_key)
+        for r in seeded_shuffle(df.repartition(13), "doc_id", 8, salt="e0").collect()
+    }
+    assert {r.doc_id: (r.shard, r.shuffle_key) for r in rows} == again
+
+    n = len(rows)
+    for s in range(8):
+        share = sum(1 for r in rows if r.shard == s) / n
+        assert abs(share - 1 / 8) < 0.02, (s, share)
+    keys = [r.shuffle_key for r in rows]
+    assert len(set(keys)) == n  # permutation, no collisions at 8k
+    # decorrelation: within one shard, the order keys' first hex chars
+    # span the whole space (same-prefix clustering would mean the shard
+    # bucket leaked into the order key)
+    first_chars = {r.shuffle_key[0] for r in rows if r.shard == 0}
+    assert len(first_chars) == 16
+
+    other = {
+        r.doc_id: r.shuffle_key
+        for r in seeded_shuffle(df, "doc_id", 8, salt="e1").collect()
+    }
+    assert other != {r.doc_id: r.shuffle_key for r in rows}
+
+
+def test_unigram_logprob_separates_common_from_oov(spark):
+    """unigram_logprob: docs made of corpus-frequent tokens outscore
+    gibberish (OOV floor), token counts are exact, and zero-token docs
+    are dropped."""
+    from gpssbzd_spark.dataprep.text import unigram_logprob
+
+    common = "the cat sat on the mat " * 20
+    docs = spark.createDataFrame(
+        [(1, common), (2, "the cat sat"), (3, "zqx jvw pqzzt"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs, vocab_size=8).collect()}
+    assert set(out) == {1, 2, 3}  # whitespace-only doc dropped
+    assert out[2].n_tokens == 3
+    assert out[3].mean_logprob < out[2].mean_logprob  # OOV scores lower
+    assert out[1].mean_logprob > out[3].mean_logprob
+
+
 def test_deterministic_sample_stable_and_composable(spark):
     """deterministic_sample: stable under repartitioning, monotone in
     fraction with the SAME salt (a 0.2 sample is a subset of the 0.5

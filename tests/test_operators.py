@@ -72,6 +72,83 @@ def test_hll_sketch_rollup_accuracy_and_merge(spark):
         assert abs(m[g] - d[g]) / d[g] < 0.005, (g, m[g], d[g])
 
 
+def test_hist_quantile_rollup_bound_and_merge(spark):
+    """The mergeable-histogram contract (operators/sketches.py): the
+    quantile read off merged partials (1) is within ONE BIN WIDTH below
+    the exact percentile (the estimate is the containing bin's lower
+    edge), and (2) equals binning the coarse level directly —
+    merge-then-estimate == estimate-of-merged-data, the property that
+    lets a rollup run over stored count arrays instead of raw data."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.sketches import (
+        hist_partial,
+        hist_quantile,
+        hist_rollup,
+    )
+
+    lo, hi, bins = 0.0, 1000.0, 50
+    w = (hi - lo) / bins
+    df = spark.range(0, 60_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 12).alias("sub"),
+        # skewed-ish but deterministic values in [0, 1000)
+        ((F.col("id") * 37 % 1000).cast("double")).alias("v"),
+    )
+    partials = hist_partial(df, ["g", "sub"], "v", lo, hi, bins)
+    merged = hist_rollup(partials, ["g"], bins)
+    direct = hist_partial(df, ["g"], "v", lo, hi, bins)
+
+    for q in (0.1, 0.5, 0.95):
+        est_m = {
+            r.g: r.est
+            for r in merged.select(
+                "g", hist_quantile(F.col("hist"), q, lo, hi, bins).alias("est")
+            ).collect()
+        }
+        est_d = {
+            r.g: r.est
+            for r in direct.select(
+                "g", hist_quantile(F.col("hist"), q, lo, hi, bins).alias("est")
+            ).collect()
+        }
+        exact = {
+            r.g: r.p
+            for r in df.groupBy("g").agg(F.percentile("v", q).alias("p")).collect()
+        }
+        for g in exact:
+            assert est_m[g] == est_d[g], (g, q, est_m[g], est_d[g])
+            # lower bin edge: est <= exact < est + w
+            assert est_m[g] <= exact[g] + 1e-9, (g, q, est_m[g], exact[g])
+            assert exact[g] < est_m[g] + w + 1e-9, (g, q, est_m[g], exact[g])
+
+
+def test_hist_quantile_empty_and_clamp(spark):
+    """All-null input → NULL estimate (not an edge value); out-of-range
+    values clamp into the edge bins instead of being dropped."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.sketches import (
+        hist_partial,
+        hist_quantile,
+    )
+
+    lo, hi, bins = 0.0, 100.0, 10
+    df = spark.createDataFrame(
+        [("empty", None), ("clamped", -50.0), ("clamped", 500.0)],
+        "g string, v double",
+    )
+    out = {
+        r.g: r.est
+        for r in hist_partial(df, ["g"], "v", lo, hi, bins)
+        .select("g", hist_quantile(F.col("hist"), 0.5, lo, hi, bins).alias("est"))
+        .collect()
+    }
+    assert out["empty"] is None
+    # -50 clamps to bin 0 (edge 0.0); rank ceil(0.5*2)=1 → first bin
+    assert out["clamped"] == 0.0
+
+
 def test_merge_upsert_semantics(spark):
     """merge_upsert: updates replace matched rows, inserts append,
     untouched base rows pass through — and the result has exactly

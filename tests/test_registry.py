@@ -13,9 +13,11 @@ import pytest
 
 from gpssbzd_spark import corpus
 
-# enough keys to exercise every alternate of the largest group (5
-# choices) at every offset
-KEYS = list(range(1, 12))
+# enough consecutive keys to exercise every alternate of the largest
+# group: N consecutive integers cover all residues mod m for every
+# m <= N, so KEYS must be at least as long as the largest group's
+# choice count (currently tx: 11 choices)
+KEYS = list(range(1, 13))
 
 # non-rotating tier-0 rows: every one must be in the window at EVERY
 # key (one name per §2 component or merged-component slot)
