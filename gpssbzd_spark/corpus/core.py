@@ -685,6 +685,57 @@ def a12_hist_quantile_rollup(spark, sf_dir):
     )
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WITHIN = 604800.0  # 7 days
+
+
+def _funnel_users_oracle() -> str:
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+        AND epoch(e.ts) - epoch(s1.t1) <= {_FUNNEL_WITHIN}
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+        AND epoch(e.ts) - epoch(s1.t1) <= {_FUNNEL_WITHIN}
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CASE WHEN s3.t3 IS NOT NULL THEN 3
+                WHEN s2.t2 IS NOT NULL THEN 2
+                ELSE 1 END AS steps_completed
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """
+
+
+@query(
+    "ev_funnel_users",
+    oracle=_funnel_users_oracle(),
+    note="ordered-funnel analysis (extension, operators/funnel.py): "
+    "per-user strict-order view->click->purchase conversion with a "
+    "7-day window anchored at step 1 — t_k is the earliest step-k "
+    "event strictly after t_{k-1}; a purchase BEFORE the click does "
+    "not count. A2/A3's cascaded conditional aggregation generalized "
+    "to event sequences. Events are filtered to the funnel's types at "
+    "the scan; each step is one min-agg per user joined to the "
+    "previous step's per-user row, every shuffle keyed on user_id so "
+    "the exchange is reused down the chain. a2 rotation alternate",
+    tier=2,
+)
+def ev_funnel_users(spark, sf_dir):
+    from gpssbzd_spark.operators.funnel import funnel_times
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_times(ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN)
+
+
 @query(
     "a2_conditional_agg",
     oracle="""

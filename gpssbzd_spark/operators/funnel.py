@@ -1,0 +1,122 @@
+"""Ordered-funnel analysis over an event stream.
+
+The classic product-analytics question — "of the users who did step 1,
+how many went on to do step 2 AFTER it, then step 3 after that?" — is
+an ordered-sequence match, not a set intersection: a purchase BEFORE
+the click must not count. The reference has no funnel surface (its
+events are GPS pings); this is §2.11-style extension machinery built
+from the same groupBy/join primitives (SURVEY §2.3 J3 / §2.4 A1).
+
+Semantics (the standard strict-order funnel, per user):
+
+- ``t1`` = earliest event of step-1 type;
+- ``t_k`` (k>1) = earliest event of step-k type strictly AFTER
+  ``t_{k-1}``;
+- optional ``within`` seconds: ``t_k`` must also satisfy
+  ``t_k - t1 <= within`` (conversion window anchored at step 1);
+- ``steps_completed`` = largest k with ``t_k`` non-null. A user with
+  no step-1 event does not appear.
+
+Scale shape: events are filtered to the funnel's event types before
+anything else (predicate reaches the scan), then each step is one
+min-aggregate per user joined to the previous step's per-user row.
+Every shuffle in the chain is keyed on the user column, so after the
+first exchange the groupBy→join→groupBy sequence reuses the same hash
+partitioning instead of re-shuffling; k steps cost k narrow
+per-user-row joins, NOT k scans of the raw table. Nothing collects,
+nothing is quadratic, no Python boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: float | None = None,
+) -> DataFrame:
+    """Per-user funnel timestamps: (user, t1..tk, steps_completed).
+
+    ``steps`` are event-type values in funnel order (duplicates
+    allowed: ['view','view'] means a second view after the first).
+    """
+    assert len(steps) >= 1, "funnel needs at least one step"
+    ev = events.select(
+        F.col(user_col).alias("_user"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_type"),
+    ).filter(F.col("_type").isin(list(steps)))
+
+    cur = (
+        ev.filter(F.col("_type") == steps[0])
+        .groupBy("_user")
+        .agg(F.min("_ts").alias("t1"))
+    )
+    for k in range(2, len(steps) + 1):
+        step_ev = ev.filter(F.col("_type") == steps[k - 1])
+        cond = F.col("_ts") > F.col(f"t{k - 1}")
+        if within is not None:
+            cond = cond & (
+                F.col("_ts").cast("double") - F.col("t1").cast("double")
+                <= float(within)
+            )
+        nxt = (
+            step_ev.join(cur, "_user")
+            .filter(cond)
+            .groupBy("_user")
+            .agg(F.min("_ts").alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, "_user", "left")
+
+    completed = F.lit(1)
+    for k in range(2, len(steps) + 1):
+        completed = F.when(F.col(f"t{k}").isNotNull(), k).otherwise(completed)
+    return cur.withColumn("steps_completed", completed).withColumnRenamed(
+        "_user", user_col
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: float | None = None,
+) -> DataFrame:
+    """Funnel summary: one row per step with the number of users whose
+    furthest step is >= it, plus the conversion rate from step 1.
+    The per-user table collapses to len(steps) rows via a conditional
+    count — no second scan of the events."""
+    times = funnel_times(events, steps, user_col, ts_col, type_col, within)
+    aggs = [
+        F.count(F.when(F.col("steps_completed") >= k, True)).alias(f"_n{k}")
+        for k in range(1, len(steps) + 1)
+    ]
+    wide = times.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("step"),
+                F.lit(steps[k - 1]).alias("event_type"),
+                F.col(f"_n{k}").alias("n_users"),
+                F.round(
+                    F.col(f"_n{k}").cast("double")
+                    / F.nullif(F.col("_n1"), F.lit(0)).cast("double"),
+                    4,
+                ).alias("conversion"),
+            )
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.step", "r.event_type", "r.n_users", "r.conversion"
+    )

@@ -149,6 +149,53 @@ def test_hist_quantile_empty_and_clamp(spark):
     assert out["clamped"] == 0.0
 
 
+def test_funnel_strict_order_and_window(spark):
+    """funnel_times/funnel_counts: out-of-order events don't convert
+    (purchase before click ignored), the conversion window anchored at
+    step 1 excludes late steps, and counts collapse correctly."""
+    from datetime import datetime
+
+    from gpssbzd_spark.operators.funnel import funnel_counts, funnel_times
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1 converts fully in order
+        (1, t(0), "view"), (1, t(10), "click"), (1, t(20), "purchase"),
+        # u2: purchase BEFORE click -> stops at click (step 2)
+        (2, t(0), "view"), (2, t(5), "purchase"), (2, t(10), "click"),
+        # u3: click at t1+400 exceeds within=300 -> stops at step 1
+        (3, t(0), "view"), (3, t(40), "click"),
+        # u4 never views -> absent even though it clicks
+        (4, t(0), "click"),
+        # u5: click exactly AT view time -> strict > excludes it
+        (5, t(0), "view"), (5, t(0), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    out = {
+        r.user_id: r.steps_completed
+        for r in funnel_times(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 2, 5: 1}
+
+    # within=30s: u3's click at +40s no longer counts
+    out_w = {
+        r.user_id: r.steps_completed
+        for r in funnel_times(ev, ["view", "click", "purchase"], within=30).collect()
+    }
+    assert out_w == {1: 3, 2: 2, 3: 1, 5: 1}
+
+    counts = {
+        r.step: (r.event_type, r.n_users, r.conversion)
+        for r in funnel_counts(ev, ["view", "click", "purchase"], within=30).collect()
+    }
+    assert counts == {
+        1: ("view", 4, 1.0),
+        2: ("click", 2, 0.5),
+        3: ("purchase", 1, 0.25),
+    }
+
+
 def test_merge_upsert_semantics(spark):
     """merge_upsert: updates replace matched rows, inserts append,
     untouched base rows pass through — and the result has exactly
