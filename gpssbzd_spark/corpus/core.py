@@ -724,9 +724,9 @@ def _funnel_users_oracle() -> str:
     "event strictly after t_{k-1}; a purchase BEFORE the click does "
     "not count. A2/A3's cascaded conditional aggregation generalized "
     "to event sequences. Events are filtered to the funnel's types at "
-    "the scan; each step is one min-agg per user joined to the "
-    "previous step's per-user row, every shuffle keyed on user_id so "
-    "the exchange is reused down the chain. a2 rotation alternate",
+    "the scan; every step is a per-user windowed conditional min over "
+    "ONE hash partitioning (successive Window ops, no sorts), so the "
+    "whole funnel is one scan + one exchange. a2 rotation alternate",
     tier=2,
 )
 def ev_funnel_users(spark, sf_dir):

@@ -18,20 +18,24 @@ Semantics (the standard strict-order funnel, per user):
   no step-1 event does not appear.
 
 Scale shape: events are filtered to the funnel's event types before
-anything else (predicate reaches the scan), then each step is one
-min-aggregate per user joined to the previous step's per-user row.
-Every shuffle in the chain is keyed on the user column, so after the
-first exchange the groupBy→join→groupBy sequence reuses the same hash
-partitioning instead of re-shuffling; k steps cost k narrow
-per-user-row joins, NOT k scans of the raw table. Nothing collects,
-nothing is quadratic, no Python boundary.
+anything else (predicate reaches the scan), then every step is a
+per-user windowed conditional min over ONE hash partitioning:
+``t_k = min(ts where type=step_k and ts > t_{k-1}) over (partition by
+user)``. Step k's condition references step k-1's column, so the
+steps are successive Window operators over the SAME partitioning —
+one scan, one exchange, no sorts (unbounded frames), and the final
+per-user collapse reuses the partitioning. The obvious alternative
+(per-step min-aggregate joined to the previous step's per-user
+table) replays the scan per consumer of each intermediate — measured
+7 scans of the events for a 3-step funnel. Nothing collects, nothing
+is quadratic, no Python boundary.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,31 +59,34 @@ def funnel_times(
         F.col(type_col).alias("_type"),
     ).filter(F.col("_type").isin(list(steps)))
 
-    cur = (
-        ev.filter(F.col("_type") == steps[0])
-        .groupBy("_user")
-        .agg(F.min("_ts").alias("t1"))
+    w = Window.partitionBy("_user")
+    cur = ev.withColumn(
+        "t1", F.min(F.when(F.col("_type") == steps[0], F.col("_ts"))).over(w)
     )
     for k in range(2, len(steps) + 1):
-        step_ev = ev.filter(F.col("_type") == steps[k - 1])
-        cond = F.col("_ts") > F.col(f"t{k - 1}")
+        cond = (F.col("_type") == steps[k - 1]) & (
+            F.col("_ts") > F.col(f"t{k - 1}")
+        )
         if within is not None:
             cond = cond & (
                 F.col("_ts").cast("double") - F.col("t1").cast("double")
                 <= float(within)
             )
-        nxt = (
-            step_ev.join(cur, "_user")
-            .filter(cond)
-            .groupBy("_user")
-            .agg(F.min("_ts").alias(f"t{k}"))
-        )
-        cur = cur.join(nxt, "_user", "left")
+        # t_{k-1} must already be a materialized column (windows cannot
+        # nest), hence the sequential withColumn chain — each one is a
+        # Window operator over the SAME user partitioning
+        cur = cur.withColumn(f"t{k}", F.min(F.when(cond, F.col("_ts"))).over(w))
 
+    tcols = [f"t{k}" for k in range(1, len(steps) + 1)]
+    per_user = (
+        cur.groupBy("_user")
+        .agg(*[F.max(c).alias(c) for c in tcols])  # constant within user
+        .filter(F.col("t1").isNotNull())
+    )
     completed = F.lit(1)
     for k in range(2, len(steps) + 1):
         completed = F.when(F.col(f"t{k}").isNotNull(), k).otherwise(completed)
-    return cur.withColumn("steps_completed", completed).withColumnRenamed(
+    return per_user.withColumn("steps_completed", completed).withColumnRenamed(
         "_user", user_col
     )
 

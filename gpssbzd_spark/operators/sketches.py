@@ -110,12 +110,36 @@ def hist_partial(
     bins: int,
     name: str = "hist",
 ) -> DataFrame:
-    """Per-group bin-count array — the storable partial. One aggregate
-    pass; every `count(when(bin==i))` is partial-aggregable, so the
-    shuffle carries (group, bins longs) regardless of input size."""
+    """Per-group bin-count array — the storable partial.
+
+    Two-phase sparse count: groupBy (group, bin) count — one narrow
+    partial-aggregated shuffle of at most bins rows per group — then
+    densify the ≤bins (bin, count) entries per group into the fixed
+    array via map lookup. The obvious one-pass alternative (`bins`
+    separate `count(when(bin==i))` aggregate expressions) evaluates
+    every bin predicate against every row — bins× the aggregate work
+    — and a 110-wide agg falls out of whole-stage codegen: measured
+    ~6× slower at sf0.1.
+
+    A group with NO non-null values is absent from the output (as in
+    a SQL GROUP BY over the non-null rows), not an all-zero array."""
     b = hist_bin(F.col(col), lo, hi, bins)
-    counts = [F.count(F.when(b == i, True)) for i in range(bins)]
-    return df.groupBy(*group_by).agg(F.array(*counts).alias(name))
+    sparse = (
+        df.select(*group_by, b.alias("_bin"))
+        .filter(F.col("_bin").isNotNull())
+        .groupBy(*group_by, "_bin")
+        .agg(F.count("*").alias("_c"))
+    )
+    as_map = sparse.groupBy(*group_by).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_bin"), F.col("_c")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+    )
+    return as_map.select(*group_by, dense.alias(name))
 
 
 def hist_rollup(

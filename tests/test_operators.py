@@ -124,8 +124,10 @@ def test_hist_quantile_rollup_bound_and_merge(spark):
 
 
 def test_hist_quantile_empty_and_clamp(spark):
-    """All-null input → NULL estimate (not an edge value); out-of-range
-    values clamp into the edge bins instead of being dropped."""
+    """A group with only NULL values is ABSENT (the sparse count has no
+    row for it — same as SQL GROUP BY over non-null rows), NULL values
+    never land in a bin, and out-of-range values clamp into the edge
+    bins instead of being dropped."""
     from pyspark.sql import functions as F
 
     from gpssbzd_spark.operators.sketches import (
@@ -144,7 +146,7 @@ def test_hist_quantile_empty_and_clamp(spark):
         .select("g", hist_quantile(F.col("hist"), 0.5, lo, hi, bins).alias("est"))
         .collect()
     }
-    assert out["empty"] is None
+    assert "empty" not in out
     # -50 clamps to bin 0 (edge 0.0); rank ceil(0.5*2)=1 → first bin
     assert out["clamped"] == 0.0
 
