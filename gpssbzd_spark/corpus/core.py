@@ -736,6 +736,38 @@ def ev_funnel_users(spark, sf_dir):
     return funnel_times(ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN)
 
 
+def _retention_oracle() -> str:
+    from gpssbzd_spark.operators.funnel import retention_matrix_sql
+
+    inner = retention_matrix_sql("events", "user_id", "ts", period="day")
+    # DATE comes back from DuckDB's pandas bridge as midnight
+    # timestamps but from Spark as dates — compare as ISO strings
+    return (
+        "SELECT CAST(cohort AS VARCHAR) AS cohort, age, n_active, "
+        f"retention FROM ({inner})"
+    )
+
+
+@query(
+    "ev_retention_matrix",
+    oracle=_retention_oracle(),
+    note="cohort retention analysis (extension, operators/funnel.py): "
+    "users bucketed by first-activity day, distinct-active counts per "
+    "(cohort, age) with retention = share of the cohort still active — "
+    "the standard product-analytics rollup next to the funnel. One "
+    "groupBy(user) + one (user, period) distinct sharing the same "
+    "exchange, a co-partitioned join, then a narrow (cohort, age) "
+    "rollup; cohort sizes broadcast. a2 rotation alternate",
+    tier=2,
+)
+def ev_retention_matrix(spark, sf_dir):
+    from gpssbzd_spark.operators.funnel import retention_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    out = retention_matrix(ev, period="day")
+    return out.withColumn("cohort", F.col("cohort").cast("string"))
+
+
 @query(
     "a2_conditional_agg",
     oracle="""

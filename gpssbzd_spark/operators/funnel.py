@@ -91,6 +91,104 @@ def funnel_times(
     )
 
 
+def retention_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by the period of their FIRST
+    event, tracked across subsequent periods of activity — the other
+    standard product-analytics rollup next to :func:`funnel_counts`.
+
+    Returns one row per (cohort, age) that had any activity:
+    ``cohort`` (first-activity period start, date), ``age`` (whole
+    periods since the cohort period), ``n_active`` (distinct users of
+    that cohort active at that age), ``retention`` (n_active /
+    cohort size, 4 dp). age=0 always exists and has retention 1.0.
+
+    ``period`` is 'day' or 'week' (date_trunc granularity; weeks start
+    Monday in both Spark and DuckDB, so the oracle agrees).
+
+    Scale shape: one groupBy(user) for first-activity, one
+    (user, period) distinct — both keyed on user so the exchange is
+    shared — then the activity×cohort join on user co-partitions with
+    them, and the final (cohort, age) count is a narrow rollup over
+    one row per user-period. Cohort sizes ride the same first-activity
+    table (no extra scan) and broadcast onto the matrix.
+    """
+    assert period in ("day", "week"), period
+    ev = events.select(
+        F.col(user_col).alias("_user"),
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("_period"),
+    )
+    firsts = ev.groupBy("_user").agg(F.min("_period").alias("cohort"))
+    activity = ev.distinct()
+    days_per = 7 if period == "week" else 1
+    matrix = (
+        activity.join(firsts, "_user")
+        .select(
+            "cohort",
+            # explicit FLOOR on both engines: DuckDB's double->INT cast
+            # ROUNDS while Spark's truncates, so a bare /7 cast would
+            # disagree on non-multiple-of-7 day gaps
+            F.floor(F.datediff(F.col("_period"), F.col("cohort")) / days_per)
+            .cast("int")
+            .alias("age"),
+        )
+        .groupBy("cohort", "age")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("_cohort_size")
+    )
+    return (
+        matrix.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("_cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+def retention_matrix_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> str:
+    """DuckDB twin of :func:`retention_matrix` (same trunc, same whole-
+    period age arithmetic, same rounding)."""
+    days_per = 7 if period == "week" else 1
+    return f"""
+    WITH ev AS (
+      SELECT {user_col} AS u, CAST(date_trunc('{period}', {ts_col}) AS DATE) AS p
+      FROM {table}
+    ), firsts AS (
+      SELECT u, MIN(p) AS cohort FROM ev GROUP BY u
+    ), activity AS (
+      SELECT DISTINCT u, p FROM ev
+    ), matrix AS (
+      SELECT cohort,
+             CAST(FLOOR(date_diff('day', cohort, p) / {days_per}.0) AS INT)
+               AS age,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM activity JOIN firsts USING (u)
+      GROUP BY cohort, age
+    ), sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort
+    )
+    SELECT cohort, age, n_active,
+           ROUND(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+    FROM matrix JOIN sizes USING (cohort)
+    """
+
+
 def funnel_counts(
     events: DataFrame,
     steps: Sequence[str],

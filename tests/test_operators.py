@@ -198,6 +198,36 @@ def test_funnel_strict_order_and_window(spark):
     }
 
 
+def test_retention_matrix_weekly_semantics(spark):
+    """retention_matrix: cohort = week of first event, age in whole
+    weeks, distinct users per cell, retention relative to cohort size,
+    age=0 retention exactly 1.0."""
+    from datetime import datetime
+
+    from gpssbzd_spark.operators.funnel import retention_matrix
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)  # noqa: E731  (Jan 1 2024 = Monday)
+    rows = [
+        # cohort wk0: u1 active wk0+wk1, u2 active wk0 only (twice in
+        # one week -> still one active count)
+        (1, d(2)), (1, d(9)),
+        (2, d(3)), (2, d(4)),
+        # cohort wk1: u3 active wk1 and wk3 (gap week absent)
+        (3, d(8)), (3, d(22)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort.isoformat(), r.age): (r.n_active, r.retention)
+        for r in retention_matrix(ev, period="week").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-08", 0): (1, 1.0),
+        ("2024-01-08", 2): (1, 1.0),
+    }
+
+
 def test_merge_upsert_semantics(spark):
     """merge_upsert: updates replace matched rows, inserts append,
     untouched base rows pass through — and the result has exactly
