@@ -71,6 +71,39 @@ def hll_estimate(df: DataFrame, sketch_name: str = "hll", out: str = "approx_nd"
     )
 
 
+def hll_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    sketch_name: str = "hll",
+) -> DataFrame:
+    """Estimated overlap of two keyed sketch tables WITHOUT touching
+    raw data: for each key present on both sides,
+    ``overlap ≈ |A| + |B| − |A∪B|`` (inclusion-exclusion over HLL
+    estimates — HLL cannot intersect directly, but it unions exactly).
+    The audience-overlap / cross-segment-reach question answered from
+    stored KB-size sketches; error compounds to a few σ of the union's
+    rsd, so it is a ranking/reach signal, not an exact join count
+    (bound pinned in tests/test_operators.py). Clamped at 0 (the
+    estimator can go slightly negative on near-disjoint sets)."""
+    a = left.select(*on, F.col(sketch_name).alias("_a"))
+    b = right.select(*on, F.col(sketch_name).alias("_b"))
+    est_a = F.hll_sketch_estimate(F.col("_a"))
+    est_b = F.hll_sketch_estimate(F.col("_b"))
+    est_u = F.hll_sketch_estimate(F.hll_union(F.col("_a"), F.col("_b")))
+    return (
+        a.join(b, list(on))
+        .select(
+            *on,
+            est_a.alias("n_left"),
+            est_b.alias("n_right"),
+            F.greatest(F.lit(0).cast("long"), est_a + est_b - est_u).alias(
+                "n_overlap_est"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable fixed-bin histograms: the quantile counterpart of the HLL
 # rollup above. `percentile_approx` (SURVEY §2.4 A4) answers one group

@@ -72,6 +72,32 @@ def test_hll_sketch_rollup_accuracy_and_merge(spark):
         assert abs(m[g] - d[g]) / d[g] < 0.005, (g, m[g], d[g])
 
 
+def test_hll_overlap_tracks_true_intersection(spark):
+    """hll_overlap: inclusion-exclusion over per-key sketches tracks
+    the true intersection within a few percent of the UNION size (the
+    estimator's natural scale), including a disjoint pair clamped ≥ 0."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.sketches import hll_overlap, hll_partial
+
+    # key 'x': left=0..60k, right=40k..100k -> true overlap 20k, union 100k
+    # key 'y': left=0..10k, right=50k..60k -> disjoint, union 20k
+    left = spark.range(0, 60_000).select(F.lit("x").alias("k"), "id").unionByName(
+        spark.range(0, 10_000).select(F.lit("y").alias("k"), "id")
+    )
+    right = spark.range(40_000, 100_000).select(
+        F.lit("x").alias("k"), "id"
+    ).unionByName(spark.range(50_000, 60_000).select(F.lit("y").alias("k"), "id"))
+    out = {
+        r.k: r
+        for r in hll_overlap(
+            hll_partial(left, ["k"], "id"), hll_partial(right, ["k"], "id"), ["k"]
+        ).collect()
+    }
+    assert abs(out["x"].n_overlap_est - 20_000) < 0.03 * 100_000
+    assert 0 <= out["y"].n_overlap_est < 0.03 * 20_000
+
+
 def test_hist_quantile_rollup_bound_and_merge(spark):
     """The mergeable-histogram contract (operators/sketches.py): the
     quantile read off merged partials (1) is within ONE BIN WIDTH below

@@ -241,3 +241,51 @@ def test_parse_json_col_typed_struct_and_null_on_malformed(spark):
     )
     assert out[0].p.k == 3.5 and out[0].p.tag == "a"
     assert out[1].p is None or out[1].p.k is None  # malformed -> null, no crash
+
+
+def test_incremental_read_manifest_lifecycle(spark, tmp_path):
+    """incremental_read (sources/incremental.py): first batch sees all
+    landed files; after commit only newly-landed files are read; an
+    uncommitted batch is re-seen (at-least-once); nothing-new returns
+    an empty frame under a declared schema; a mutated landed file
+    raises."""
+    import pyspark.sql.types as T
+    import pytest as _pytest
+
+    from gpssbzd_spark.sources.incremental import incremental_read
+
+    landing = str(tmp_path / "landing")
+    manifest = str(tmp_path / "manifest")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    spark.range(0, 10).coalesce(1).write.parquet(landing)  # batch 1
+
+    df1, new1, commit1 = incremental_read(spark, landing, manifest, schema=schema)
+    assert df1.count() == 10 and len(new1) == 1
+
+    # crash before commit: the same files appear again
+    df1b, new1b, _ = incremental_read(spark, landing, manifest, schema=schema)
+    assert [f.path for f in new1b] == [f.path for f in new1]
+
+    assert commit1() is not None
+
+    # batch 2 lands; only it is read now
+    spark.range(100, 105).coalesce(1).write.mode("append").parquet(landing)
+    df2, new2, commit2 = incremental_read(spark, landing, manifest, schema=schema)
+    assert df2.count() == 5
+    assert set(f.path for f in new2).isdisjoint(f.path for f in new1)
+    commit2()
+
+    # nothing new: empty frame with the declared schema, no-op commit
+    df3, new3, commit3 = incremental_read(spark, landing, manifest, schema=schema)
+    assert df3.count() == 0 and new3 == [] and commit3() is None
+
+    # total processed across batches == full directory, exactly once
+    assert df1.count() + df2.count() == spark.read.parquet(landing).count()
+
+    # immutability violation: shrink a processed file in place
+    victim = new2[0].path.removeprefix("file:")
+    with open(victim, "wb") as fh:
+        fh.write(b"x")
+    with _pytest.raises(ValueError, match="immutable"):
+        incremental_read(spark, landing, manifest, schema=schema)
