@@ -229,3 +229,52 @@ def test_hash_split_is_shuffle_free_and_packing_shuffles_once(spark):
 
     n_ex = len(_re.findall(r"Exchange hashpartitioning", plan_pack))
     assert n_ex == 1, plan_pack
+
+
+def test_funnel_is_one_scan_one_exchange(spark):
+    """The funnel's windowed-conditional-min formulation must stay one
+    events scan + one user-keyed exchange for any step count (the join
+    formulation it replaced replayed the scan once per intermediate
+    consumer — 7 scans for 3 steps)."""
+    plan = final_plan(q(spark, "ev_funnel_users"))
+    assert plan.count("FileScan") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hist_rollup_sparse_counts_stay_partial(spark):
+    """hist_partial's sparse (group,bin) count must partial-aggregate
+    (two HashAggregate levels around its exchange) and never widen into
+    the bins-wide aggregate it replaced; the whole pipeline stays
+    JVM-side."""
+    plan = final_plan(q(spark, "a12_hist_quantile_rollup"))
+    assert len(re.findall(r"HashAggregate", plan)) >= 4, plan  # partial+final x2 phases
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_retention_cohort_sizes_broadcast(spark):
+    """retention_matrix: one events scan feeding both first-activity and
+    activity branches' shared user-keyed exchanges, with cohort sizes
+    attached via broadcast (never a shuffled join on the small side)."""
+    plan = final_plan(q(spark, "ev_retention_matrix"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_seeded_shuffle_projection_is_stateless(spark):
+    """dp_shard_shuffle: shard + order key are pure per-row projections
+    — the only exchange is the bounded oracle-check window's, and there
+    is no Python worker."""
+    plan = final_plan(q(spark, "dp_shard_shuffle"))
+    assert plan.count("FileScan") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_unigram_vocab_join_is_broadcast(spark):
+    """tx_unigram_logprob: the scoring join must broadcast the V-row
+    vocab (the corpus side never shuffles for the join)."""
+    plan = final_plan(q(spark, "tx_unigram_logprob"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
