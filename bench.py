@@ -94,10 +94,12 @@ HEADLINE = [
     "dp_decontaminate_overlap",
     "dd_neardup_clusters",
     # r5 final additions — mergeable quantile rollup, unigram LM
-    # scoring, seeded shard shuffle
+    # scoring, seeded shard shuffle, event analytics
     "a12_hist_quantile_rollup",
     "tx_unigram_logprob",
     "dp_shard_shuffle",
+    "ev_funnel_users",
+    "ev_retention_matrix",
 ]
 
 
