@@ -177,3 +177,85 @@ def test_new_mutation_and_layout_ops_degrade_on_degenerate_input(spark):
         ).collect()
     ]
     assert got[0] == 0 and got[1] == (1 << 32) - 1  # clamped to corner cells
+
+
+def test_funnel_and_retention_degenerate_inputs(spark):
+    """Empty events, a single-step funnel, null users/timestamps: each
+    degrades to a well-formed (possibly empty) result, never a crash.
+    Null-user activity drops at the activity×cohort equi-join (null
+    keys never match — the same contract as the DuckDB oracle's
+    USING join), so a null user appears in neither output."""
+    from gpssbzd_spark.operators.funnel import (
+        funnel_counts,
+        funnel_times,
+        retention_matrix,
+    )
+
+    schema = "user_id long, ts timestamp, event_type string"
+    empty = spark.createDataFrame([], schema)
+    assert funnel_times(empty, ["view", "click"]).count() == 0
+    counts = {r.step: r.n_users for r in funnel_counts(empty, ["view"]).collect()}
+    assert counts == {1: 0}  # summary row exists even with no users
+    assert retention_matrix(empty).count() == 0
+
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1), "view"),
+        (1, None, "click"),            # null ts: excluded from mins
+        (None, datetime(2024, 1, 2), "view"),  # null user still grouped
+    ]
+    ev = spark.createDataFrame(rows, schema)
+    single = {r.user_id: r.steps_completed for r in funnel_times(ev, ["view"]).collect()}
+    assert single[1] == 1 and None in single  # window partition keeps null user
+    ret = retention_matrix(ev, period="day")
+    assert ret.filter(F.col("cohort").isNull()).count() == 0  # join drops it
+    assert ret.agg(F.sum("n_active")).first()[0] == 1  # only user 1 remains
+
+
+def test_hll_overlap_disjoint_keys_inner_join(spark):
+    """hll_overlap only reports keys present on BOTH sides (inner join
+    on the key): a segment with no counterpart yields no row, not a
+    null-sketch crash."""
+    from gpssbzd_spark.operators.sketches import hll_overlap, hll_partial
+
+    left = spark.createDataFrame([("only_left", 1)], "k string, v long")
+    right = spark.createDataFrame([("only_right", 2)], "k string, v long")
+    out = hll_overlap(
+        hll_partial(left, ["k"], "v"), hll_partial(right, ["k"], "v"), ["k"]
+    )
+    assert out.count() == 0
+
+
+def test_incremental_read_empty_landing_dir(spark, tmp_path):
+    """A landing dir that does not exist yet (or matches nothing) is an
+    empty batch, not an error — the state before the first file lands."""
+    import pyspark.sql.types as T
+
+    from gpssbzd_spark.sources.incremental import incremental_read
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df, new, commit = incremental_read(
+        spark,
+        str(tmp_path / "never_created"),
+        str(tmp_path / "manifest"),
+        schema=schema,
+    )
+    assert df.count() == 0 and new == [] and commit() is None
+
+    # and with no schema: caller gets None, not an unreadable frame
+    df2, new2, commit2 = incremental_read(
+        spark, str(tmp_path / "never_created"), str(tmp_path / "manifest")
+    )
+    assert df2 is None and new2 == [] and commit2() is None
+
+
+def test_seeded_shuffle_null_id_deterministic(spark):
+    """A null id hashes as the empty string (same contract as
+    hash_split): deterministic shard + key, not a null-propagated row."""
+    from gpssbzd_spark.dataprep.splits import seeded_shuffle
+
+    df = spark.createDataFrame([(None,), (1,)], "doc_id long")
+    out = {r.doc_id: (r.shard, r.shuffle_key) for r in
+           seeded_shuffle(df, "doc_id", 4).collect()}
+    assert out[None][0] is not None and out[None][1] is not None
