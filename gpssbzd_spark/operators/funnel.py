@@ -108,7 +108,10 @@ def retention_matrix(
     cohort size, 4 dp). age=0 always exists and has retention 1.0.
 
     ``period`` is 'day' or 'week' (date_trunc granularity; weeks start
-    Monday in both Spark and DuckDB, so the oracle agrees).
+    Monday in both Spark and DuckDB, so the oracle agrees). Null
+    timestamps are not activity and are filtered before everything;
+    null users never survive the activity×cohort equi-join (standard
+    null-key join semantics, same as the oracle's USING join).
 
     Scale shape: one groupBy(user) for first-activity, one
     (user, period) distinct — both keyed on user so the exchange is
@@ -118,7 +121,7 @@ def retention_matrix(
     table (no extra scan) and broadcast onto the matrix.
     """
     assert period in ("day", "week"), period
-    ev = events.select(
+    ev = events.filter(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("_user"),
         F.date_trunc(period, F.col(ts_col)).cast("date").alias("_period"),
     )
@@ -167,7 +170,7 @@ def retention_matrix_sql(
     return f"""
     WITH ev AS (
       SELECT {user_col} AS u, CAST(date_trunc('{period}', {ts_col}) AS DATE) AS p
-      FROM {table}
+      FROM {table} WHERE {ts_col} IS NOT NULL
     ), firsts AS (
       SELECT u, MIN(p) AS cohort FROM ev GROUP BY u
     ), activity AS (
