@@ -689,9 +689,8 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_WITHIN = 604800.0  # 7 days
 
 
-def _funnel_users_oracle() -> str:
-    return f"""
-    WITH s1 AS (
+_FUNNEL_CTES = f"""
+    s1 AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
       WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
     ), s2 AS (
@@ -706,12 +705,36 @@ def _funnel_users_oracle() -> str:
       WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
         AND epoch(e.ts) - epoch(s1.t1) <= {_FUNNEL_WITHIN}
       GROUP BY e.user_id
-    )
+    )"""
+
+
+def _funnel_users_oracle() -> str:
+    return f"""
+    WITH {_FUNNEL_CTES}
     SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
            CASE WHEN s3.t3 IS NOT NULL THEN 3
                 WHEN s2.t2 IS NOT NULL THEN 2
                 ELSE 1 END AS steps_completed
     FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """
+
+
+def _funnel_steps_oracle() -> str:
+    return f"""
+    WITH {_FUNNEL_CTES}, n AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS event_type,
+           n1 AS n_users, ROUND(CAST(n1 AS DOUBLE) / NULLIF(n1, 0), 4)
+             AS conversion FROM n
+    UNION ALL
+    SELECT 2, '{_FUNNEL_STEPS[1]}', n2,
+           ROUND(CAST(n2 AS DOUBLE) / NULLIF(n1, 0), 4) FROM n
+    UNION ALL
+    SELECT 3, '{_FUNNEL_STEPS[2]}', n3,
+           ROUND(CAST(n3 AS DOUBLE) / NULLIF(n1, 0), 4) FROM n
     """
 
 
@@ -734,6 +757,23 @@ def ev_funnel_users(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return funnel_times(ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN)
+
+
+@query(
+    "ev_funnel_steps",
+    oracle=_funnel_steps_oracle(),
+    note="funnel summary (operators/funnel.py funnel_counts): per-step "
+    "users-reaching counts + conversion from step 1, collapsed from "
+    "the per-user table by conditional counts in ONE pass (no second "
+    "events scan) and exploded from a literal struct array — the "
+    "3-row funnel chart a dashboard consumes. a2 rotation alternate",
+    tier=2,
+)
+def ev_funnel_steps(spark, sf_dir):
+    from gpssbzd_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN)
 
 
 def _retention_oracle() -> str:
