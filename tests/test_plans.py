@@ -278,3 +278,42 @@ def test_unigram_vocab_join_is_broadcast(spark):
     plan = final_plan(q(spark, "tx_unigram_logprob"))
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_audit_plan_flags_antipatterns_and_passes_clean(spark):
+    """plans/audit.py: the plan lint flags row-at-a-time Python UDFs,
+    cartesian joins, unpushed filters, and wide scans — and returns no
+    findings for the engine's own flagship query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from gpssbzd_spark.plans.audit import audit_plan, assert_plan_clean
+    from gpssbzd_spark.sources.tables import load_table
+
+    # clean: the TPC-H Q1 rollup (filters pushed, pruned, no Python)
+    assert_plan_clean(q(spark, "a7_tpch_q1_rollup"))
+
+    # row-at-a-time Python UDF
+    slow = F.udf(lambda x: x + 1, LongType())
+    bad_udf = spark.range(10).select(slow("id"))
+    kinds = {f.kind for f in audit_plan(bad_udf)}
+    assert "python-eval" in kinds
+
+    # cartesian
+    bad_join = spark.range(5).crossJoin(spark.range(5))
+    assert "cartesian" in {f.kind for f in audit_plan(bad_join)}
+
+    # unpushed filter: wrapping the column in an md5 blocks pushdown
+    li = load_table(spark, SF, "lineitem")
+    bad_filter = li.filter(F.md5(F.col("l_returnflag").cast("binary")) == "xx")
+    assert "unpushed-filter" in {f.kind for f in audit_plan(bad_filter)}
+
+    # wide scan: no projection over a 16-column table
+    wide = load_table(spark, SF, "lineitem").filter(F.col("l_quantity") > 0)
+    assert "wide-scan" in {f.kind for f in audit_plan(wide)}
+
+    # a deliberate Arrow kernel passes under a declared budget
+    arrow = F.pandas_udf(lambda s: s, "long")
+    kernel = spark.range(10).select(arrow("id"))
+    assert audit_plan(kernel, max_python_stages=1) == []
+    assert "python-eval" in {f.kind for f in audit_plan(kernel)}
