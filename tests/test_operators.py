@@ -356,3 +356,64 @@ def test_merge_upsert_order_col_replay_safe(spark):
         2: (50, "mid-redelivered"),  # equal version: update wins
         3: (10, "ins"),  # insert unaffected by the gate
     }
+
+
+def test_funnel_randomized_against_python_reference(spark):
+    """200 users x random event streams (seeded): funnel_times must
+    match a direct per-user Python evaluation of the strict-order
+    semantics — earliest step-k event strictly after t_{k-1}, within
+    the window anchored at t1 — including users with shuffled event
+    order and repeated types."""
+    import random
+    from datetime import datetime, timedelta
+
+    from gpssbzd_spark.operators.funnel import funnel_times
+
+    rng = random.Random(42)
+    steps = ["view", "click", "purchase"]
+    types = steps + ["error", "signup"]
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in range(200):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (u, base + timedelta(seconds=rng.randint(0, 100_000)),
+                 rng.choice(types))
+            )
+    rng.shuffle(rows)
+    within = 30_000.0
+
+    # reference implementation: direct semantics, no Spark
+    expected = {}
+    by_user = {}
+    for u, ts, ty in rows:
+        by_user.setdefault(u, []).append((ts, ty))
+    for u, evs in by_user.items():
+        t1 = min((ts for ts, ty in evs if ty == steps[0]), default=None)
+        if t1 is None:
+            continue
+        prev, out = t1, [t1]
+        for step in steps[1:]:
+            nxt = min(
+                (
+                    ts
+                    for ts, ty in evs
+                    if ty == step
+                    and ts > prev
+                    and (ts - t1).total_seconds() <= within
+                ),
+                default=None,
+            )
+            out.append(nxt)
+            if nxt is None:
+                break
+            prev = nxt
+        out += [None] * (len(steps) - len(out))
+        expected[u] = tuple(out)
+
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in funnel_times(ev, steps, within=within).collect()
+    }
+    assert got == expected
