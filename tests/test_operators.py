@@ -417,3 +417,50 @@ def test_funnel_randomized_against_python_reference(spark):
         for r in funnel_times(ev, steps, within=within).collect()
     }
     assert got == expected
+
+
+def test_retention_randomized_against_python_reference(spark):
+    """Seeded random activity: retention_matrix must reproduce a direct
+    Python evaluation — cohort = first active period, one count per
+    (cohort, age) of distinct users active then, retention over cohort
+    size."""
+    import random
+    from collections import defaultdict
+    from datetime import date, datetime, timedelta
+
+    from gpssbzd_spark.operators.funnel import retention_matrix
+
+    rng = random.Random(7)
+    rows = []
+    for u in range(150):
+        for _ in range(rng.randint(1, 10)):
+            rows.append(
+                (u, datetime(2024, 1, 1) + timedelta(
+                    minutes=rng.randint(0, 60 * 24 * 60)))
+            )
+
+    def week_of(dt: datetime) -> date:
+        d = dt.date()
+        return d - timedelta(days=d.weekday())
+
+    first = {}
+    active = defaultdict(set)
+    for u, ts in rows:
+        w = week_of(ts)
+        first[u] = min(first.get(u, w), w)
+    for u, ts in rows:
+        active[(first[u], (week_of(ts) - first[u]).days // 7)].add(u)
+    cohort_sizes = defaultdict(int)
+    for u, c in first.items():
+        cohort_sizes[c] += 1
+    expected = {
+        (c, age): (len(users), round(len(users) / cohort_sizes[c], 4))
+        for (c, age), users in active.items()
+    }
+
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort, r.age): (r.n_active, r.retention)
+        for r in retention_matrix(ev, period="week").collect()
+    }
+    assert got == expected
