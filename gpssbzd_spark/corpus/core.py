@@ -776,6 +776,52 @@ def ev_funnel_steps(spark, sf_dir):
     return funnel_counts(ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN)
 
 
+_GAPFILL_BUCKET = 14400  # 4 h
+
+
+def _gapfill_oracle() -> str:
+    from gpssbzd_spark.operators.timeseries import time_bucket_gapfill_sql
+
+    inner = time_bucket_gapfill_sql(
+        "(SELECT * FROM events WHERE user_id % 19 = 0)",
+        "ts",
+        ["event_type"],
+        _GAPFILL_BUCKET,
+        {"sum_value": "ROUND(SUM(value), 2)"},
+        fill="prev",
+    )
+    return inner
+
+
+@query(
+    "ts_bucket_gapfill",
+    oracle=_gapfill_oracle(),
+    note="time-bucket resampling with gap-fill (extension, operators/"
+    "timeseries.py): per-type 4 h rollups over a sparse event slice "
+    "with the DENSE bucket spine materialized — silent intervals "
+    "emitted as is_gap rows and forward-filled (TimescaleDB "
+    "time_bucket_gapfill/locf semantics; the reference's blind-zone "
+    "premise — the signal is where data is MISSING — generalized). "
+    "One partial-agg pass; the spine explodes per key from that "
+    "aggregate (no driver calendar); epoch-integer buckets replay "
+    "bit-identically in the oracle. st rotation alternate",
+    tier=2,
+)
+def ts_bucket_gapfill(spark, sf_dir):
+    from gpssbzd_spark.operators.timeseries import time_bucket_gapfill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 19 == 0)
+    out = time_bucket_gapfill(
+        ev,
+        "ts",
+        ["event_type"],
+        _GAPFILL_BUCKET,
+        {"sum_value": F.round(F.sum("value"), 2)},
+        fill="prev",
+    )
+    return out.withColumn("bucket", F.col("bucket").cast("string"))
+
+
 def _retention_oracle() -> str:
     from gpssbzd_spark.operators.funnel import retention_matrix_sql
 

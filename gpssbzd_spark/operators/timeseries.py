@@ -1,0 +1,164 @@
+"""Time-bucket resampling with gap-fill — the hypertable-rollup shape.
+
+Irregular event streams (GPS pings, telemetry) are consumed as REGULAR
+series: fixed-width buckets per key, with silent intervals present as
+rows rather than absent — a monitoring chart or downstream model needs
+the gap to EXIST to see it (the reference's whole blind-zone premise is
+that the interesting signal is where data is missing; its stage 1
+reconstructs gaps per vehicle via lag()). This operator generalizes
+that: per-key bucketed aggregates plus a dense bucket spine, optionally
+forward-filled (TimescaleDB's ``time_bucket_gapfill`` /
+``locf`` semantics, built from Spark primitives).
+
+Scale shape: one groupBy (key, bucket) aggregate — partial-aggregated,
+the shuffle carries one row per non-empty bucket; the spine is
+``sequence(min_bucket .. max_bucket)`` exploded PER KEY from that same
+aggregate (never a driver loop, never a global calendar cross join);
+the spine×data join and the forward-fill window share the spine's
+(key) partitioning. Buckets are epoch-integer arithmetic end-to-end so
+the DuckDB oracle replays them bit-identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts_col: Column, bucket_secs: int) -> Column:
+    """Floor ``ts_col`` to its bucket start (timestamp)."""
+    idx = F.floor(F.unix_timestamp(ts_col) / bucket_secs)
+    return F.timestamp_seconds(idx * bucket_secs)
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    bucket_secs: int,
+    aggs: dict[str, Column],
+    fill: str = "null",
+) -> DataFrame:
+    """Per-key fixed-width bucket rollup with a DENSE bucket axis.
+
+    ``aggs`` maps output name → aggregate expression (evaluated per
+    (key, bucket)); buckets between a key's first and last event that
+    hold no rows appear with NULL aggregates, then per ``fill``:
+
+    - ``'null'`` — left as NULL (gap visible as a hole);
+    - ``'prev'`` — forward-filled from the key's last non-empty bucket
+      (TimescaleDB ``locf``);
+    - ``'zero'`` — coalesced to 0 (count-like series).
+
+    Also emits ``is_gap`` (boolean: the bucket had no input rows) so a
+    blind-zone-style consumer can find silent intervals directly.
+    Returns one row per (key, bucket) of each key's [min, max] bucket
+    range, ``bucket`` as a timestamp column. Null timestamps are not
+    activity and are excluded.
+    """
+    assert fill in ("null", "prev", "zero"), fill
+    keys = list(key_cols)
+    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+    # the _n_rows sentinel rides the ONE aggregate pass: a spine row
+    # with no bucketed match has it NULL, which defines is_gap without
+    # guessing from agg nullability (an agg can be NULL on real rows)
+    bucketed = (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("_bidx", idx)
+        .groupBy(*keys, "_bidx")
+        .agg(
+            F.count("*").alias("_n_rows"),
+            *[expr.alias(name) for name, expr in aggs.items()],
+        )
+    )
+    spine = (
+        bucketed.groupBy(*keys)
+        .agg(F.min("_bidx").alias("_lo"), F.max("_bidx").alias("_hi"))
+        .select(*keys, F.explode(F.sequence("_lo", "_hi")).alias("_bidx"))
+    )
+    dense = spine.join(bucketed, keys + ["_bidx"], "left").withColumn(
+        "is_gap", F.col("_n_rows").isNull()
+    )
+
+    out_cols = list(aggs)
+    if fill == "prev":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_bidx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        dense = dense.select(
+            *keys,
+            "_bidx",
+            "is_gap",
+            *[
+                F.last(c, ignorenulls=True).over(w).alias(c)
+                for c in out_cols
+            ],
+        )
+    elif fill == "zero":
+        dense = dense.select(
+            *keys,
+            "_bidx",
+            "is_gap",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in out_cols],
+        )
+    else:
+        dense = dense.select(*keys, "_bidx", "is_gap", *out_cols)
+
+    return dense.select(
+        *keys,
+        F.timestamp_seconds(F.col("_bidx") * bucket_secs).alias("bucket"),
+        "is_gap",
+        *out_cols,
+    )
+
+
+def time_bucket_gapfill_sql(
+    table: str,
+    ts_col: str,
+    key_cols: Sequence[str],
+    bucket_secs: int,
+    agg_sql: dict[str, str],
+    fill: str = "null",
+) -> str:
+    """DuckDB twin of :func:`time_bucket_gapfill`: same epoch-integer
+    buckets, same per-key dense spine via generate_series, same fill
+    rules. ``agg_sql`` maps output name → aggregate SQL over the table's
+    columns. The bucket is emitted as a VARCHAR timestamp (engines
+    disagree on tz-awareness through the pandas bridge; strings don't)."""
+    assert fill in ("null", "prev", "zero"), fill
+    keys = ", ".join(key_cols)
+    aggs = ", ".join(f"{sql} AS {name}" for name, sql in agg_sql.items())
+    names = list(agg_sql)
+    if fill == "prev":
+        filled = ", ".join(
+            f"last_value(b.{n} IGNORE NULLS) OVER "
+            f"(PARTITION BY {keys} ORDER BY s._bidx "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {n}"
+            for n in names
+        )
+    elif fill == "zero":
+        filled = ", ".join(f"COALESCE(b.{n}, 0) AS {n}" for n in names)
+    else:
+        filled = ", ".join(f"b.{n} AS {n}" for n in names)
+    return f"""
+    WITH src AS (
+      SELECT *, CAST(FLOOR(epoch({ts_col}) / {bucket_secs}) AS BIGINT) AS _bidx
+      FROM {table} WHERE {ts_col} IS NOT NULL
+    ), bucketed AS (
+      SELECT {keys}, _bidx, {aggs}, COUNT(*) AS _n_rows
+      FROM src GROUP BY {keys}, _bidx
+    ), spine AS (
+      SELECT {keys}, unnest(generate_series(MIN(_bidx), MAX(_bidx))) AS _bidx
+      FROM bucketed GROUP BY {keys}
+    )
+    SELECT {keys},
+           CAST(CAST(to_timestamp(s._bidx * {bucket_secs}) AS TIMESTAMP)
+                AS VARCHAR) AS bucket,
+           b._n_rows IS NULL AS is_gap,
+           {filled}
+    FROM spine s LEFT JOIN bucketed b USING ({keys}, _bidx)
+    """

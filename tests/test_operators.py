@@ -464,3 +464,47 @@ def test_retention_randomized_against_python_reference(spark):
         for r in retention_matrix(ev, period="week").collect()
     }
     assert got == expected
+
+
+def test_time_bucket_gapfill_modes(spark):
+    """time_bucket_gapfill: the dense spine covers [min,max] buckets per
+    key, is_gap marks empty buckets, and the three fill modes behave —
+    null leaves holes, prev forward-fills (locf), zero coalesces."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.timeseries import time_bucket_gapfill
+
+    rows = [
+        # key 'a': buckets 0, 3 active (gap at 1, 2); key 'b': bucket 1 only
+        ("a", datetime(2024, 1, 1, 0, 5), 10.0),
+        ("a", datetime(2024, 1, 1, 0, 50), 20.0),
+        ("a", datetime(2024, 1, 1, 3, 10), 40.0),
+        ("b", datetime(2024, 1, 1, 1, 30), 7.0),
+        ("a", None, 999.0),  # null ts excluded
+    ]
+    ev = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    aggs = {"s": F.sum("v")}
+
+    def run(fill):
+        return {
+            (r.k, r.bucket.hour): (r.is_gap, r.s)
+            for r in time_bucket_gapfill(ev, "ts", ["k"], 3600, aggs, fill).collect()
+        }
+
+    null_fill = run("null")
+    assert set(null_fill) == {("a", 0), ("a", 1), ("a", 2), ("a", 3), ("b", 1)}
+    assert null_fill[("a", 0)] == (False, 30.0)
+    assert null_fill[("a", 1)] == (True, None)
+    assert null_fill[("a", 3)] == (False, 40.0)
+    assert null_fill[("b", 1)] == (False, 7.0)
+
+    prev = run("prev")
+    assert prev[("a", 1)] == (True, 30.0)  # locf from bucket 0
+    assert prev[("a", 2)] == (True, 30.0)
+    assert prev[("a", 3)] == (False, 40.0)
+
+    zero = run("zero")
+    assert zero[("a", 1)] == (True, 0.0)
+    assert zero[("a", 0)] == (False, 30.0)
