@@ -100,6 +100,7 @@ HEADLINE = [
     "dp_shard_shuffle",
     "ev_funnel_users",
     "ev_retention_matrix",
+    "ts_bucket_gapfill",
 ]
 
 

@@ -72,6 +72,10 @@ def time_bucket_gapfill(
             F.count("*").alias("_n_rows"),
             *[expr.alias(name) for name, expr in aggs.items()],
         )
+        # consumed twice (the spine's min/max and the join right side);
+        # without the persist each consumer replays the scan+aggregate
+        # — at 100 TB that is two full passes over the raw events
+        .persist()
     )
     spine = (
         bucketed.groupBy(*keys)

@@ -317,3 +317,12 @@ def test_audit_plan_flags_antipatterns_and_passes_clean(spark):
     kernel = spark.range(10).select(arrow("id"))
     assert audit_plan(kernel, max_python_stages=1) == []
     assert "python-eval" in {f.kind for f in audit_plan(kernel)}
+
+
+def test_gapfill_single_aggregate_pass_no_python(spark):
+    """ts_bucket_gapfill: the aggregates and the gap sentinel ride ONE
+    partial-aggregated pass over one events scan (the spine reuses that
+    aggregate — no second scan, no driver calendar), all JVM-side."""
+    plan = final_plan(q(spark, "ts_bucket_gapfill"))
+    assert plan.count("FileScan") == 1, plan
+    assert "BatchEvalPython" not in plan
