@@ -822,6 +822,65 @@ def ts_bucket_gapfill(spark, sf_dir):
     return out.withColumn("bucket", F.col("bucket").cast("string"))
 
 
+def _interp_oracle() -> str:
+    from gpssbzd_spark.operators.timeseries import time_bucket_gapfill_sql
+
+    inner = time_bucket_gapfill_sql(
+        "(SELECT * FROM events WHERE user_id % 19 = 0)",
+        "ts",
+        ["event_type"],
+        _GAPFILL_BUCKET,
+        # round BEFORE interpolating: an unrounded AVG's last ulp is
+        # summation-order-dependent across engines, and interpolation
+        # carries that ulp onto gap rows where it can flip the final
+        # rounding (3 of 882 rows at sf0.01 without this)
+        {"avg_value": "ROUND(AVG(value), 4)"},
+        fill="linear",
+    )
+    # FLOOR(x*1000 + 0.5)/1000, not ROUND(x, 3): interpolation midpoints
+    # of 4-decimal inputs land on exact .0005 ties where Spark's
+    # HALF_UP and DuckDB's rounding disagree; floor of the identical
+    # double is deterministic on both engines
+    return (
+        "SELECT event_type, bucket, is_gap, "
+        "FLOOR(avg_value * 1000 + 0.5) / 1000.0 AS avg_value "
+        f"FROM ({inner})"
+    )
+
+
+@query(
+    "ts_bucket_interpolate",
+    oracle=_interp_oracle(),
+    note="linear interpolation across gap buckets (operators/"
+    "timeseries.py fill='linear' — TimescaleDB interpolate): each "
+    "empty bucket gets the distance-weighted blend of its bracketing "
+    "non-null buckets, NULL outside the bracketed range. Two "
+    "opposite-frame windows over ONE (key, bucket) sort; the oracle "
+    "mirrors the expression shape (same casts, same association "
+    "order) so the doubles agree bit-for-bit before the final "
+    "rounding. st rotation alternate",
+    tier=2,
+)
+def ts_bucket_interpolate(spark, sf_dir):
+    from gpssbzd_spark.operators.timeseries import time_bucket_gapfill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 19 == 0)
+    out = time_bucket_gapfill(
+        ev,
+        "ts",
+        ["event_type"],
+        _GAPFILL_BUCKET,
+        {"avg_value": F.round(F.avg("value"), 4)},
+        fill="linear",
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("string").alias("bucket"),
+        "is_gap",
+        (F.floor(F.col("avg_value") * 1000 + 0.5) / 1000.0).alias("avg_value"),
+    )
+
+
 def _retention_oracle() -> str:
     from gpssbzd_spark.operators.funnel import retention_matrix_sql
 

@@ -50,7 +50,13 @@ def time_bucket_gapfill(
     - ``'null'`` — left as NULL (gap visible as a hole);
     - ``'prev'`` — forward-filled from the key's last non-empty bucket
       (TimescaleDB ``locf``);
-    - ``'zero'`` — coalesced to 0 (count-like series).
+    - ``'zero'`` — coalesced to 0 (count-like series);
+    - ``'linear'`` — interpolated between the bracketing non-null
+      buckets, weighted by bucket distance (TimescaleDB
+      ``interpolate``); NULL where no bracket exists (before the first
+      / after the last non-null value). Both directions come from TWO
+      opposite-frame windows over the SAME (key, bucket) sort — one
+      sort, no extra shuffle.
 
     Also emits ``is_gap`` (boolean: the bucket had no input rows) so a
     blind-zone-style consumer can find silent intervals directly.
@@ -58,7 +64,7 @@ def time_bucket_gapfill(
     range, ``bucket`` as a timestamp column. Null timestamps are not
     activity and are excluded.
     """
-    assert fill in ("null", "prev", "zero"), fill
+    assert fill in ("null", "prev", "zero", "linear"), fill
     keys = list(key_cols)
     idx = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
     # the _n_rows sentinel rides the ONE aggregate pass: a spine row
@@ -109,6 +115,36 @@ def time_bucket_gapfill(
             "is_gap",
             *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in out_cols],
         )
+    elif fill == "linear":
+        w_back = (
+            Window.partitionBy(*keys)
+            .orderBy("_bidx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_fwd = (
+            Window.partitionBy(*keys)
+            .orderBy("_bidx")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled_cols = []
+        for c in out_cols:
+            nn_bidx = F.when(F.col(c).isNotNull(), F.col("_bidx"))
+            pv = F.last(c, ignorenulls=True).over(w_back).cast("double")
+            pb = F.last(nn_bidx, ignorenulls=True).over(w_back)
+            nv = F.first(c, ignorenulls=True).over(w_fwd).cast("double")
+            nb = F.first(nn_bidx, ignorenulls=True).over(w_fwd)
+            interp = pv + (nv - pv) * (
+                (F.col("_bidx") - pb).cast("double")
+                / (nb - pb).cast("double")
+            )
+            filled_cols.append(
+                F.when(F.col(c).isNotNull(), F.col(c).cast("double"))
+                .otherwise(
+                    F.when(pv.isNotNull() & nv.isNotNull(), interp)
+                )
+                .alias(c)
+            )
+        dense = dense.select(*keys, "_bidx", "is_gap", *filled_cols)
     else:
         dense = dense.select(*keys, "_bidx", "is_gap", *out_cols)
 
@@ -133,22 +169,11 @@ def time_bucket_gapfill_sql(
     rules. ``agg_sql`` maps output name → aggregate SQL over the table's
     columns. The bucket is emitted as a VARCHAR timestamp (engines
     disagree on tz-awareness through the pandas bridge; strings don't)."""
-    assert fill in ("null", "prev", "zero"), fill
+    assert fill in ("null", "prev", "zero", "linear"), fill
     keys = ", ".join(key_cols)
     aggs = ", ".join(f"{sql} AS {name}" for name, sql in agg_sql.items())
     names = list(agg_sql)
-    if fill == "prev":
-        filled = ", ".join(
-            f"last_value(b.{n} IGNORE NULLS) OVER "
-            f"(PARTITION BY {keys} ORDER BY s._bidx "
-            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {n}"
-            for n in names
-        )
-    elif fill == "zero":
-        filled = ", ".join(f"COALESCE(b.{n}, 0) AS {n}" for n in names)
-    else:
-        filled = ", ".join(f"b.{n} AS {n}" for n in names)
-    return f"""
+    base = f"""
     WITH src AS (
       SELECT *, CAST(FLOOR(epoch({ts_col}) / {bucket_secs}) AS BIGINT) AS _bidx
       FROM {table} WHERE {ts_col} IS NOT NULL
@@ -158,11 +183,58 @@ def time_bucket_gapfill_sql(
     ), spine AS (
       SELECT {keys}, unnest(generate_series(MIN(_bidx), MAX(_bidx))) AS _bidx
       FROM bucketed GROUP BY {keys}
+    ), dense AS (
+      SELECT {keys}, s._bidx AS _bidx, b._n_rows IS NULL AS is_gap,
+             {", ".join(f"b.{n} AS {n}" for n in names)}
+      FROM spine s LEFT JOIN bucketed b USING ({keys}, _bidx)
+    )"""
+    bucket_expr = (
+        f"CAST(CAST(to_timestamp(_bidx * {bucket_secs}) AS TIMESTAMP) "
+        "AS VARCHAR) AS bucket"
     )
-    SELECT {keys},
-           CAST(CAST(to_timestamp(s._bidx * {bucket_secs}) AS TIMESTAMP)
-                AS VARCHAR) AS bucket,
-           b._n_rows IS NULL AS is_gap,
-           {filled}
-    FROM spine s LEFT JOIN bucketed b USING ({keys}, _bidx)
+    if fill == "prev":
+        filled = ", ".join(
+            f"last_value({n} IGNORE NULLS) OVER "
+            f"(PARTITION BY {keys} ORDER BY _bidx "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {n}"
+            for n in names
+        )
+    elif fill == "zero":
+        filled = ", ".join(f"COALESCE({n}, 0) AS {n}" for n in names)
+    elif fill == "linear":
+        # mirror the Spark expression SHAPE exactly (same casts, same
+        # association order) so the doubles agree bit-for-bit
+        wback = (
+            f"(PARTITION BY {keys} ORDER BY _bidx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        wfwd = (
+            f"(PARTITION BY {keys} ORDER BY _bidx "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        )
+        parts = []
+        for n in names:
+            pv = f"CAST(last_value({n} IGNORE NULLS) OVER {wback} AS DOUBLE)"
+            pb = (
+                f"last_value(CASE WHEN {n} IS NOT NULL THEN _bidx END "
+                f"IGNORE NULLS) OVER {wback}"
+            )
+            nv = f"CAST(first_value({n} IGNORE NULLS) OVER {wfwd} AS DOUBLE)"
+            nb = (
+                f"first_value(CASE WHEN {n} IS NOT NULL THEN _bidx END "
+                f"IGNORE NULLS) OVER {wfwd}"
+            )
+            parts.append(
+                f"CASE WHEN {n} IS NOT NULL THEN CAST({n} AS DOUBLE) "
+                f"WHEN {pv} IS NOT NULL AND {nv} IS NOT NULL THEN "
+                f"{pv} + ({nv} - {pv}) * "
+                f"(CAST(_bidx - {pb} AS DOUBLE) / CAST({nb} - {pb} AS DOUBLE)) "
+                f"END AS {n}"
+            )
+        filled = ", ".join(parts)
+    else:
+        filled = ", ".join(names)
+    return f"""{base}
+    SELECT {keys}, {bucket_expr}, is_gap, {filled}
+    FROM dense
     """

@@ -508,3 +508,30 @@ def test_time_bucket_gapfill_modes(spark):
     zero = run("zero")
     assert zero[("a", 1)] == (True, 0.0)
     assert zero[("a", 0)] == (False, 30.0)
+
+
+def test_time_bucket_gapfill_linear(spark):
+    """fill='linear': gap buckets get the distance-weighted blend of
+    their bracketing non-null buckets; outside the bracket (before the
+    first value) the fill stays NULL."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.timeseries import time_bucket_gapfill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 1, 5), 10.0),   # bucket 1 -> 10
+        ("a", datetime(2024, 1, 1, 4, 10), 40.0),  # bucket 4 -> 40
+    ]
+    ev = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r.bucket.hour: (r.is_gap, r.s)
+        for r in time_bucket_gapfill(
+            ev, "ts", ["k"], 3600, {"s": F.sum("v")}, fill="linear"
+        ).collect()
+    }
+    assert out[1] == (False, 10.0)
+    assert out[2] == (True, 20.0)   # 10 + (40-10) * 1/3
+    assert out[3] == (True, 30.0)
+    assert out[4] == (False, 40.0)
