@@ -289,3 +289,52 @@ def test_incremental_read_manifest_lifecycle(spark, tmp_path):
         fh.write(b"x")
     with _pytest.raises(ValueError, match="immutable"):
         incremental_read(spark, landing, manifest, schema=schema)
+
+
+def test_incremental_read_with_upsert_sink_is_effectively_exactly_once(
+    spark, tmp_path
+):
+    """The documented pairing: at-least-once incremental batches into an
+    idempotent merge_upsert sink. A crash after processing but BEFORE
+    commit() replays the batch; the keyed upsert absorbs the replay, so
+    the final table equals processing every landed row exactly once."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.cdc import merge_upsert
+    from gpssbzd_spark.sources.incremental import incremental_read
+
+    landing = str(tmp_path / "landing")
+    manifest = str(tmp_path / "manifest")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+
+    spark.range(0, 10).select("id", (F.col("id") * 10).alias("v")).coalesce(
+        1
+    ).write.parquet(landing)
+
+    state = spark.createDataFrame([], schema)
+
+    # batch 1 processed, then "crash" before commit
+    df1, _, _commit_never_called = incremental_read(
+        spark, landing, manifest, schema=schema
+    )
+    state = merge_upsert(state, df1, ["id"])
+
+    # restart: same files replay; this run commits
+    df1b, _, commit = incremental_read(spark, landing, manifest, schema=schema)
+    state = merge_upsert(state, df1b, ["id"])
+    commit()
+
+    # batch 2 lands with an update for id=3 and new ids
+    spark.createDataFrame([(3, 999), (20, 200)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    df2, _, commit2 = incremental_read(spark, landing, manifest, schema=schema)
+    state = merge_upsert(state, df2, ["id"])
+    commit2()
+
+    got = {r.id: r.v for r in state.collect()}
+    expected = {i: i * 10 for i in range(10)} | {3: 999, 20: 200}
+    assert got == expected
