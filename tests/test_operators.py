@@ -535,3 +535,24 @@ def test_time_bucket_gapfill_linear(spark):
     assert out[2] == (True, 20.0)   # 10 + (40-10) * 1/3
     assert out[3] == (True, 30.0)
     assert out[4] == (False, 40.0)
+
+
+def test_funnel_duplicate_step_types(spark):
+    """steps may repeat: ['view','view'] means a SECOND view strictly
+    after the first — a user with one view stops at step 1."""
+    from datetime import datetime
+
+    from gpssbzd_spark.operators.funnel import funnel_times
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(0), "view"), (1, t(5), "view"),   # two views -> step 2
+        (2, t(0), "view"),                       # one view  -> step 1
+        (3, t(0), "view"), (3, t(0), "view"),    # same ts: strict > fails
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.user_id: r.steps_completed
+        for r in funnel_times(ev, ["view", "view"]).collect()
+    }
+    assert out == {1: 2, 2: 1, 3: 1}
