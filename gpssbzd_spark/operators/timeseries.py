@@ -58,6 +58,13 @@ def time_bucket_gapfill(
       opposite-frame windows over the SAME (key, bucket) sort — one
       sort, no extra shuffle.
 
+    Sub-second precision note: Spark's ``unix_timestamp`` truncates to
+    whole seconds while the oracle's ``epoch()`` keeps the fraction;
+    ``floor(t / bucket_secs)`` agrees anyway for t >= 0 because bucket
+    boundaries sit on integer seconds and truncation never crosses one.
+    Pre-1970 timestamps (negative epochs) would break that equivalence
+    — out of scope for event data.
+
     Also emits ``is_gap`` (boolean: the bucket had no input rows) so a
     blind-zone-style consumer can find silent intervals directly.
     Returns one row per (key, bucket) of each key's [min, max] bucket
