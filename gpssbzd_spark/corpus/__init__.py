@@ -117,7 +117,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
      ["st_sliding_window", "ts_bucket_gapfill", "ts_bucket_interpolate"]),
     ("st_enrich_dim",
      ["st_stream_stream_join", "st_dedup_within_watermark",
-      "st_upsert_state"]),
+      "st_upsert_state", "st_funnel_stateful"]),
     ("j1_join_inner", ["j9_salted_join"]),
     ("s_csv_roundtrip", ["s_jsonl_roundtrip"]),
 ]

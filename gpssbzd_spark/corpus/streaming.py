@@ -293,3 +293,33 @@ def st_upsert_state(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", F.round("value", 2).alias("value"))
     )
+
+
+def _stateful_funnel_oracle() -> str:
+    from gpssbzd_spark.corpus import core as _core
+
+    return _core._funnel_users_oracle()
+
+
+@query(
+    "st_funnel_stateful",
+    oracle=_stateful_funnel_oracle(),
+    note="custom stateful streaming funnel (applyInPandasWithState, "
+    "streaming/stateful.py streaming_funnel): per-user strict-order "
+    "view->click->purchase with one nullable epoch-us of state per "
+    "step — each t_k is immutable once set under the per-key "
+    "event-time ordering contract, so micro-batches only fill in "
+    "missing steps (K vectorized min-over-filter passes, no per-row "
+    "Python). Batch path runs the SAME kernel over key-sorted "
+    "partitions, so this oracle checks the kernel the stream "
+    "executes; cross-micro-batch state is pinned by "
+    "tests/test_streaming.py parity. st rotation alternate",
+    tier=2,
+)
+def st_funnel_stateful(spark, sf_dir):
+    from gpssbzd_spark.streaming import streaming_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_funnel(
+        ev, ("view", "click", "purchase"), within=604800.0
+    )

@@ -25,7 +25,10 @@ from gpssbzd_spark.streaming.sources import (
     run_to_memory_sink,
     write_parquet_stream,
 )
-from gpssbzd_spark.streaming.stateful import streaming_gap_sessionize
+from gpssbzd_spark.streaming.stateful import (
+    streaming_funnel,
+    streaming_gap_sessionize,
+)
 
 __all__ = [
     "tumbling_window_agg",
@@ -37,5 +40,6 @@ __all__ = [
     "read_parquet_stream",
     "run_to_memory_sink",
     "write_parquet_stream",
+    "streaming_funnel",
     "streaming_gap_sessionize",
 ]

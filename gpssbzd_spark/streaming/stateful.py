@@ -22,12 +22,13 @@ sorting buffer upstream).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 from typing import Any
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -188,6 +189,179 @@ class _NullState:
 
     exists = False
     get = (None, 0)
+
+    def update(self, value) -> None:  # noqa: D401 - interface parity
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming funnel — the unbounded form of
+# operators/funnel.funnel_times. Batch computes t_k = min(step-k events
+# strictly after t_{k-1}) by windows over the closed dataset; a stream
+# needs per-user state. Key insight making the incremental form EXACT:
+# under the same per-key event-time ordering contract as the
+# sessionizer above, each t_k is IMMUTABLE once set (later batches only
+# carry later timestamps, and t_k is an earliest-qualifying time), so
+# the state is one nullable epoch-µs per step and each micro-batch
+# only fills in still-missing steps. Per batch the update is K
+# vectorized min-over-filter passes — no per-row Python.
+#
+# Emission: one row per user per micro-batch in which that user had
+# events — the user's CURRENT (t1..tK, steps_completed). Downstream
+# keeps the latest row per user (steps_completed is non-decreasing and
+# set t_k never change), e.g. via streaming/sources.upsert_to_table;
+# the batch path emits exactly one final row per user.
+# ---------------------------------------------------------------------------
+
+
+def _funnel_state_schema(n_steps: int) -> str:
+    return ", ".join(f"t{k + 1}_us long" for k in range(n_steps))
+
+
+def _funnel_output_schema(n_steps: int) -> str:
+    ts_cols = ", ".join(f"t{k + 1} timestamp" for k in range(n_steps))
+    return f"user_id long, {ts_cols}, steps_completed int"
+
+
+def _funnel_kernel(steps: Sequence[str], within: float | None):
+    K = len(steps)
+    within_us = None if within is None else int(round(within * _US))
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        t_us: list[int | None] = (
+            [v for v in state.get] if state.exists else [None] * K
+        )
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update(tuple(t_us))
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ets = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+        types = pdf["event_type"].values
+
+        for k in range(K):
+            if t_us[k] is not None:
+                continue  # immutable once set (ordering contract)
+            if k > 0 and t_us[k - 1] is None:
+                break  # later steps cannot qualify either
+            mask = types == steps[k]
+            if k > 0:
+                mask = mask & (ets > t_us[k - 1])
+                if within_us is not None:
+                    mask = mask & (ets - t_us[0] <= within_us)
+            if mask.any():
+                t_us[k] = int(ets[mask].min())
+
+        state.update(tuple(t_us))
+        completed = 1 if t_us[0] is not None else 0
+        for k in range(1, K):
+            if t_us[k] is not None:
+                completed = k + 1
+        if t_us[0] is None:
+            return  # user has not entered the funnel: nothing to emit
+        out = {"user_id": key[0]}
+        for k in range(K):
+            out[f"t{k + 1}"] = (
+                pd.Timestamp(t_us[k], unit="us") if t_us[k] is not None else pd.NaT
+            )
+        out["steps_completed"] = np.int32(completed)
+        yield pd.DataFrame([out])
+
+    return fn
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    within: float | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user strict-order funnel over unbounded input (see module
+    comment). Streaming input runs ``applyInPandasWithState`` (state =
+    one nullable epoch-µs per step); batch input runs the SAME kernel
+    once per user over key-sorted partitions, emitting one final row
+    per user that entered the funnel — identical semantics to
+    ``operators.funnel.funnel_times`` (checked against its oracle in
+    the corpus and against the native path in tests)."""
+    K = len(steps)
+    assert K >= 1, "funnel needs at least one step"
+    base = df.select(
+        df[key_col].alias("user_id"),
+        df[ts_col].alias("ts"),
+        df[type_col].alias("event_type"),
+    ).filter(F.col("event_type").isin(list(steps)))
+    kernel = _funnel_kernel(steps, within)
+    out_schema = _funnel_output_schema(K)
+
+    if df.isStreaming:
+        return base.groupBy("user_id").applyInPandasWithState(
+            kernel,
+            outputStructType=out_schema,
+            stateStructType=_funnel_state_schema(K),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    # batch path: same kernel, one call per contiguous key group over
+    # key-sorted partitions (same chunk-boundary carry rationale as
+    # streaming_gap_sessionize's batch twin)
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = (pdf["user_id"].iloc[0],)
+        frames = list(kernel(key, iter([pdf]), _NullState2(K)))
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame()
+        )
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        leftover: pd.DataFrame | None = None
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if len(pdf) == 0:
+                continue
+            vals = pdf["user_id"].values
+            tail_mask = (
+                pd.isna(vals) if pd.isna(vals[-1]) else vals == vals[-1]
+            )
+            cut = len(vals) - int(np.count_nonzero(tail_mask))
+            leftover = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                frames = [
+                    run_group(g)
+                    for _, g in head.groupby("user_id", sort=False, dropna=False)
+                ]
+                frames = [f for f in frames if len(f)]
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+        if leftover is not None and len(leftover):
+            final = run_group(leftover)
+            if len(final):
+                yield final
+
+    return (
+        base.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .mapInPandas(map_fn, out_schema)
+    )
+
+
+class _NullState2:
+    """Stand-in GroupState for the funnel's batch path."""
+
+    exists = False
+
+    def __init__(self, n_steps: int) -> None:
+        self.get = tuple([None] * n_steps)
 
     def update(self, value) -> None:  # noqa: D401 - interface parity
         pass

@@ -365,3 +365,40 @@ def test_upsert_sink_last_write_wins_and_incremental(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got2 == expected(ev)
+
+
+def test_stateful_funnel_batch_stream_parity(spark, events_dir):
+    """streaming_funnel: cross-micro-batch state (3 time-ordered files
+    at maxFilesPerTrigger=1) must converge to the batch funnel — the
+    LAST emission per user (max steps_completed; earlier emissions are
+    prefixes since set steps are immutable) equals funnel_times."""
+    from gpssbzd_spark.operators.funnel import funnel_times
+    from gpssbzd_spark.streaming import streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    stream = streaming_funnel(
+        read_parquet_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=1),
+        steps,
+        within=604800.0,
+    )
+    got = _drain(stream, "funnel_parity", "append")
+    rows = got.collect()
+    assert len(rows) > 0
+    last = {}
+    for r in rows:
+        cur = last.get(r.user_id)
+        if cur is None or r.steps_completed > cur.steps_completed:
+            last[r.user_id] = r
+        elif r.steps_completed == cur.steps_completed:
+            # same progress must mean the identical row (immutability)
+            assert (r.t1, r.t2, r.t3) == (cur.t1, cur.t2, cur.t3)
+    batch = {
+        r.user_id: (r.t1, r.t2, r.t3, r.steps_completed)
+        for r in funnel_times(
+            load_table(spark, SF, "events"), steps, within=604800.0
+        ).collect()
+    }
+    got_final = {
+        u: (r.t1, r.t2, r.t3, r.steps_completed) for u, r in last.items()
+    }
+    assert got_final == batch
