@@ -88,7 +88,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
       "a1_count_distinct_group", "a6_global_distinct_count",
       "a10_pivot_wide", "a11_unpivot_long",
       "a12_hist_quantile_rollup", "ev_funnel_users",
-      "ev_retention_matrix", "ev_funnel_steps"]),
+      "ev_retention_matrix", "ev_funnel_steps",
+      "ev_transition_matrix"]),
     ("set_ops_tagged",
      ["set_union_distinct", "set_intersect", "set_except"]),
     ("f2_string_case", ["f2_string_fns", "f4_case_when"]),

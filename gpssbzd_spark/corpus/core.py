@@ -881,6 +881,41 @@ def ts_bucket_interpolate(spark, sf_dir):
     )
 
 
+@query(
+    "ev_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE ts IS NOT NULL
+    ), counts AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           FLOOR(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY from_type)
+                 * 10000 + 0.5) / 10000.0
+             AS prob
+    FROM counts
+    """,
+    note="first-order event-transition matrix (operators/funnel.py "
+    "transition_matrix): consecutive (event, next) pairs per user — "
+    "the Markov-chain path view beside the funnel and retention. One "
+    "lead() window per user (event_id tie-break makes equal-timestamp "
+    "ordering deterministic) then a narrow (from,to) count with "
+    "row-normalized probabilities. a2 rotation alternate",
+    tier=2,
+)
+def ev_transition_matrix(spark, sf_dir):
+    from gpssbzd_spark.operators.funnel import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev)
+
+
 def _retention_oracle() -> str:
     from gpssbzd_spark.operators.funnel import retention_matrix_sql
 

@@ -192,6 +192,46 @@ def retention_matrix_sql(
     """
 
 
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-transition counts: for every consecutive
+    (event, next event) pair within a user's timeline, how often does
+    type A lead to type B — the Markov-chain view of user paths that
+    complements the funnel (which fixes the path) and retention (which
+    ignores it). ``prob`` is row-normalized per source type.
+
+    One lead() window per user (same exchange shape as sessionization)
+    then a narrow (from, to) count; ``tiebreak_col`` makes the
+    ordering — hence the counts — deterministic under equal
+    timestamps. A user's last event has no successor and drops out."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), F.col("_next").alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    per_src = Window.partitionBy("from_type")
+    raw = F.col("n_transitions").cast("double") / F.sum("n_transitions").over(
+        per_src
+    )
+    # floor-scale, not round(x, 4): count ratios are exact rationals
+    # that regularly land on decimal ties (1/32 = .03125) where engine
+    # rounding rules disagree; floor of the identical double cannot
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.floor(raw * 10000 + 0.5) / 10000.0).alias("prob"),
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: Sequence[str],
