@@ -556,3 +556,31 @@ def test_funnel_duplicate_step_types(spark):
         for r in funnel_times(ev, ["view", "view"]).collect()
     }
     assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_transition_matrix_semantics(spark):
+    """transition_matrix: per-user consecutive pairs only (no
+    cross-user bleed), deterministic under equal timestamps via the
+    tie-break column, last events drop, probs row-normalize."""
+    from datetime import datetime
+
+    from gpssbzd_spark.operators.funnel import transition_matrix
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: a -> b -> a ; u2: b alone (drops) ; u3: equal-ts pair
+        (1, 1, t(0), "a"), (2, 1, t(1), "b"), (3, 1, t(2), "a"),
+        (4, 2, t(0), "b"),
+        (5, 3, t(0), "a"), (6, 3, t(0), "b"),  # same ts: event_id orders
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob)
+        for r in transition_matrix(ev).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 1.0),   # u1's a->b and u3's tie-broken a->b
+        ("b", "a"): (1, 1.0),   # u1's b->a; u2's lone b emits nothing
+    }
