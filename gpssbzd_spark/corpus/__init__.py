@@ -97,7 +97,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("dd_exact_dup_groups",
      ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture",
       "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells",
-      "dp_shard_shuffle"]),
+      "dp_shard_shuffle", "dp_chunk_documents"]),
     # the portable twins rotate against their kernel counterparts'
     # rows-only slots: alternate rounds give the SAME family hash-match
     # driver evidence (portable md5 family) and kernel-path rows

@@ -1481,3 +1481,25 @@ def dd_neardup_clusters(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_portable(d)
     return neardup_clusters(pairs)
+
+
+from gpssbzd_spark.dataprep.splits import (  # noqa: E402
+    chunk_documents,
+    chunk_documents_sql,
+)
+
+
+@query(
+    "dp_chunk_documents",
+    oracle=chunk_documents_sql(chunk_tokens=32, overlap=8),
+    note="sliding-window document chunking (dataprep/splits.py "
+    "chunk_documents): 32-token windows advancing by 24 — the "
+    "retrieval/embedding prep step (RAG chunks before embedding so a "
+    "passage, not a document, is the retrieval unit). Stateless "
+    "split -> start-grid -> slice -> join array ops: no shuffle, no "
+    "Python, fully replayed by the oracle. dd rotation alternate",
+    tier=2,
+)
+def dp_chunk_documents(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)

@@ -274,6 +274,85 @@ def stratified_sample_sql(
     return f"{bucket} < (CASE {cases} ELSE '{_bound(default_fraction)}' END)"
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding prep
+    step (RAG pipelines chunk before embedding so a passage, not a
+    whole document, is the retrieval unit). Whitespace tokens are
+    sliced into windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``; the final window may be shorter, and a
+    document shorter than one window yields exactly one chunk.
+    Empty/whitespace-only docs yield none.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text). Stateless per-row
+    array ops (split → sequence of starts → slice → join): no shuffle,
+    no Python, output rows ≈ corpus_tokens / stride. Deterministic and
+    expressible 1:1 in the SQL oracle (corpus `dp_chunk_documents`)."""
+    assert 0 < chunk_tokens, chunk_tokens
+    assert 0 <= overlap < chunk_tokens, (overlap, chunk_tokens)
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") > 0)
+    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(stride))
+    chunk = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return (
+        base.select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+            "_toks",
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (same tokenizer, same
+    start grid, same slicing)."""
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             list_filter(regexp_split_to_array(lower(trim({text_col})),
+                                               '\\s+'), x -> x <> '') AS t
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ), nonempty AS (
+      SELECT {id_col}, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), chunks AS (
+      SELECT {id_col},
+             CAST(gs.i AS BIGINT) AS start_pos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY gs.i) - 1
+                  AS BIGINT) AS chunk_idx,
+             t[gs.i : LEAST(gs.i + {chunk_tokens} - 1, n)] AS c
+      FROM nonempty, LATERAL unnest(generate_series(1, n, {stride}))
+        AS gs(i)
+    )
+    SELECT {id_col}, chunk_idx,
+           CAST(len(c) AS BIGINT) AS n_tokens,
+           array_to_string(c, ' ') AS chunk_text
+    FROM chunks
+    """
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str,
