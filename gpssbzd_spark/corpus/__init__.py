@@ -111,7 +111,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
      ["tx_token_stats", "tx_quality_score", "tx_language_id",
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",
       "tx_repetition_filter", "tx_vocab_heavy_hitters",
-      "dp_decontaminate_overlap", "tx_unigram_logprob"]),
+      "dp_decontaminate_overlap", "tx_unigram_logprob",
+      "tx_tfidf_terms"]),
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window",

@@ -1503,3 +1503,28 @@ from gpssbzd_spark.dataprep.splits import (  # noqa: E402
 def dp_chunk_documents(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+def _tfidf_oracle() -> str:
+    from gpssbzd_spark.dataprep.text import tfidf_terms_sql
+
+    return tfidf_terms_sql(min_tf=2, min_df=2, round_to=4)
+
+
+@query(
+    "tx_tfidf_terms",
+    oracle=_tfidf_oracle(),
+    note="per-(doc, term) TF-IDF over the corpus's own statistics "
+    "(dataprep/text.py tfidf_terms): tf * log10(N/df) — the classic "
+    "salient-term signal. Explode -> partial-agg tf, df rolled up "
+    "over the term dimension and joined back on the term key, N "
+    "broadcast from a one-row aggregate; integer tf/df prefilters "
+    "bound the output with no rank-boundary nondeterminism. tx "
+    "rotation alternate",
+    tier=2,
+)
+def tx_tfidf_terms(spark, sf_dir):
+    from gpssbzd_spark.dataprep.text import tfidf_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_terms(d, min_tf=2, min_df=2)

@@ -355,6 +355,88 @@ def unigram_logprob_sql(
     """
 
 
+def tfidf_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tf: int = 1,
+    min_df: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-(document, term) TF-IDF scores over the corpus's own
+    statistics: ``score = tf · log10(N / df)`` with N = docs holding at
+    least one token and df = docs containing the term. The classic
+    keyword/characteristic-term signal (salient-term extraction,
+    simple relevance baselines); ``min_tf``/``min_df`` are integer
+    prefilters so a caller bounds the output without a ranking step
+    (rank selection composes via the W3 top-k machinery when wanted).
+
+    Scale shape: explode → (doc, token) counts (map-side combine),
+    df via a second partial-agg over the term dimension joined back on
+    the term key, N broadcast from a one-row aggregate. Deterministic;
+    the DuckDB oracle replays it (corpus `tx_tfidf_terms`).
+    """
+    d = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
+    tok = d.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = (
+        tok.groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+        # consumed by BOTH the df-per-term rollup and the final join —
+        # without the persist each consumer replays the explode+count
+        .persist()
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.countDistinct(id_col).alias("_n"))
+    return (
+        tf.filter(F.col("tf") >= min_tf)
+        .join(df_t.filter(F.col("df") >= min_df), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log10(F.col("_n").cast("double") / F.col("df")),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_terms_sql(
+    min_tf: int = 1, min_df: int = 1, round_to: int = 4
+) -> str:
+    """DuckDB twin of :func:`tfidf_terms` over the `documents` view."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM d
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token <> '' GROUP BY doc_id, token
+    ), df_t AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS _n FROM d
+    )
+    SELECT tf.doc_id, tf.token, tf.tf, df_t.df,
+           ROUND(tf.tf * log10(CAST(n._n AS DOUBLE) / df_t.df), {round_to})
+             AS tfidf
+    FROM tf JOIN df_t USING (token) CROSS JOIN n
+    WHERE tf.tf >= {min_tf} AND df_t.df >= {min_df}
+    """
+
+
 def repetition_features(
     text_col: Column, ns: tuple[int, ...] = (2, 3)
 ) -> dict[str, Column]:

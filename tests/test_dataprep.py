@@ -951,3 +951,32 @@ def test_contamination_join_is_broadcast(spark):
     ev = spark.createDataFrame([(2, "a b c d e")], "doc_id long, text string")
     plan = contamination_pairs(train, ev, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_window_semantics(spark):
+    """chunk_documents: stride = chunk - overlap, the final short
+    window is kept, a doc shorter than one window yields one chunk,
+    empty docs yield none, and adjacent chunks share exactly the
+    overlap tokens."""
+    from gpssbzd_spark.dataprep.splits import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks
+            (2, "a b"),                                  # < one window
+            (3, "   "),                                  # empty: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk_text))
+    assert 3 not in out
+    assert out[2] == [(0, 2, "a b")]
+    chunks = sorted(out[1])
+    # starts 1,3,5,7,9 -> windows of 4 (last two truncated)
+    assert [c[2] for c in chunks] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9", "w8 w9",
+    ]
+    for (_, _, a), (_, _, b) in zip(chunks, chunks[1:]):
+        assert a.split()[-2:] == b.split()[:2]  # exact 2-token overlap
