@@ -101,6 +101,9 @@ HEADLINE = [
     "ev_funnel_users",
     "ev_retention_matrix",
     "ts_bucket_gapfill",
+    "ev_transition_matrix",
+    "dp_chunk_documents",
+    "tx_tfidf_terms",
 ]
 
 
