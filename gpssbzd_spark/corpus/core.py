@@ -881,6 +881,33 @@ def ts_bucket_interpolate(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_oracle() -> str:
+    from gpssbzd_spark.operators.profile import profile_numeric_sql
+
+    return profile_numeric_sql("lineitem", _PROFILE_COLS)
+
+
+@query(
+    "dp_profile_numeric",
+    oracle=_profile_oracle(),
+    note="column profiling (extension, operators/profile.py): "
+    "row/null/distinct counts + min/max/rounded-mean for four lineitem "
+    "measures in ONE aggregate pass over one scan — every metric "
+    "partial-aggregates, so profiling 100 TB costs one read and a "
+    "one-row shuffle, not a pass per column. Long format so data-drop "
+    "profiles join/diff without schema churn. p7 rotation alternate",
+    tier=2,
+)
+def dp_profile_numeric(spark, sf_dir):
+    from gpssbzd_spark.operators.profile import profile_numeric
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_numeric(li, _PROFILE_COLS)
+
+
 @query(
     "ev_transition_matrix",
     oracle="""

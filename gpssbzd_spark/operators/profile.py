@@ -1,0 +1,79 @@
+"""Column profiling — the data-quality pass a pipeline runs before
+trusting a new drop of data.
+
+One row per profiled numeric column: row/null/distinct counts, min,
+max, rounded mean. The whole profile is ONE aggregate pass over one
+scan — every metric is partial-aggregable, so the map side reduces
+each task's slice to a handful of scalars and the shuffle carries one
+tiny row regardless of input size (profiling 100 TB costs one read,
+not one read per column). Long format (column name as a row key) so
+downstream checks join/diff profiles across data drops without schema
+churn.
+
+Exact metrics are engine-portable as-is; the mean is rounded because
+double summation order differs across engines (same policy as the
+corpus aggregates). The DuckDB oracle replays the profile via a
+UNION ALL over the same expressions (corpus `dp_profile_numeric`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_numeric(
+    df: DataFrame, cols: Sequence[str], round_to: int = 4
+) -> DataFrame:
+    """Profile ``cols`` (numeric) in one aggregate pass; returns one
+    row per column: (column, n_rows, n_nulls, n_distinct, min_value,
+    max_value, avg_value)."""
+    assert cols, "profile_numeric needs at least one column"
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_rows_{c}"),
+            F.count(F.when(F.col(c).isNull(), True)).alias(f"_nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"_max_{c}"),
+            F.round(F.avg(F.col(c)), round_to).alias(f"_avg_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_rows_{c}").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+                F.col(f"_avg_{c}").alias("avg_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def profile_numeric_sql(
+    table: str, cols: Sequence[str], round_to: int = 4
+) -> str:
+    """DuckDB twin of :func:`profile_numeric` (one scan per column in
+    SQL form — the oracle runs at fixture scale where that is fine)."""
+    parts = [
+        f"""
+    SELECT '{c}' AS column,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS DOUBLE) AS min_value,
+           CAST(MAX({c}) AS DOUBLE) AS max_value,
+           ROUND(AVG({c}), {round_to}) AS avg_value
+    FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)

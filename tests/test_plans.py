@@ -326,3 +326,12 @@ def test_gapfill_single_aggregate_pass_no_python(spark):
     plan = final_plan(q(spark, "ts_bucket_gapfill"))
     assert plan.count("FileScan") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_profile_is_one_pass_one_scan(spark):
+    """dp_profile_numeric: all 24 metrics (4 columns x 6) must ride ONE
+    aggregate pass over ONE scan — partial+final HashAggregate around a
+    single-row exchange, no per-column re-read, no Python."""
+    plan = final_plan(q(spark, "dp_profile_numeric"))
+    assert plan.count("FileScan") == 1, plan
+    assert "BatchEvalPython" not in plan
