@@ -104,6 +104,7 @@ HEADLINE = [
     "ev_transition_matrix",
     "dp_chunk_documents",
     "tx_tfidf_terms",
+    "dp_profile_numeric",
 ]
 
 
