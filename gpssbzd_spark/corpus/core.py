@@ -895,9 +895,12 @@ def _profile_oracle() -> str:
     oracle=_profile_oracle(),
     note="column profiling (extension, operators/profile.py): "
     "row/null/distinct counts + min/max/rounded-mean for four lineitem "
-    "measures in ONE aggregate pass over one scan — every metric "
-    "partial-aggregates, so profiling 100 TB costs one read and a "
-    "one-row shuffle, not a pass per column. Long format so data-drop "
+    "measures in ONE aggregate pass over one scan — one read for the "
+    "whole profile, not a pass per column. Counts/min/max/mean "
+    "partial-aggregate to scalars; the exact distincts ride Spark's "
+    "multi-distinct Expand and shuffle each column's distinct values "
+    "(swap to approx_count_distinct at scales where that matters — "
+    "the docstring spells out the trade). Long format so data-drop "
     "profiles join/diff without schema churn. p7 rotation alternate",
     tier=2,
 )

@@ -3,12 +3,15 @@ trusting a new drop of data.
 
 One row per profiled numeric column: row/null/distinct counts, min,
 max, rounded mean. The whole profile is ONE aggregate pass over one
-scan — every metric is partial-aggregable, so the map side reduces
-each task's slice to a handful of scalars and the shuffle carries one
-tiny row regardless of input size (profiling 100 TB costs one read,
-not one read per column). Long format (column name as a row key) so
-downstream checks join/diff profiles across data drops without schema
-churn.
+scan — profiling 100 TB costs one read, not one read per column.
+Counts/min/max/mean partial-aggregate to scalars; the exact distinct
+counts add Spark's multi-distinct Expand (one input row fans out per
+distinct-agg), and their shuffle carries each column's DISTINCT
+VALUES — exact-distinct cost, not a one-row shuffle. At scales where
+that matters, swap ``countDistinct`` for ``approx_count_distinct``
+(the repo's a1_approx twin shows the error bound); the oracle keeps
+the exact form. Long format (column name as a row key) so downstream
+checks join/diff profiles across data drops without schema churn.
 
 Exact metrics are engine-portable as-is; the mean is rounded because
 double summation order differs across engines (same policy as the
