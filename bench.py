@@ -166,18 +166,30 @@ def main() -> None:
             spreads[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(medians.values()), 3)
+    # The stdout contract line carries ONLY medians + total: r3 and r5 both
+    # recorded ``parsed: null`` because the full line (with queries_min /
+    # queries_spread for 47 rows, ~4.3 KB) exceeded the round driver's
+    # tail-capture window. min/spread detail goes to BENCH_DETAIL.json
+    # beside this script (and stderr) for human/judge consumption.
     summary = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": medians,
-        "queries_min": mins,
-        "queries_spread": spreads,
         "repeats": repeats,
         "sf": sf,
     }
     if errors:
         summary["errors"] = errors
+    detail = dict(summary)
+    detail["queries_min"] = mins
+    detail["queries_spread"] = spreads
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as e:  # detail file is best-effort; the line is the contract
+        print(f"bench: could not write BENCH_DETAIL.json: {e}", file=sys.stderr)
+    print("bench detail: " + json.dumps(detail), file=sys.stderr)
     # the summary line is the bench's entire contract: if it cannot be
     # built/serialized, or any query failed, exit non-zero LOUDLY so the
     # round driver records the failure instead of a silent null

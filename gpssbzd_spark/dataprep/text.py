@@ -304,9 +304,20 @@ def unigram_logprob(
     tok = d.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
+    # total (1 row) and the top-V vocab (<= vocab_size rows) are freq's
+    # ONLY consumers and both are broadcast-bounded: materialize them
+    # eagerly off a short-lived persist, then release it before
+    # returning — a bare .persist() here leaked cached partitions for
+    # the session lifetime (ADVICE r5); localCheckpoint pins only the
+    # bounded results, GC-scoped rather than CacheManager-scoped
     freq = tok.groupBy("token").agg(F.count("*").alias("freq")).persist()
-    total = freq.agg(F.sum("freq").alias("_total"))
-    vocab = freq.orderBy(F.col("freq").desc(), F.col("token")).limit(vocab_size)
+    total = freq.agg(F.sum("freq").alias("_total")).localCheckpoint()
+    vocab = (
+        freq.orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(vocab_size)
+        .localCheckpoint()
+    )
+    freq.unpersist()
     scored = (
         tok.join(F.broadcast(vocab), "token", "left")
         .join(F.broadcast(total))
@@ -386,8 +397,12 @@ def tfidf_terms(
         tok.groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
         # consumed by BOTH the df-per-term rollup and the final join —
-        # without the persist each consumer replays the explode+count
-        .persist()
+        # without pinning, each consumer replays the explode+count.
+        # localCheckpoint, not persist: a persist here is registered in
+        # the session CacheManager and outlives the query (ADVICE r5
+        # leak); a localCheckpoint RDD is released by the ContextCleaner
+        # once the returned DataFrame is garbage-collected
+        .localCheckpoint()
     )
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.countDistinct(id_col).alias("_n"))

@@ -109,9 +109,11 @@ def retention_matrix(
 
     ``period`` is 'day' or 'week' (date_trunc granularity; weeks start
     Monday in both Spark and DuckDB, so the oracle agrees). Null
-    timestamps are not activity and are filtered before everything;
-    null users never survive the activity×cohort equi-join (standard
-    null-key join semantics, same as the oracle's USING join).
+    timestamps are not activity and null users are not users — both are
+    filtered before everything (a null user could otherwise enter
+    cohort sizes via groupBy's null-key group yet never match the
+    activity×cohort equi-join, deflating that cohort's retention and
+    breaking the age=0 retention==1.0 invariant).
 
     Scale shape: one groupBy(user) for first-activity, one
     (user, period) distinct — both keyed on user so the exchange is
@@ -121,7 +123,9 @@ def retention_matrix(
     table (no extra scan) and broadcast onto the matrix.
     """
     assert period in ("day", "week"), period
-    ev = events.filter(F.col(ts_col).isNotNull()).select(
+    ev = events.filter(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
         F.col(user_col).alias("_user"),
         F.date_trunc(period, F.col(ts_col)).cast("date").alias("_period"),
     )
@@ -170,7 +174,7 @@ def retention_matrix_sql(
     return f"""
     WITH ev AS (
       SELECT {user_col} AS u, CAST(date_trunc('{period}', {ts_col}) AS DATE) AS p
-      FROM {table} WHERE {ts_col} IS NOT NULL
+      FROM {table} WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
     ), firsts AS (
       SELECT u, MIN(p) AS cohort FROM ev GROUP BY u
     ), activity AS (

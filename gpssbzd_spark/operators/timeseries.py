@@ -11,12 +11,15 @@ forward-filled (TimescaleDB's ``time_bucket_gapfill`` /
 ``locf`` semantics, built from Spark primitives).
 
 Scale shape: one groupBy (key, bucket) aggregate — partial-aggregated,
-the shuffle carries one row per non-empty bucket; the spine is
-``sequence(min_bucket .. max_bucket)`` exploded PER KEY from that same
-aggregate (never a driver loop, never a global calendar cross join);
-the spine×data join and the forward-fill window share the spine's
-(key) partitioning. Buckets are epoch-integer arithmetic end-to-end so
-the DuckDB oracle replays them bit-identically.
+the shuffle carries one row per non-empty bucket; gap rows are then
+generated IN-LINE by a lead() window over that aggregate (each bucket
+explodes ``sequence(bucket .. next_bucket-1)``, so a gap's rows spawn
+from the bucket preceding it — never a driver loop, never a global
+calendar cross join, never a spine×data self-join, and the aggregate
+is consumed exactly once so nothing needs persisting). The fill
+windows share the lead window's (key) partitioning. Buckets are
+epoch-integer arithmetic end-to-end so the DuckDB oracle replays them
+bit-identically.
 """
 
 from __future__ import annotations
@@ -74,32 +77,43 @@ def time_bucket_gapfill(
     assert fill in ("null", "prev", "zero", "linear"), fill
     keys = list(key_cols)
     idx = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
-    # the _n_rows sentinel rides the ONE aggregate pass: a spine row
-    # with no bucketed match has it NULL, which defines is_gap without
-    # guessing from agg nullability (an agg can be NULL on real rows)
     bucketed = (
         df.filter(F.col(ts_col).isNotNull())
         .withColumn("_bidx", idx)
         .groupBy(*keys, "_bidx")
-        .agg(
-            F.count("*").alias("_n_rows"),
-            *[expr.alias(name) for name, expr in aggs.items()],
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    out_cols = list(aggs)
+    # gap rows spawn from the non-empty bucket PRECEDING the gap: each
+    # bucket explodes sequence(self .. next-1), a generated index !=
+    # its source bucket is a gap and carries NULL aggregates. The
+    # aggregate is consumed exactly once (the old spine-groupBy +
+    # left-join shape consumed it twice and needed a persist that
+    # leaked cached partitions for the session lifetime — ADVICE r5).
+    w_lead = Window.partitionBy(*keys).orderBy("_bidx")
+    dense = (
+        bucketed.withColumn("_next", F.lead("_bidx").over(w_lead))
+        .withColumn(
+            "_sbidx",
+            F.explode(
+                F.sequence(
+                    F.col("_bidx"),
+                    F.coalesce(F.col("_next") - 1, F.col("_bidx")),
+                )
+            ),
         )
-        # consumed twice (the spine's min/max and the join right side);
-        # without the persist each consumer replays the scan+aggregate
-        # — at 100 TB that is two full passes over the raw events
-        .persist()
-    )
-    spine = (
-        bucketed.groupBy(*keys)
-        .agg(F.min("_bidx").alias("_lo"), F.max("_bidx").alias("_hi"))
-        .select(*keys, F.explode(F.sequence("_lo", "_hi")).alias("_bidx"))
-    )
-    dense = spine.join(bucketed, keys + ["_bidx"], "left").withColumn(
-        "is_gap", F.col("_n_rows").isNull()
+        .select(
+            *keys,
+            F.col("_sbidx").alias("_out_bidx"),
+            (F.col("_sbidx") != F.col("_bidx")).alias("is_gap"),
+            *[
+                F.when(F.col("_sbidx") == F.col("_bidx"), F.col(c)).alias(c)
+                for c in out_cols
+            ],
+        )
+        .withColumnRenamed("_out_bidx", "_bidx")
     )
 
-    out_cols = list(aggs)
     if fill == "prev":
         w = (
             Window.partitionBy(*keys)

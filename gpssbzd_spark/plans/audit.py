@@ -106,16 +106,26 @@ def audit_plan(
     # per-scan: every DataFilter predicate should also appear pushed;
     # a scan whose DataFilters outnumber its PushedFilters evaluates
     # the difference AFTER a full read of those rows (expression shapes
-    # like fn(col) = x block pushdown)
-    data_counts = [
-        _top_level_items(m.group(1))
-        for m in re.finditer(r"DataFilters: \[([^\n]*?)\], Format:", plan)
-    ]
-    pushed_counts = [
-        _top_level_items(m.group(1))
-        for m in re.finditer(r"PushedFilters: \[([^\n]*?)\], ReadSchema:", plan)
-    ]
-    for i, (nd, np_) in enumerate(zip(data_counts, pushed_counts)):
+    # like fn(col) = x block pushdown). Both fields are extracted from
+    # the SAME FileScan node text (they print on one node line), never
+    # from two independent whole-plan passes — a plan mixing scan kinds
+    # where one prints only one of the fields would misalign a zipped
+    # pair and flag the wrong scan
+    scan_pairs: list[tuple[int, int]] = []
+    for line in plan.splitlines():
+        if "FileScan" not in line:
+            continue
+        md = re.search(r"DataFilters: \[(.*?)\], Format:", line)
+        mp = re.search(r"PushedFilters: \[(.*?)\], ReadSchema:", line)
+        if md is None and mp is None:
+            continue
+        scan_pairs.append(
+            (
+                _top_level_items(md.group(1)) if md else 0,
+                _top_level_items(mp.group(1)) if mp else 0,
+            )
+        )
+    for i, (nd, np_) in enumerate(scan_pairs):
         if nd > np_:
             findings.append(
                 Finding(

@@ -218,9 +218,9 @@ def _funnel_state_schema(n_steps: int) -> str:
     return ", ".join(f"t{k + 1}_us long" for k in range(n_steps))
 
 
-def _funnel_output_schema(n_steps: int) -> str:
+def _funnel_output_schema(n_steps: int, key_type: str = "long") -> str:
     ts_cols = ", ".join(f"t{k + 1} timestamp" for k in range(n_steps))
-    return f"user_id long, {ts_cols}, steps_completed int"
+    return f"user_id {key_type}, {ts_cols}, steps_completed int"
 
 
 def _funnel_kernel(steps: Sequence[str], within: float | None):
@@ -240,6 +240,14 @@ def _funnel_kernel(steps: Sequence[str], within: float | None):
             state.update(tuple(t_us))
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        # drop null timestamps BEFORE the epoch cast: NaT.astype(int64) is
+        # INT64_MIN, which would poison the min() below with a garbage
+        # negative epoch — funnel_times ignores null ts via F.min, and the
+        # kernel must match (base select also filters, this is the
+        # kernel-level guarantee for direct callers)
+        valid = pdf["ts"].notna().values
+        if not valid.all():
+            pdf = pdf[valid]
         ets = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
         types = pdf["event_type"].values
 
@@ -291,13 +299,20 @@ def streaming_funnel(
     the corpus and against the native path in tests)."""
     K = len(steps)
     assert K >= 1, "funnel needs at least one step"
-    base = df.select(
-        df[key_col].alias("user_id"),
-        df[ts_col].alias("ts"),
-        df[type_col].alias("event_type"),
-    ).filter(F.col("event_type").isin(list(steps)))
+    base = (
+        df.select(
+            df[key_col].alias("user_id"),
+            df[ts_col].alias("ts"),
+            df[type_col].alias("event_type"),
+        )
+        .filter(F.col("event_type").isin(list(steps)))
+        .filter(F.col("ts").isNotNull())
+    )
     kernel = _funnel_kernel(steps, within)
-    out_schema = _funnel_output_schema(K)
+    # key type follows the input (string/int/... keys all work, matching
+    # the type-generic funnel_times) instead of a hardcoded long
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = _funnel_output_schema(K, key_type)
 
     if df.isStreaming:
         return base.groupBy("user_id").applyInPandasWithState(

@@ -254,6 +254,35 @@ def test_retention_matrix_weekly_semantics(spark):
     }
 
 
+def test_retention_matrix_null_user_excluded(spark):
+    """A null user sharing a cohort week must not inflate that cohort's
+    size: groupBy would keep the null-key group in `firsts` while the
+    activity equi-join drops it, deflating retention and breaking the
+    age=0 retention==1.0 invariant (ADVICE r5). Null users are not
+    users — filtered with null timestamps."""
+    from datetime import datetime
+
+    from gpssbzd_spark.operators.funnel import retention_matrix
+
+    d = lambda day: datetime(2024, 1, day)  # noqa: E731  (Jan 1 2024 = Monday)
+    rows = [
+        (1, d(2)), (1, d(9)),
+        (None, d(3)),  # null user in cohort wk0 — must be ignored
+        (2, d(8)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort.isoformat(), r.age): (r.n_active, r.retention)
+        for r in retention_matrix(ev, period="week").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (1, 1.0),
+        ("2024-01-01", 1): (1, 1.0),
+        ("2024-01-08", 0): (1, 1.0),
+    }
+    assert all(ret == 1.0 for (_, age), (_, ret) in out.items() if age == 0)
+
+
 def test_merge_upsert_semantics(spark):
     """merge_upsert: updates replace matched rows, inserts append,
     untouched base rows pass through — and the result has exactly

@@ -402,3 +402,31 @@ def test_stateful_funnel_batch_stream_parity(spark, events_dir):
         u: (r.t1, r.t2, r.t3, r.steps_completed) for u, r in last.items()
     }
     assert got_final == batch
+
+
+def test_streaming_funnel_null_ts_and_string_key(spark):
+    """ADVICE r5: (1) a null-ts event of a step type must be ignored,
+    not become INT64_MIN in the kernel's epoch cast (funnel_times
+    ignores null ts via F.min; the kernel must match); (2) key types
+    follow the input — a string user key must survive the pandas/Arrow
+    boundary instead of hitting a hardcoded 'long' output schema."""
+    from datetime import datetime
+
+    from gpssbzd_spark.streaming import streaming_funnel
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("alice", t(0), "view"),
+        ("alice", None, "click"),  # null ts: must NOT set t2
+        ("alice", t(10), "click"),
+        ("bob", None, "view"),  # bob's ONLY view has null ts: never enters
+        ("bob", t(5), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string"
+    )
+    out = {
+        r.user_id: (r.t1, r.t2, r.steps_completed)
+        for r in streaming_funnel(ev, ["view", "click"]).collect()
+    }
+    assert out == {"alice": (t(0), t(10), 2)}
