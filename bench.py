@@ -90,9 +90,17 @@ HEADLINE = [
     "tx_vocab_heavy_hitters",
     "p15_merge_upsert",
     "p16_snapshot_diff",
-    # r5 late additions — decontamination + cluster-level fuzzy dedup
+    # r5 late additions — decontamination + cluster-level fuzzy dedup.
+    # r6 adds the ENGINE-kernel-fed cluster twin beside the portable
+    # row (VERDICT r5 #3) and keeps the portable row for the
+    # round-over-round series; measured head-to-head at sf0.1 the two
+    # pair pipelines are within ~15% warm (kernel 3.8 s vs portable
+    # 3.4 s median), so the r5 claim that the portable feed dominated
+    # the row was mostly the CC machinery overhead — fixed in r6
+    # (raw-edge driver collect, one-window rep/size).
     "dp_decontaminate_overlap",
     "dd_neardup_clusters",
+    "dd_neardup_clusters_kernel",
     # r5 final additions — mergeable quantile rollup, unigram LM
     # scoring, seeded shard shuffle, event analytics
     "a12_hist_quantile_rollup",

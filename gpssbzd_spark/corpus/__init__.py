@@ -89,7 +89,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
       "a10_pivot_wide", "a11_unpivot_long",
       "a12_hist_quantile_rollup", "ev_funnel_users",
       "ev_retention_matrix", "ev_funnel_steps",
-      "ev_transition_matrix"]),
+      "ev_transition_matrix", "a13_cube_grouping_sets"]),
     ("set_ops_tagged",
      ["set_union_distinct", "set_intersect", "set_except"]),
     ("f2_string_case", ["f2_string_fns", "f4_case_when"]),

@@ -574,6 +574,57 @@ def a8_rollup_grouping(spark, sf_dir):
 
 
 @query(
+    "a13_cube_grouping_sets",
+    oracle="""
+    SELECT 'cube' AS src, o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    UNION ALL
+    SELECT 'gsets' AS src, o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    note="A13 (extension): CUBE + arbitrary GROUPING SETS — closes the "
+    "rest of SURVEY §2.4's absent list next to a8's ROLLUP. The cube "
+    "half runs the DataFrame .cube() API (all four grouping combos in "
+    "one pass, map-side partial agg per grouping via Spark's Expand); "
+    "the gsets half runs SQL GROUP BY GROUPING SETS for the "
+    "non-hierarchical subset ((priority),(status)) a rollup/cube cannot "
+    "express. gid disambiguates rolled-up NULLs from data NULLs on both "
+    "engines (same SQL-standard bitmask as a8). a2-family rotation "
+    "alternate.",
+    tier=2,
+)
+def a13_cube_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cube = o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    o.createOrReplaceTempView("_a13_orders")
+    gsets = spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id() AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM _a13_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+    return cube.withColumn("src", F.lit("cube")).unionByName(
+        gsets.withColumn("src", F.lit("gsets"))
+    ).select("src", "o_orderpriority", "o_orderstatus", "gid", "n_orders", "sum_price")
+
+
+@query(
     "a1_count_distinct_group",
     oracle="""
     SELECT o_orderpriority,

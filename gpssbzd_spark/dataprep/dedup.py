@@ -34,7 +34,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1245,18 +1245,17 @@ def neardup_clusters(
     )
     cc = connected_components(mapping.select("node"), edges)
     labeled = cc.join(mapping, "node").select("id", "label")
-    reps = mapping.select(
-        F.col("node").alias("label"), F.col("id").alias("cluster_rep")
-    )
-    sizes = labeled.groupBy("label").agg(
-        F.count("*").cast("long").alias("cluster_size")
-    )
-    return (
-        labeled.join(reps, "label")
-        .join(sizes, "label")
-        .select(
-            F.col("id").alias("doc_id"), "cluster_rep", "cluster_size"
-        )
+    # rep and size in ONE pass over the labeled table: the component's
+    # label IS its min node key, so min(id) over the label partition is
+    # the rep (numeric min for int ids, lexicographic — identical under
+    # the fixed-width key — for string ids) and count(*) the size. One
+    # exchange on label replaces the old reps-join + sizes-groupBy-join
+    # chain (three exchanges) that dominated the tiny-graph wall time.
+    w = Window.partitionBy("label")
+    return labeled.select(
+        F.col("id").alias("doc_id"),
+        F.min("id").over(w).alias("cluster_rep"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
     )
 
 

@@ -8,9 +8,12 @@ Counts/min/max/mean partial-aggregate to scalars; the exact distinct
 counts add Spark's multi-distinct Expand (one input row fans out per
 distinct-agg), and their shuffle carries each column's DISTINCT
 VALUES — exact-distinct cost, not a one-row shuffle. At scales where
-that matters, swap ``countDistinct`` for ``approx_count_distinct``
-(the repo's a1_approx twin shows the error bound); the oracle keeps
-the exact form. Long format (column name as a row key) so downstream
+that matters, pass ``distinct="approx"``: every distinct count becomes
+an ``approx_count_distinct`` HLL sketch (fixed-size partials, a
+one-row shuffle, ~2% standard error — the 100 TB call is one
+argument; ``tests/test_operators.py`` pins |approx−exact| on the
+fixtures). The oracle keeps the exact form. Long format (column name
+as a row key) so downstream
 checks join/diff profiles across data drops without schema churn.
 
 Exact metrics are engine-portable as-is; the mean is rounded because
@@ -28,18 +31,32 @@ from pyspark.sql import functions as F
 
 
 def profile_numeric(
-    df: DataFrame, cols: Sequence[str], round_to: int = 4
+    df: DataFrame,
+    cols: Sequence[str],
+    round_to: int = 4,
+    distinct: str = "exact",
 ) -> DataFrame:
     """Profile ``cols`` (numeric) in one aggregate pass; returns one
     row per column: (column, n_rows, n_nulls, n_distinct, min_value,
-    max_value, avg_value)."""
+    max_value, avg_value).
+
+    ``distinct``: ``"exact"`` (countDistinct — the oracle default) or
+    ``"approx"`` (approx_count_distinct HLL, rsd 2% — the setting for
+    100 TB scans, where exact distinct shuffles every distinct value
+    per column while the sketch shuffles fixed-size partials)."""
     assert cols, "profile_numeric needs at least one column"
+    assert distinct in ("exact", "approx"), distinct
+    nd = (
+        F.countDistinct
+        if distinct == "exact"
+        else lambda c: F.approx_count_distinct(c, rsd=0.02)
+    )
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"_rows_{c}"),
             F.count(F.when(F.col(c).isNull(), True)).alias(f"_nulls_{c}"),
-            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            nd(F.col(c)).alias(f"_nd_{c}"),
             F.min(F.col(c)).cast("double").alias(f"_min_{c}"),
             F.max(F.col(c)).cast("double").alias(f"_max_{c}"),
             F.round(F.avg(F.col(c)), round_to).alias(f"_avg_{c}"),

@@ -120,41 +120,50 @@ def connected_components(
 
     Size-aware routing, same policy as the clustering modes (SURVEY §4):
 
-    - a graph whose symmetrized-deduped edge count is ≤
-      ``driver_max_edges`` is labeled by a driver-side union-find. The
-      collect is Arrow (``toPandas``), ids are immediately interned to
-      int codes, and the union-find runs over numpy int arrays — at
-      the 500k-row cap that is ~1M transient Python strings (~90 MB
-      peak, ~20 MB steady in the int arrays), measured, NOT the
-      Row-object blowup the old 2M cap allowed (VERDICT r4 "what's
-      wrong" #3: 2M Rows of two strings is several hundred MB). One
-      collect replaces ~4 eager rounds × 3 shuffles of scheduling
-      overhead that dwarfed the work at GPS-line sizes;
+    - a graph whose RAW edge count is ≤ ``driver_max_edges`` is labeled
+      by a driver-side union-find. Union-find needs neither
+      symmetrization nor dedup (parallel/duplicate edges union to the
+      same root), so this route collects the raw edge list directly —
+      no symmetrize-union, no distinct shuffle, the routing count and
+      the collect are the only two jobs over the edges. The collect is
+      Arrow (``toPandas``), ids are immediately interned to int codes,
+      and the union-find runs over numpy int arrays — at the 500k-row
+      cap that is ~1M transient Python strings (~90 MB peak, ~20 MB
+      steady in the int arrays), measured, NOT the Row-object blowup
+      the old 2M cap allowed (VERDICT r4 "what's wrong" #3: 2M Rows of
+      two strings is several hundred MB). One collect replaces ~4 eager
+      rounds × 3 shuffles of scheduling overhead that dwarfed the work
+      at GPS-line sizes;
     - past the cap, the iterative hash-min + path-halving dataflow loop
-      runs (O(log diameter) eager rounds, nothing driver-sized), with
-      the shuffle-partition count scoped to the measured edge count
-      (~1M edges/partition; a cluster-sized 256-partition shuffle per
-      tiny round was 40× overhead) and restored after. The edge table
-      is persisted here — before this it was lazily recomputed by
-      EVERY round's join.
+      runs (O(log diameter) eager rounds, nothing driver-sized) over
+      the symmetrized-deduped edge table, with the shuffle-partition
+      count scoped to the measured edge count (~1M edges/partition; a
+      cluster-sized 256-partition shuffle per tiny round was 40×
+      overhead) and restored after. The edge table is persisted here —
+      before this it was lazily recomputed by EVERY round's join.
     """
     spark = nodes.sparkSession
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
-    n_edges = sym.count()
+    edges = edges.select("src", "dst").persist()
+    n_edges = edges.count()
 
     if n_edges <= driver_max_edges:
         try:
-            return _cc_driver_union_find(nodes, sym)
+            return _cc_driver_union_find(nodes, edges)
         finally:
-            sym.unpersist()
+            edges.unpersist()
 
     try:
-        with _scoped_shuffle_width(spark, n_edges):
-            return _cc_loop(nodes, sym, max_iter)
+        sym = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().persist()
+        n_sym = sym.count()
+        try:
+            with _scoped_shuffle_width(spark, n_sym):
+                return _cc_loop(nodes, sym, max_iter)
+        finally:
+            sym.unpersist()
     finally:
-        sym.unpersist()
+        edges.unpersist()
 
 
 def _uf_find(parent: np.ndarray, x: int) -> int:
@@ -178,10 +187,11 @@ def _uf_resolve(parent: np.ndarray) -> np.ndarray:
         roots = nxt
 
 
-def _cc_driver_union_find(nodes: DataFrame, sym: DataFrame) -> DataFrame:
-    """Union-find over a bounded edge list; returns the same (node,
-    min-member label) table as the dataflow loop (pinned by the parity
-    tests in tests/test_components.py, which run both routes).
+def _cc_driver_union_find(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Union-find over a bounded RAW edge list (no symmetrization or
+    dedup needed — duplicates union to the same root); returns the same
+    (node, min-member label) table as the dataflow loop (pinned by the
+    parity tests in tests/test_components.py, which run both routes).
 
     Collects via Arrow and interns string ids to int codes with
     ``np.unique`` — the codes ARE each id's rank in sorted order, so
@@ -190,7 +200,7 @@ def _cc_driver_union_find(nodes: DataFrame, sym: DataFrame) -> DataFrame:
     the transient string batch (~90 MB at 500k symmetrized edges) plus
     three int64 arrays — not per-edge Python objects."""
     spark = nodes.sparkSession
-    pdf = sym.toPandas()
+    pdf = edges.toPandas()
     if len(pdf) == 0:
         return nodes.select("node", F.col("node").alias("label"))
     ends = np.concatenate(
