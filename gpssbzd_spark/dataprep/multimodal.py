@@ -14,10 +14,15 @@ Decode kernels come in three flavors, selected by ``decode=``:
   imports, and the stub contract is asserted where it doesn't), audio
   via the stdlib ``wave`` module + numpy (ALWAYS available — WAV
   header + PCM statistics need no native deps, so the audio real path
-  runs and is tested in this container), video stubbed (no ffmpeg;
-  frame sampling stays metadata-driven, :func:`sample_frames`);
+  runs and is tested in this container), video METADATA via a pure
+  stdlib ISO-BMFF/MP4 box parse (:func:`_parse_mp4_meta` — ``moov``/
+  ``mvhd``/``tkhd``/``stsz`` walk for duration, dimensions, frame
+  count; always available). Pixel/sample decode of video frames is
+  the one genuinely stubbed step (needs ffmpeg); frame SAMPLING stays
+  metadata-driven (:func:`sample_frames`) and now has real durations
+  via :func:`probe_video_meta`;
 - ``"auto"`` — per kind: images ``real`` iff Pillow is importable else
-  ``fake``; audio always ``real`` (stdlib); video ``fake``.
+  ``fake``; audio and video metadata always ``real`` (stdlib).
 
 The Spark-side plumbing — ``mapInPandas`` batch iteration, Arrow
 transfer of binary columns, metadata struct schemas, partition-count
@@ -29,6 +34,7 @@ from __future__ import annotations
 import hashlib
 import importlib.util
 import io
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -180,16 +186,168 @@ def _real_audio_features(content: bytes | None) -> list[float]:
     return (feats + [0.0] * _FEATURE_DIM)[:_FEATURE_DIM]
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF metadata (pure stdlib). Reference behavior: the video
+# columns a training pipeline carries are opaque blobs whose CONTAINER
+# metadata (duration, dims, frame count) drives sampling and filtering;
+# parsing the moov box needs no codec. Box grammar: [size:u32][type:4]
+# [payload], size==1 → u64 largesize follows the type, size==0 → box
+# runs to the end of the enclosing scope.
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(buf, start: int, end: int):
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, off)
+        btype = bytes(buf[off + 4 : off + 8])
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", buf, off + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return  # malformed: stop rather than loop/overrun
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _find_box(buf, start: int, end: int, *path: bytes):
+    """Payload span of the first box at ``path`` (nested types)."""
+    for btype, s, e in _iter_boxes(buf, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _find_box(buf, s, e, *path[1:])
+    return None
+
+
+def _parse_trak(buf, start: int, end: int) -> dict:
+    out = {"width": 0, "height": 0, "n_frames": 0}
+    tk = _find_box(buf, start, end, b"tkhd")
+    if tk is not None:
+        s = tk[0]
+        ver = buf[s]
+        base = s + 4 + (32 if ver == 1 else 20) + 16 + 36
+        if base + 8 <= tk[1]:
+            (w,) = struct.unpack_from(">I", buf, base)
+            (h,) = struct.unpack_from(">I", buf, base + 4)
+            out["width"], out["height"] = w >> 16, h >> 16  # 16.16 fixed
+    sz = _find_box(buf, start, end, b"mdia", b"minf", b"stbl", b"stsz")
+    if sz is not None and sz[0] + 12 <= sz[1]:
+        (out["n_frames"],) = struct.unpack_from(">I", buf, sz[0] + 8)
+    return out
+
+
+def _parse_mp4_meta(content: bytes | None) -> dict | None:
+    """moov-box metadata of an MP4/ISO-BMFF blob, or None when the blob
+    is not a parseable container (per-row degradation contract — one
+    corrupt blob must not kill a 100 TB scan). Returns duration_ms,
+    timescale, width/height and n_frames of the visual track (the trak
+    with nonzero dims; first trak otherwise)."""
+    if not content:
+        return None
+    try:
+        buf = memoryview(content)
+        moov = _find_box(buf, 0, len(buf), b"moov")
+        if moov is None:
+            return None
+        timescale = duration = None
+        traks = []
+        for btype, s, e in _iter_boxes(buf, *moov):
+            if btype == b"mvhd":
+                ver = buf[s]
+                if ver == 1:
+                    (timescale,) = struct.unpack_from(">I", buf, s + 20)
+                    (duration,) = struct.unpack_from(">Q", buf, s + 24)
+                else:
+                    (timescale,) = struct.unpack_from(">I", buf, s + 12)
+                    (duration,) = struct.unpack_from(">I", buf, s + 16)
+            elif btype == b"trak":
+                traks.append(_parse_trak(buf, s, e))
+        if timescale is None or not timescale:
+            return None
+        visual = next(
+            (t for t in traks if t["width"] and t["height"]),
+            traks[0] if traks else {"width": 0, "height": 0, "n_frames": 0},
+        )
+        return {
+            "duration_ms": int(round(1000 * (duration or 0) / timescale)),
+            "timescale": int(timescale),
+            "width": int(visual["width"]),
+            "height": int(visual["height"]),
+            "n_frames": int(visual["n_frames"]),
+        }
+    except Exception:
+        return None
+
+
+def _real_video_features(content: bytes | None) -> list[float]:
+    """Stdlib-MP4-backed video features: (duration_ms, width, height,
+    n_frames, fps, timescale), zero-padded to _FEATURE_DIM. Metadata
+    only — pixel decode needs a codec this environment lacks.
+    Unparseable bytes degrade to the all-zero vector per-row, matching
+    the image/audio kernels."""
+    m = _parse_mp4_meta(content)
+    if m is None:
+        return [0.0] * _FEATURE_DIM
+    dur_s = m["duration_ms"] / 1000.0
+    fps = m["n_frames"] / dur_s if dur_s > 0 else 0.0
+    feats = [
+        float(m["duration_ms"]),
+        float(m["width"]),
+        float(m["height"]),
+        float(m["n_frames"]),
+        float(fps),
+        float(m["timescale"]),
+    ]
+    return (feats + [0.0] * _FEATURE_DIM)[:_FEATURE_DIM]
+
+
+def probe_video_meta(df: DataFrame) -> DataFrame:
+    """Fill ``meta.width/height/duration_ms`` of video rows from their
+    MP4 container (stdlib parse, mapInPandas Arrow batches). Media
+    schema in → media schema out; non-video rows and rows whose
+    container does not parse keep their incoming meta untouched. Run
+    this before :func:`sample_frames` so frame timestamps come from
+    REAL durations instead of caller-supplied metadata."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = _meta_frame(pdf["meta"])
+            is_vid = (meta["kind"] == "video").to_numpy()
+            for i in np.nonzero(is_vid)[0]:
+                m = _parse_mp4_meta(pdf["content"].iloc[i])
+                if m is not None:
+                    meta.iloc[i, meta.columns.get_loc("width")] = m["width"]
+                    meta.iloc[i, meta.columns.get_loc("height")] = m["height"]
+                    meta.iloc[i, meta.columns.get_loc("duration_ms")] = m[
+                        "duration_ms"
+                    ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"],
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return df.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     """media df → (media_id, kind, n_bytes, feature array<double>).
 
     ``mapInPandas`` so one Arrow batch of binary blobs is decoded per
     iteration — the real decoders and the deterministic stub share the
     same kernel seam, dispatched per ``meta.kind`` (module docstring:
-    image → Pillow, audio → stdlib wave, video/unknown → stub). Batch
-    size is governed by spark.sql.execution.arrow.maxRecordsPerBatch;
-    with real media blobs, lower it so a batch of decoded frames fits
-    executor memory.
+    image → Pillow, audio → stdlib wave, video → stdlib MP4 metadata
+    parse, unknown → stub). Batch size is governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch; with real media
+    blobs, lower it so a batch of decoded frames fits executor memory.
     """
     assert decode in ("fake", "real", "auto"), decode
     if decode == "real" and not _pil_available():
@@ -197,17 +355,21 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
         # and the image one needs Pillow
         _resolve_decode("real", "media decode")
     real_image = decode == "real" or (decode == "auto" and _pil_available())
-    real_audio = decode in ("real", "auto")
+    real_stdlib = decode in ("real", "auto")  # audio + video metadata
     img_kernel = _real_features if real_image else _fake_features
-    audio_kernel = _real_audio_features if real_audio else _fake_features
+    audio_kernel = _real_audio_features if real_stdlib else _fake_features
+    video_kernel = _real_video_features if real_stdlib else _fake_features
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             meta = _meta_frame(pdf["meta"])
             is_audio = (meta["kind"] == "audio").to_numpy()
+            is_video = (meta["kind"] == "video").to_numpy()
+            other = ~(is_audio | is_video)
             feature = pd.Series(index=pdf.index, dtype=object)
             feature[is_audio] = pdf["content"][is_audio].map(audio_kernel)
-            feature[~is_audio] = pdf["content"][~is_audio].map(img_kernel)
+            feature[is_video] = pdf["content"][is_video].map(video_kernel)
+            feature[other] = pdf["content"][other].map(img_kernel)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

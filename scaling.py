@@ -1,0 +1,253 @@
+#!/usr/bin/env python
+"""Scale-stress harness (VERDICT r5 #2): measure how each dedup/ANN/
+CC/event family's runtime grows when its input grows K× in rows with
+the duplicate/near-dup RATE held constant (``dataprep/scalegen.py``).
+
+The plan gates in tests/test_plans.py assert the SHAPE that makes the
+100 TB claims plausible (banded equi-joins, broadcasts, no all-pairs);
+this harness measures it: for each family, wall time at K ∈ MULTS over
+the sf fixture, the fitted log-log slope between the two largest K
+("exponent"), and the output row count per K. Banded/blocked families
+must come out ~linear in rows (exponent ≲ 1.3 given fixed per-job
+overhead biases the slope DOWN at the small end and noise biases it
+up at the large end); an all-pairs implementation would show ~2.
+
+Methodology notes:
+
+- the inflated input is persisted and materialized BEFORE the timer
+  starts, so the measured cost is the operator, not the synthetic
+  fan-out;
+- each (family, K) point runs ``--repeats`` times; the MIN is used for
+  the exponent (min approximates the machine-idle number; a co-tenant
+  spike in one run would otherwise fake a superlinear slope) and the
+  median is reported alongside;
+- embeddings: the fixture vectors are iid (the pairwise-cosine tail is
+  uniform), so at a FIXED bucket count both the true pair population
+  and per-bucket occupancy grow quadratically no matter the algorithm
+  — exactly the regime where a production deployment scales the
+  bucket count with the corpus. The harness therefore holds EXPECTED
+  BUCKET OCCUPANCY constant (n_planes = 6 + log2(K), i.e. bucket
+  space grows ∝ rows), which is the documented 100 TB setting for
+  ``embedding_lsh_portable``/``embedding_lsh_pairs``;
+- CC: the pair graph grows K× (structure replicates); the measured
+  cost is pairs + components + rep/size labeling end-to-end.
+
+Writes SCALING.md (human table) and prints one JSON line (driver
+record). Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_SCALE_MULTS (default "1,4,16"), SPARK_GRAFT_SCALE_REPEATS
+(default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def families():
+    """name → (table, inflate_fn, op_fn). Imported lazily so the
+    harness can print a clean error without a JVM."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.dedup import (
+        embedding_lsh_portable,
+        exact_dedup,
+        minhash_dedup_pairs,
+        minhash_lsh_portable,
+        neardup_clusters,
+        simhash_portable,
+    )
+    from gpssbzd_spark.dataprep.scalegen import (
+        inflate_documents,
+        inflate_embeddings,
+        inflate_events,
+    )
+    from gpssbzd_spark.operators.funnel import funnel_times
+    from gpssbzd_spark.operators.timeseries import time_bucket_gapfill
+
+    def emb_blocked(df, mult):
+        n_planes = 6 + round(math.log2(mult))
+        return embedding_lsh_portable(df, n_planes=n_planes)
+
+    return {
+        "exact_dedup": (
+            "documents",
+            inflate_documents,
+            lambda d, K: exact_dedup(d),
+        ),
+        "minhash_portable": (
+            "documents",
+            inflate_documents,
+            lambda d, K: minhash_lsh_portable(d),
+        ),
+        "minhash_kernel": (
+            "documents",
+            inflate_documents,
+            lambda d, K: minhash_dedup_pairs(
+                d, id_col="doc_id", text_col="text", k=5, num_perm=64,
+                bands=16, threshold=0.5,
+            ),
+        ),
+        "simhash_portable": (
+            "documents",
+            inflate_documents,
+            lambda d, K: simhash_portable(d),
+        ),
+        "embedding_blocked": ("embeddings", inflate_embeddings, emb_blocked),
+        "neardup_cc": (
+            "documents",
+            inflate_documents,
+            lambda d, K: neardup_clusters(minhash_lsh_portable(d)),
+        ),
+        "funnel": (
+            "events",
+            inflate_events,
+            lambda d, K: funnel_times(
+                d, ("view", "click", "purchase"), within=604800.0
+            ),
+        ),
+        "gapfill_per_user": (
+            "events",
+            inflate_events,
+            lambda d, K: time_bucket_gapfill(
+                d.filter(F.col("user_id") % 19 == 0),
+                "ts",
+                ["user_id"],
+                14400,
+                {"sum_value": F.round(F.sum("value"), 2)},
+                fill="prev",
+            ),
+        ),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mults = [
+        int(m)
+        for m in os.environ.get("SPARK_GRAFT_SCALE_MULTS", "1,4,16").split(",")
+    ]
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    assert len(mults) >= 2 and mults == sorted(mults)
+
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark import get_session
+    from gpssbzd_spark.sources import load_table
+
+    spark = get_session(app_name="gpssbzd_scaling")
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(10_000).groupBy((F.col("id") % 8).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(1_000).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results: dict[str, dict] = {}
+    for name, (table, inflate, op) in families().items():
+        base = load_table(spark, sf_dir, table)
+        per_mult = {}
+        for K in mults:
+            inp = inflate(base, K).persist()
+            n_in = inp.count()
+            runs, n_out = [], None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                out = op(inp, K)
+                out.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+                if n_out is None:
+                    n_out = out.count()
+                # clear derived caches (some ops persist internally) but
+                # keep the timed input pinned
+                spark.catalog.clearCache()
+                inp = inflate(base, K).persist()
+                inp.count()
+            inp.unpersist()
+            per_mult[K] = {
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "sec_min": round(min(runs), 3),
+                "sec_median": round(statistics.median(runs), 3),
+            }
+            print(
+                f"scaling: {name} K={K} rows={n_in} out={n_out} "
+                f"min={min(runs):.2f}s median={statistics.median(runs):.2f}s",
+                file=sys.stderr,
+            )
+        lo, hi = mults[-2], mults[-1]
+        exponent = math.log(
+            per_mult[hi]["sec_min"] / per_mult[lo]["sec_min"]
+        ) / math.log(hi / lo)
+        results[name] = {"mults": per_mult, "exponent": round(exponent, 3)}
+
+    _write_md(sf_dir, mults, repeats, results)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_exponents",
+                "sf_dir": sf_dir,
+                "mults": mults,
+                "exponents": {k: v["exponent"] for k, v in results.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+def _write_md(sf_dir, mults, repeats, results) -> None:
+    lines = [
+        "# SCALING — measured scale-up curves",
+        "",
+        f"Input: `{sf_dir}` tables synthetically inflated K× in rows with",
+        "duplicate/near-dup rate held constant (`dataprep/scalegen.py`; the",
+        "inflation is materialized+persisted before the timer, so each cell",
+        "times the operator only). Exponent = log-log slope of the MIN wall",
+        f"time between K={mults[-2]} and K={mults[-1]} (min of {repeats}",
+        "runs — a co-tenant spike would otherwise fake a superlinear slope).",
+        "~1.0 = linear in rows; an all-pairs implementation would show ~2.",
+        "",
+        "Fixed per-job scheduling overhead (~0.3-1 s on local[32]) inflates",
+        "the small-K cells, which biases slopes DOWN at small K — the",
+        f"K={mults[-2]}→{mults[-1]} slope is the honest one and is what",
+        "`tests/test_scaling.py` gates (< 1.3 on the banded families).",
+        "",
+        "`embedding_blocked` holds expected bucket occupancy constant",
+        "(n_planes = 6 + log2 K) — the fixture vectors are iid, so at any",
+        "FIXED bucket count the true pair population itself is quadratic;",
+        "growing the bucket space with the corpus is the documented",
+        "production setting for the hyperplane-LSH families.",
+        "",
+        "| family | "
+        + " | ".join(f"K={K} s (rows out)" for K in mults)
+        + " | exponent |",
+        "|---|" + "---|" * (len(mults) + 1),
+    ]
+    for name, r in results.items():
+        cells = []
+        for K in mults:
+            m = r["mults"][K]
+            cells.append(f"{m['sec_min']} ({m['rows_out']})")
+        lines.append(
+            f"| {name} | " + " | ".join(cells) + f" | {r['exponent']} |"
+        )
+    lines += [
+        "",
+        "Regenerate: `python scaling.py` (env `SPARK_GRAFT_SF_DIR`,",
+        "`SPARK_GRAFT_SCALE_MULTS`, `SPARK_GRAFT_SCALE_REPEATS`).",
+        "",
+    ]
+    with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
+        fh.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -580,6 +580,101 @@ def test_media_real_audio_decode_stdlib(spark):
         assert mixed[3] == fake[3]  # image falls back to the stub
 
 
+def _mp4_fixture(
+    timescale=1000, duration=5000, width=640, height=360, n_frames=120,
+    mvhd_ver=0,
+):
+    """Minimal valid MP4: ftyp + moov(mvhd, trak(tkhd, mdia/minf/stbl/
+    stsz)) built by hand — byte-level ground truth for the stdlib
+    parser, independent of any codec library."""
+    import struct as _s
+
+    def box(t, payload):
+        return _s.pack(">I", 8 + len(payload)) + t + payload
+
+    if mvhd_ver == 1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + _s.pack(
+            ">IQ", timescale, duration
+        )
+    else:
+        mvhd = bytes(4) + b"\x00" * 8 + _s.pack(">II", timescale, duration)
+    tkhd = (
+        bytes(4) + b"\x00" * 20 + b"\x00" * 16 + b"\x00" * 36
+        + _s.pack(">II", width << 16, height << 16)
+    )
+    stsz = bytes(4) + _s.pack(">II", 0, n_frames)
+    trak = box(b"tkhd", tkhd) + box(
+        b"mdia", box(b"minf", box(b"stbl", box(b"stsz", stsz)))
+    )
+    moov = box(b"mvhd", mvhd) + box(b"trak", trak)
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", moov)
+        + box(b"mdat", b"\x00" * 32)
+    )
+
+
+def test_media_real_video_metadata_stdlib(spark):
+    """VERDICT r5 #6: video METADATA decode is real via a pure-stdlib
+    MP4/moov box parse — duration/dims/frame-count/fps from a
+    parseable container, per-row zero degradation for corrupt blobs
+    (same contract as audio/image), fake kernel under decode='fake',
+    and probe_video_meta feeds REAL durations into sample_frames."""
+    from gpssbzd_spark.dataprep.multimodal import (
+        _parse_mp4_meta,
+        probe_video_meta,
+        sample_frames,
+    )
+
+    good = _mp4_fixture()
+    good_v1 = _mp4_fixture(
+        timescale=600, duration=1200, width=320, height=240, n_frames=48,
+        mvhd_ver=1,
+    )
+    # unit: the parser itself, both mvhd versions
+    m = _parse_mp4_meta(good)
+    assert m == {
+        "duration_ms": 5000, "timescale": 1000,
+        "width": 640, "height": 360, "n_frames": 120,
+    }
+    assert _parse_mp4_meta(good_v1)["duration_ms"] == 2000
+    assert _parse_mp4_meta(b"not-an-mp4") is None
+    assert _parse_mp4_meta(good[:40]) is None  # truncated moov
+
+    vids = spark.createDataFrame(
+        [(1, good), (2, b"corrupt-video-blob"), (3, good_v1)],
+        "media_id long, blob binary",
+    )
+    media = media_from_binary(vids, "media_id", "blob", kind="video", mime="video/mp4")
+
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode="auto").collect()
+    }
+    # (duration_ms, width, height, n_frames, fps, timescale)
+    assert feats[1][:6] == [5000.0, 640.0, 360.0, 120.0, 24.0, 1000.0]
+    assert feats[3][:4] == [2000.0, 320.0, 240.0, 48.0]
+    assert feats[2] == [0.0] * 8  # corrupt → zeros, no crash
+
+    # decode='fake' keeps the deterministic stub (distinct from real)
+    fake = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode="fake").collect()
+    }
+    assert fake[1] != feats[1]
+
+    # probe fills meta from the container; sample_frames then uses the
+    # REAL 5000 ms duration (6 frames at 1000 ms, capped at 16)
+    probed = probe_video_meta(media)
+    metas = {r.media_id: r.meta for r in probed.collect()}
+    assert (metas[1].width, metas[1].height, metas[1].duration_ms) == (640, 360, 5000)
+    assert metas[2].duration_ms is None  # unparseable: meta untouched
+    frames = sample_frames(probed, every_ms=1000).collect()
+    assert sorted(r.frame_ms for r in frames if r.media_id == 1) == [
+        0, 1000, 2000, 3000, 4000, 5000,
+    ]
+
+
 def test_bpe_token_count_matches_python_reference(spark):
     """bpe_token_count must equal a plain-Python re count of the same
     lookahead-free pretokenizer pattern (and differ from the whitespace

@@ -1,0 +1,90 @@
+"""Scale-stress gates (VERDICT r5 #2): the plan asserts in
+tests/test_plans.py say the banded dedup paths have the SHAPE that
+scales; these tests MEASURE it. ``dataprep/scalegen.py`` inflates the
+fixtures K× in rows with the duplicate rate held constant, so a banded
+implementation must grow ~linearly in rows (exponent ≲ 1.3 over
+K=4→16; fixed per-job overhead biases the slope DOWN, so the gate has
+headroom for noise) while an all-pairs implementation would show ~2
+(candidate space K²). The full curve lives in SCALING.md
+(``python scaling.py``); this gate runs the banded families at the
+small oracle scale to keep suite time bounded.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pytest
+
+from tests.conftest import ORACLE_SF_DIR
+
+
+def _measure(fn, inp, K, repeats=2):
+    """MIN wall time of fn(inp, K) materialized via a noop write — min,
+    not mean: one co-tenant spike would fake a superlinear slope."""
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn(inp, K).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
+def _exponent(spark, table, inflate, fn, lo=4, hi=16):
+    from gpssbzd_spark.sources import load_table
+
+    base = load_table(spark, ORACLE_SF_DIR, table)
+    times = {}
+    for K in (lo, hi):
+        inp = inflate(base, K).persist()
+        inp.count()  # inflation materialized OUTSIDE the timed section
+        # one untimed warm pass so codegen/broadcast setup for this
+        # plan shape doesn't land in the first timed K
+        fn(inp, K).write.format("noop").mode("overwrite").save()
+        times[K] = _measure(fn, inp, K)
+        inp.unpersist()
+        spark.catalog.clearCache()
+    return math.log(times[hi] / times[lo]) / math.log(hi / lo), times
+
+
+def test_scalegen_preserves_structure_exactly(spark):
+    """The inflation contract the exponents rely on: K× rows with the
+    within-replica pair structure replicated VERBATIM (the character
+    cipher is a shingle bijection) and zero cross-replica leakage."""
+    from gpssbzd_spark.dataprep.dedup import minhash_lsh_portable
+    from gpssbzd_spark.dataprep.scalegen import inflate_documents
+    from gpssbzd_spark.sources import load_table
+
+    d = load_table(spark, ORACLE_SF_DIR, "documents")
+    base_pairs = minhash_lsh_portable(d).count()
+    assert base_pairs > 0
+    for K in (2, 4):
+        got = minhash_lsh_portable(inflate_documents(d, K)).count()
+        assert got == K * base_pairs, (K, got, base_pairs)
+
+
+@pytest.mark.parametrize(
+    "family",
+    ["minhash_portable", "simhash_portable", "embedding_blocked"],
+)
+def test_banded_families_scale_linearly(spark, family):
+    """Runtime exponent over K=4→16 < 1.3 for every banded/blocked
+    family — the empirical half of the 100 TB claim."""
+    import scaling as harness
+
+    table, inflate, fn = harness.families()[family]
+    exp, times = _exponent(spark, table, inflate, fn)
+    assert exp < 1.3, (family, exp, times)
+
+
+def test_cc_and_event_families_scale_linearly(spark):
+    """Connected components over the pair graph and the funnel scan:
+    both must be ~linear in input rows as well (CC's graph grows K×
+    by construction; the funnel is one scan + one exchange)."""
+    import scaling as harness
+
+    for family in ("neardup_cc", "funnel"):
+        table, inflate, fn = harness.families()[family]
+        exp, times = _exponent(spark, table, inflate, fn)
+        assert exp < 1.3, (family, exp, times)
