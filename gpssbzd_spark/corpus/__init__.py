@@ -81,7 +81,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("p7_filter_distinct",
      ["p7_filter_compound_bool", "p10_distinct_projection",
       "p8_sql_string_filter", "p12_cast_types",
-      "p15_merge_upsert", "p16_snapshot_diff", "dp_profile_numeric"]),
+      "p15_merge_upsert", "p16_snapshot_diff", "dp_profile_numeric",
+      "p17_scd2_history"]),
     ("j5_semi_anti_join", ["j5_semi_join", "j6_anti_join"]),
     ("a2_cascaded_conditional",
      ["a2_conditional_agg", "a3_cascaded_agg",

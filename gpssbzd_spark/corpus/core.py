@@ -7,7 +7,7 @@ stable across Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpssbzd_spark.corpus import query
@@ -2002,3 +2002,76 @@ def p16_snapshot_diff(spark, sf_dir):
         F.lit(1.0).alias("o_totalprice"),
     )
     return snapshot_diff(old, new_mut.unionByName(new_ins), ["o_orderkey"])
+
+
+_SCD2_SNAP_SQL = """
+      SELECT user_id, snap_day, state FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS snap_day,
+               event_type AS state,
+               row_number() OVER (
+                 PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      ) WHERE rn = 1
+"""
+
+
+def _scd2_oracle() -> str:
+    from gpssbzd_spark.operators.cdc import scd2_history_sql
+
+    inner = scd2_history_sql(
+        _SCD2_SNAP_SQL, ["user_id"], ["state"], "snap_day"
+    )
+    # validity bounds as VARCHAR dates: engines disagree on whether a
+    # DATE survives the pandas bridge as date or midnight timestamp
+    return f"""
+    SELECT user_id, state,
+           CAST(CAST(valid_from AS DATE) AS VARCHAR) AS valid_from,
+           CAST(CAST(valid_to AS DATE) AS VARCHAR) AS valid_to,
+           is_current
+    FROM ({inner})
+    """
+
+
+@query(
+    "p17_scd2_history",
+    oracle=_scd2_oracle(),
+    note="P17 (extension, operators/cdc.py scd2_history): type-2 "
+    "slowly-changing-dimension history — the third CDC leg beside "
+    "merge_upsert (p15) and snapshot_diff (p16). Daily per-user state "
+    "snapshots (last event_type of the day, deterministic by ts + "
+    "event_id tiebreak) collapse into validity runs: one row per value "
+    "change with valid_from / exclusive valid_to / is_current, the "
+    "table every as-of join (j7) presupposes. Null-safe change flags; "
+    "ONE exchange on the key shared by the lag flags, run ids, collapse "
+    "and the valid_to lead. Full DuckDB oracle (IS DISTINCT FROM twin). "
+    "p7 rotation alternate.",
+    tier=2,
+)
+def p17_scd2_history(spark, sf_dir):
+    from gpssbzd_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    wd = Window.partitionBy(
+        "user_id", F.date_trunc("day", F.col("ts"))
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    snaps = (
+        ev.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("snap_day"),
+            F.col("event_type").alias("state"),
+        )
+    )
+    out = scd2_history(snaps, ["user_id"], ["state"], "snap_day")
+    return out.select(
+        "user_id",
+        "state",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )

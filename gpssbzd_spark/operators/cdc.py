@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -131,3 +131,95 @@ def snapshot_diff(
         joined.select(*out_cols, op.alias(op_col))
         .filter(F.col(op_col).isNotNull())
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a stack of keyed
+    snapshots: rows ``(keys…, value_cols…, valid_from, valid_to,
+    is_current)`` — one row per RUN of consecutive snapshots whose
+    values are unchanged, ``valid_from`` the run's first snapshot time,
+    ``valid_to`` the next run's ``valid_from`` (exclusive; NULL on the
+    current run). This is the third leg of the CDC surface beside
+    :func:`merge_upsert` (apply changes) and :func:`snapshot_diff`
+    (derive changes): dimension tables need WHEN each value held, not
+    just the latest value — every "as of" join against a dimension
+    (j7's as-of shape) presupposes exactly this table.
+
+    Change detection is null-safe per column (NULL→value and
+    value→NULL are changes; NULL→NULL is not), so nullable attributes
+    track correctly. Duplicate (key, ts) snapshots are rejected by the
+    caller's contract (version stamps are unique per key).
+
+    Scale shape: ONE exchange on the key — the lag() change flags, the
+    running-sum run ids, and the valid_to lead() all share the same
+    ``partitionBy(keys)`` sort, and the per-run collapse groups on
+    (keys, run) which that partitioning already co-locates. No joins,
+    nothing driver-side; output rows track the number of VALUE CHANGES,
+    not the number of snapshots.
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    runs = df.select(
+        *keys,
+        *value_cols,
+        F.col(ts_col),
+        F.sum(F.when(changed, 1).otherwise(0)).over(w).alias("_run"),
+    )
+    collapsed = runs.groupBy(*keys, "_run", *value_cols).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    w2 = Window.partitionBy(*keys).orderBy("valid_from")
+    return (
+        collapsed.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_run")
+    )
+
+
+def scd2_history_sql(
+    snapshot_sql: str,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    ts_col: str,
+) -> str:
+    """DuckDB twin of :func:`scd2_history` over any snapshot query with
+    the same (keys, value_cols, ts) columns — same null-safe change
+    flags (IS DISTINCT FROM), same run collapse, same lead()."""
+    k = ", ".join(keys)
+    v = ", ".join(value_cols)
+    chg = " OR ".join(
+        f"{c} IS DISTINCT FROM lag({c}) OVER w" for c in value_cols
+    )
+    return f"""
+    WITH snaps AS ({snapshot_sql}
+    ), chg AS (
+      SELECT {k}, {v}, {ts_col},
+             CASE WHEN {chg} THEN 1 ELSE 0 END AS _chg
+      FROM snaps
+      WINDOW w AS (PARTITION BY {k} ORDER BY {ts_col})
+    ), flagged AS (
+      SELECT {k}, {v}, {ts_col},
+             SUM(_chg) OVER (PARTITION BY {k} ORDER BY {ts_col}
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS _run
+      FROM chg
+    ), collapsed AS (
+      SELECT {k}, _run, {v}, MIN({ts_col}) AS valid_from
+      FROM flagged GROUP BY {k}, _run, {v}
+    )
+    SELECT {k}, {v}, valid_from,
+           lead(valid_from) OVER (PARTITION BY {k} ORDER BY valid_from)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY {k} ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM collapsed
+    """
