@@ -962,6 +962,31 @@ def dp_profile_numeric(spark, sf_dir):
     return profile_numeric(li, _PROFILE_COLS)
 
 
+def _profile_corr_oracle() -> str:
+    from gpssbzd_spark.operators.profile import profile_correlation_sql
+
+    return profile_correlation_sql("lineitem", _PROFILE_COLS)
+
+
+@query(
+    "dp_profile_correlation",
+    oracle=_profile_corr_oracle(),
+    note="pairwise column profiling (extension, operators/profile.py "
+    "profile_correlation): all-pairs Pearson correlation of the four "
+    "lineitem measures in ONE aggregate pass — corr partials are "
+    "constant-size moment tuples, so 6 pairwise correlations cost one "
+    "scan and a one-row shuffle. Long format beside dp_profile_numeric "
+    "so drop-over-drop drift checks join on (col_a, col_b). Fully "
+    "oracled (DuckDB corr, 4 dp).",
+    tier=2,
+)
+def dp_profile_correlation(spark, sf_dir):
+    from gpssbzd_spark.operators.profile import profile_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_correlation(li, _PROFILE_COLS)
+
+
 @query(
     "ev_transition_matrix",
     oracle="""

@@ -1346,6 +1346,31 @@ def dd_embedding_lsh_portable_pairs(spark, sf_dir):
     return embedding_lsh_portable(load_table(spark, sf_dir, "embeddings"))
 
 
+from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
+    neardup_clusters,
+    neardup_clusters_sql,
+)
+
+
+@query(
+    "dd_embedding_neardup_clusters",
+    oracle=neardup_clusters_sql(embedding_lsh_portable_sql()),
+    note="SEMANTIC dedup end-to-end: hyperplane-LSH embedding near-dup "
+    "pairs (portable integer-exact pipeline) fed into the same "
+    "connected-components cluster step the text families use — "
+    "neardup_clusters is pair-graph-generic, so embedding-cosine "
+    "families get cluster-level canonicalization (rep = min vec_id, "
+    "cluster sizes) with zero new machinery. FULL oracle by "
+    "composition: the DuckDB twin nests embedding_lsh_portable_sql "
+    "inside the recursive-CTE min-label closure. The SlimPajama/"
+    "SemDeDup-style 'keep one per semantic cluster' stage.",
+    tier=2,
+)
+def dd_embedding_neardup_clusters(spark, sf_dir):
+    pairs = embedding_lsh_portable(load_table(spark, sf_dir, "embeddings"))
+    return neardup_clusters(pairs)
+
+
 from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
     ann_lsh_portable,
     ann_lsh_portable_sql,

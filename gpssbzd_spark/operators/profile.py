@@ -97,3 +97,53 @@ def profile_numeric_sql(
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+def profile_correlation(
+    df: DataFrame, cols: Sequence[str], round_to: int = 4
+) -> DataFrame:
+    """All-pairs Pearson correlation of ``cols`` in ONE aggregate pass:
+    n·(n−1)/2 ``corr()`` aggregates ride a single scan (corr partials
+    are constant-size moment tuples, so the shuffle is one row however
+    wide the input), then explode to long format (col_a, col_b,
+    correlation) for joins/diffs across data drops — the pairwise
+    companion to :func:`profile_numeric`'s per-column stats. Pairs are
+    emitted once with col_a < col_b in ``cols`` order."""
+    cols = list(cols)
+    assert len(cols) >= 2, "profile_correlation needs at least two columns"
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    wide = df.agg(
+        *[
+            F.round(F.corr(a, b), round_to).alias(f"_c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"_c_{i}").alias("correlation"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def profile_correlation_sql(
+    table: str, cols: Sequence[str], round_to: int = 4
+) -> str:
+    """DuckDB twin of :func:`profile_correlation`."""
+    cols = list(cols)
+    parts = [
+        f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           ROUND(corr({a}, {b}), {round_to}) AS correlation
+    FROM {table}"""
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    return " UNION ALL ".join(parts)

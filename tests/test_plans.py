@@ -87,6 +87,7 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         "dd_simhash_buckets",      # bit-majority pandas_udf (documented)
         "dd_simhash_near_pairs",   # same simhash kernel (by design)
         "dd_minhash_lsh_pairs",    # perm-family + verify numpy kernels
+        "dd_neardup_clusters_kernel",  # same kernel feeding the CC step
         "tx_fingerprint_groups",   # winnowing rolling-hash numpy kernel
         "mm_feature_extract",      # mapInPandas media kernel (by design)
         "mm_resize_pipeline",      # mapInPandas resize kernel (by design)
