@@ -113,6 +113,11 @@ HEADLINE = [
     "dp_chunk_documents",
     "tx_tfidf_terms",
     "dp_profile_numeric",
+    # r6 additions — new op families (additive: earlier rows unchanged)
+    "p17_scd2_history",
+    "a13_cube_grouping_sets",
+    "dp_profile_correlation",
+    "dd_embedding_neardup_clusters",
 ]
 
 
