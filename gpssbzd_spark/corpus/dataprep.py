@@ -1346,6 +1346,32 @@ def dd_embedding_lsh_portable_pairs(spark, sf_dir):
     return embedding_lsh_portable(load_table(spark, sf_dir, "embeddings"))
 
 
+from gpssbzd_spark.dataprep.splits import (  # noqa: E402
+    cap_per_group,
+    cap_per_group_sql,
+)
+
+
+@query(
+    "dp_cap_per_group",
+    oracle="SELECT doc_id, source FROM ("
+    + cap_per_group_sql("documents", ["source"], "doc_id", 10)
+    + ")",
+    note="per-group quota sampling (dataprep/splits.py cap_per_group): "
+    "keep at most 10 docs per source (binds at every sf: sources hold ~25+ docs each), chosen uniformly by the same "
+    "deterministic md5 id-bucket hash_split uses — the cap-documents-"
+    "per-domain step (RefinedWeb/C4 host caps) that stops one giant "
+    "source from dominating a training mixture. Pure function of "
+    "(id, salt): re-runs/repartitions/retries keep the same rows, "
+    "lower caps keep subsets of higher caps. One exchange on the "
+    "group key. Fully oracled.",
+    tier=2,
+)
+def dp_cap_per_group(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return cap_per_group(d, ["source"], "doc_id", 10).select("doc_id", "source")
+
+
 from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
     neardup_clusters,
     neardup_clusters_sql,

@@ -21,8 +21,10 @@ Decode kernels come in three flavors, selected by ``decode=``:
   the one genuinely stubbed step (needs ffmpeg); frame SAMPLING stays
   metadata-driven (:func:`sample_frames`) and now has real durations
   via :func:`probe_video_meta`;
-- ``"auto"`` — per kind: images ``real`` iff Pillow is importable else
-  ``fake``; audio and video metadata always ``real`` (stdlib).
+- ``"auto"`` — per kind: images full-``real`` iff Pillow is importable,
+  else header-metadata-real (:func:`_parse_image_meta` — PNG IHDR /
+  JPEG SOF / GIF descriptor give true dims+channels with no pixel
+  decode); audio and video metadata always ``real`` (stdlib).
 
 The Spark-side plumbing — ``mapInPandas`` batch iteration, Arrow
 transfer of binary columns, metadata struct schemas, partition-count
@@ -285,6 +287,64 @@ def _parse_mp4_meta(content: bytes | None) -> dict | None:
         return None
 
 
+def _parse_image_meta(content: bytes | None) -> dict | None:
+    """Header-only image metadata (pure stdlib): width/height/channels
+    from the PNG IHDR, the first JPEG SOF marker, or the GIF logical
+    screen descriptor — no pixel decode, no Pillow. None when the bytes
+    are not a recognized container (per-row degradation contract)."""
+    if not content or len(content) < 16:
+        return None
+    try:
+        b = content
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", b, 16)
+            color_type = b[25]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 0)
+            return {"width": w, "height": h, "channels": channels}
+        if b[:2] == b"\xff\xd8":  # JPEG: scan for a SOFn frame header
+            off = 2
+            while off + 9 < len(b):
+                if b[off] != 0xFF:
+                    return None
+                marker = b[off + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    off += 2
+                    continue
+                (seglen,) = struct.unpack_from(">H", b, off + 2)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack_from(">HH", b, off + 5)
+                    return {"width": w, "height": h, "channels": b[off + 9]}
+                off += 2 + seglen
+            return None
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", b, 6)
+            return {"width": w, "height": h, "channels": 3}
+        return None
+    except Exception:
+        return None
+
+
+def _header_image_features(content: bytes | None) -> list[float]:
+    """Stdlib image features from container HEADERS only: (width,
+    height, channels, 0, 0, aspect) zero-padded — the decode-free
+    sibling of the Pillow kernel (:func:`_real_features`), used under
+    ``decode='auto'`` when Pillow is absent so image dims are still
+    REAL at scan scale; mean/std intensity stay 0 (they need pixels).
+    Unrecognized bytes degrade to the all-zero vector per-row."""
+    m = _parse_image_meta(content)
+    if m is None:
+        return [0.0] * _FEATURE_DIM
+    feats = [
+        float(m["width"]),
+        float(m["height"]),
+        float(m["channels"]),
+        0.0,
+        0.0,
+        float(m["width"]) / float(m["height"]) if m["height"] else 0.0,
+    ]
+    return (feats + [0.0] * _FEATURE_DIM)[:_FEATURE_DIM]
+
+
 def _real_video_features(content: bytes | None) -> list[float]:
     """Stdlib-MP4-backed video features: (duration_ms, width, height,
     n_frames, fps, timescale), zero-padded to _FEATURE_DIM. Metadata
@@ -354,9 +414,13 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
         # strict contract preserved: real demands every real kernel,
         # and the image one needs Pillow
         _resolve_decode("real", "media decode")
-    real_image = decode == "real" or (decode == "auto" and _pil_available())
-    real_stdlib = decode in ("real", "auto")  # audio + video metadata
-    img_kernel = _real_features if real_image else _fake_features
+    real_stdlib = decode in ("real", "auto")  # audio/video/image headers
+    if decode == "real" or (decode == "auto" and _pil_available()):
+        img_kernel = _real_features  # full decode (Pillow)
+    elif decode == "auto":
+        img_kernel = _header_image_features  # real dims, no pixels
+    else:
+        img_kernel = _fake_features
     audio_kernel = _real_audio_features if real_stdlib else _fake_features
     video_kernel = _real_video_features if real_stdlib else _fake_features
 

@@ -22,7 +22,9 @@ shuffle, no state, fully parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_DIGITS = 8  # 16^8 = 4.3e9 buckets: granularity ~2.3e-10
@@ -398,3 +400,61 @@ def pack_documents(
         offset.alias("offset"),
         F.floor(offset / F.lit(float(budget))).cast("long").alias("pack_id"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    max_rows: int,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``max_rows`` rows of
+    every group, chosen uniformly by id hash — the "cap documents per
+    domain" step web-scale corpus curation runs so one giant source
+    cannot dominate the mixture (RefinedWeb/C4-style host caps).
+
+    Selection is a pure function of (id, salt): rows rank within their
+    group by the same md5 bucket :func:`hash_split` uses (id tiebreak),
+    so re-runs, repartitions and task retries keep the SAME rows, and
+    groups under the cap pass through whole. One exchange on the group
+    key (the ranking window); nothing driver-side at any scale. A
+    LOWER cap keeps a subset of a higher cap's selection per group
+    (prefix-of-ranking monotonicity) — shrinking quotas never churns
+    the surviving set.
+    """
+    assert max_rows >= 1, max_rows
+    bucket = _bucket_hex(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        bucket.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= max_rows)
+        .drop("_cap_rn")
+    )
+
+
+def cap_per_group_sql(
+    table: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    max_rows: int,
+    salt: str = "cap-v1",
+) -> str:
+    """DuckDB twin of :func:`cap_per_group` (same md5 bucket, same
+    ranking, same tiebreak)."""
+    k = ", ".join(group_cols)
+    bucket = (
+        f"substr(md5('{salt}' || '|' || "
+        f"COALESCE(CAST({id_col} AS VARCHAR), '')), 1, {_HEX_DIGITS})"
+    )
+    return f"""
+    SELECT * EXCLUDE (_cap_rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {k} ORDER BY {bucket} ASC, {id_col} ASC) AS _cap_rn
+      FROM {table}
+    ) WHERE _cap_rn <= {max_rows}
+    """

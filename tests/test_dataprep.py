@@ -379,15 +379,15 @@ _HAS_PIL = importlib.util.find_spec("PIL") is not None
 @pytest.mark.skipif(_HAS_PIL, reason="Pillow present: real decode active")
 def test_media_real_decode_contract_without_pillow(spark):
     """No Pillow ⇒ decode='real' raises NotImplementedError naming the
-    dependency, and decode='auto' silently falls back to the fake
-    kernel (same output as decode='fake')."""
+    dependency, and decode='auto' falls back to the stdlib HEADER
+    kernel — non-container bytes degrade to zeros per-row (the fake
+    sha stub stays exclusive to decode='fake')."""
     df = spark.createDataFrame([(1, b"x")], "media_id long, blob binary")
     media = media_from_binary(df, "media_id", "blob", kind="image", mime="img/x")
     with pytest.raises(NotImplementedError, match="Pillow"):
         extract_features(media, decode="real")
     auto = {r.media_id: r.feature for r in extract_features(media, decode="auto").collect()}
-    fake = {r.media_id: r.feature for r in extract_features(media, decode="fake").collect()}
-    assert auto == fake
+    assert auto == {1: [0.0] * 8}
 
 
 @pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
@@ -573,11 +573,9 @@ def test_media_real_audio_decode_stdlib(spark):
     }
     assert mixed[1] == feats[1]
     if not _HAS_PIL:
-        fake = {
-            r.media_id: r.feature
-            for r in extract_features(img, decode="fake").collect()
-        }
-        assert mixed[3] == fake[3]  # image falls back to the stub
+        # without Pillow, auto image rows run the HEADER kernel:
+        # unrecognized bytes degrade to zeros (not the fake sha stub)
+        assert mixed[3] == [0.0] * 8
 
 
 def _mp4_fixture(
@@ -612,6 +610,63 @@ def _mp4_fixture(
         + box(b"moov", moov)
         + box(b"mdat", b"\x00" * 32)
     )
+
+
+def test_media_image_header_metadata_stdlib(spark):
+    """Without Pillow, decode='auto' image rows still report REAL
+    dims+channels from container headers (PNG IHDR / JPEG SOF / GIF
+    descriptor — pure stdlib, no pixel decode); unrecognized bytes
+    degrade per-row to zeros."""
+    import struct as _s
+    import zlib as _z
+
+    from gpssbzd_spark.dataprep.multimodal import _parse_image_meta
+
+    def png(w, h, color_type=6):
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        chunk = _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        chunk += _s.pack(">I", _z.crc32(b"IHDR" + ihdr))
+        return b"\x89PNG\r\n\x1a\n" + chunk
+
+    def jpeg(w, h, nf=3):
+        sof = _s.pack(">BHH", 8, h, w) + bytes([nf]) + b"\x00" * (3 * nf)
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+        )
+
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00" * 6
+
+    assert _parse_image_meta(png(640, 480)) == {
+        "width": 640, "height": 480, "channels": 4,
+    }
+    assert _parse_image_meta(jpeg(800, 600)) == {
+        "width": 800, "height": 600, "channels": 3,
+    }
+    assert _parse_image_meta(gif) == {
+        "width": 320, "height": 200, "channels": 3,
+    }
+    assert _parse_image_meta(b"not an image at all") is None
+
+    rows = [(1, png(640, 480)), (2, jpeg(800, 600)), (3, gif), (4, b"junk" * 5)]
+    media = media_from_binary(
+        spark.createDataFrame(rows, "media_id long, blob binary"),
+        "media_id", "blob", kind="image", mime="image/png",
+    )
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode="auto").collect()
+    }
+    if not _HAS_PIL:
+        # header kernel: (w, h, channels, 0, 0, aspect)
+        assert feats[1][:3] == [640.0, 480.0, 4.0]
+        assert feats[2][:3] == [800.0, 600.0, 3.0]
+        assert feats[3][:3] == [320.0, 200.0, 3.0]
+        assert feats[4] == [0.0] * 8
+    else:
+        # Pillow present: full decode path owns images; dims must agree
+        assert feats[1][:2] == [640.0, 480.0]
 
 
 def test_media_real_video_metadata_stdlib(spark):
@@ -810,6 +865,46 @@ def test_deterministic_sample_stable_and_composable(spark):
     other = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.5, "t").collect()}
     overlap = len(s50 & other) / len(s50)
     assert 0.35 < overlap < 0.65  # independent salts ≈ fraction overlap
+
+
+def test_cap_per_group_quota_determinism_and_nesting(spark):
+    """cap_per_group: every group ends at min(cap, size); the surviving
+    set is a pure function of (id, salt) — identical under
+    repartitioning; a lower cap keeps a per-group SUBSET of a higher
+    cap (prefix-of-ranking monotonicity); under-cap groups pass whole."""
+    from gpssbzd_spark.dataprep.splits import cap_per_group
+
+    rows = [(i, f"d{i % 7}") for i in range(700)] + [
+        (1000 + i, "tiny") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    c20 = {r.doc_id for r in cap_per_group(df, ["grp"], "doc_id", 20).collect()}
+    from collections import Counter
+
+    per = Counter(
+        r.grp for r in cap_per_group(df, ["grp"], "doc_id", 20).collect()
+    )
+    assert all(v == 20 for g, v in per.items() if g != "tiny")
+    assert per["tiny"] == 3  # under-cap group passes whole
+
+    # deterministic under repartition
+    c20b = {
+        r.doc_id
+        for r in cap_per_group(df.repartition(13), ["grp"], "doc_id", 20).collect()
+    }
+    assert c20 == c20b
+
+    # nesting: cap 5 ⊂ cap 20
+    c5 = {r.doc_id for r in cap_per_group(df, ["grp"], "doc_id", 5).collect()}
+    assert c5 <= c20
+
+    # a different salt picks a (mostly) different quota
+    alt = {
+        r.doc_id
+        for r in cap_per_group(df, ["grp"], "doc_id", 20, salt="other").collect()
+    }
+    assert alt != c20
 
 
 def test_stratified_sample_per_stratum_rates_and_nesting(spark):
