@@ -118,6 +118,7 @@ HEADLINE = [
     "a13_cube_grouping_sets",
     "dp_profile_correlation",
     "dd_embedding_neardup_clusters",
+    "dp_drift_psi",
 ]
 
 

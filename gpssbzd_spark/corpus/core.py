@@ -962,6 +962,46 @@ def dp_profile_numeric(spark, sf_dir):
     return profile_numeric(li, _PROFILE_COLS)
 
 
+_PSI_SPECS = {
+    "l_quantity": (1.0, 51.0, 10),
+    "l_discount": (0.0, 0.11, 11),
+    "l_extendedprice": (900.0, 105000.0, 20),
+}
+_PSI_B_FILTER = "l_orderkey % 3 = 0 AND l_discount <= 0.05"
+
+
+def _drift_psi_oracle() -> str:
+    from gpssbzd_spark.operators.profile import drift_psi_sql
+
+    return drift_psi_sql(
+        "lineitem",
+        f"(SELECT * FROM lineitem WHERE {_PSI_B_FILTER})",
+        _PSI_SPECS,
+    )
+
+
+@query(
+    "dp_drift_psi",
+    oracle=_drift_psi_oracle(),
+    note="distribution drift detection (extension, operators/profile.py "
+    "drift_psi): Population Stability Index per column between two data "
+    "drops over clamped fixed-width bins — the drift gate a training "
+    "pipeline runs before trusting a new snapshot (PSI<0.1 stable, "
+    ">0.25 shifted). Drop B filters low discounts so l_discount "
+    "genuinely drifts while l_quantity stays stable. ONE scan per side "
+    "(every column's bucket rides a single explode), per-bin join and "
+    "rollup move only columns*bins rows. Fully oracled (same bins, "
+    "same 1e-6 floor, same ln).",
+    tier=2,
+)
+def dp_drift_psi(spark, sf_dir):
+    from gpssbzd_spark.operators.profile import drift_psi
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.filter(F.expr(_PSI_B_FILTER))
+    return drift_psi(li, b, _PSI_SPECS)
+
+
 def _profile_corr_oracle() -> str:
     from gpssbzd_spark.operators.profile import profile_correlation_sql
 

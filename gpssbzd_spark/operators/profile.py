@@ -147,3 +147,128 @@ def profile_correlation_sql(
         for b in cols[i + 1 :]
     ]
     return " UNION ALL ".join(parts)
+
+
+_PSI_FLOOR = 1e-6
+
+
+def drift_psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    specs: dict[str, tuple[float, float, int]],
+    round_to: int = 4,
+) -> DataFrame:
+    """Population Stability Index per column between two data drops —
+    the standard drift gate a training pipeline runs before trusting a
+    new snapshot (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    ``specs`` maps column → (lo, hi, n_bins): values bucket into n_bins
+    fixed-width bins over [lo, hi) with clamping (everything below lo
+    in bin 0, above hi in the last bin — drift OUT of the expected
+    range must move mass, not vanish), nulls excluded. PSI =
+    Σ (p_i − q_i)·ln(p_i / q_i) with both shares floored at 1e-6 so
+    empty bins contribute a large-but-finite term.
+
+    Scale shape: ONE scan per side — every column's bucket rides a
+    single explode (array of (column, bucket) structs), one
+    partial-aggregated groupBy per side, then the per-bin join and the
+    per-column rollup move only (columns × bins) rows. Deterministic
+    fixed-bin arithmetic; the DuckDB oracle replays it exactly
+    (corpus ``dp_drift_psi``)."""
+    assert specs, "drift_psi needs at least one column spec"
+
+    def entries(df: DataFrame):
+        structs = []
+        for c, (lo, hi, n) in specs.items():
+            w = (hi - lo) / n
+            b = F.least(
+                F.greatest(
+                    F.floor((F.col(c) - F.lit(lo)) / F.lit(w)).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(n - 1),
+            )
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.when(F.col(c).isNotNull(), b).alias("bucket"),
+                )
+            )
+        return (
+            df.select(F.explode(F.array(*structs)).alias("e"))
+            .select("e.*")
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("column", "bucket")
+            .agg(F.count("*").alias("n"))
+        )
+
+    a = entries(df_a).withColumnRenamed("n", "n_a")
+    b = entries(df_b).withColumnRenamed("n", "n_b")
+    both = a.join(b, ["column", "bucket"], "full_outer").select(
+        "column",
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = both.groupBy("column").agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    p = F.greatest(F.col("n_a") / F.col("t_a"), F.lit(_PSI_FLOOR))
+    q = F.greatest(F.col("n_b") / F.col("t_b"), F.lit(_PSI_FLOOR))
+    return (
+        both.join(F.broadcast(tot), "column")
+        .select("column", ((p - q) * F.log(p / q)).alias("_term"))
+        .groupBy("column")
+        .agg(F.round(F.sum("_term"), round_to).alias("psi"))
+    )
+
+
+def drift_psi_sql(
+    table_a: str,
+    table_b: str,
+    specs: dict[str, tuple[float, float, int]],
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`drift_psi` (same clamped fixed bins, same
+    1e-6 floor, same ln)."""
+
+    def side(table: str) -> str:
+        parts = []
+        for c, (lo, hi, n) in specs.items():
+            w = (hi - lo) / n
+            parts.append(
+                f"""
+      SELECT '{c}' AS col,
+             LEAST(GREATEST(CAST(FLOOR(({c} - {lo}) / {w}) AS INT), 0),
+                   {n - 1}) AS bucket
+      FROM {table} WHERE {c} IS NOT NULL"""
+            )
+        return " UNION ALL ".join(parts)
+
+    return f"""
+    WITH ea AS ({side(table_a)}
+    ), eb AS ({side(table_b)}
+    ), ca AS (
+      SELECT col, bucket, COUNT(*) AS n_a FROM ea GROUP BY col, bucket
+    ), cb AS (
+      SELECT col, bucket, COUNT(*) AS n_b FROM eb GROUP BY col, bucket
+    ), both_sides AS (
+      SELECT COALESCE(ca.col, cb.col) AS col,
+             COALESCE(ca.bucket, cb.bucket) AS bucket,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb
+        ON ca.col = cb.col AND ca.bucket = cb.bucket
+    ), tot AS (
+      SELECT col, SUM(n_a) AS t_a, SUM(n_b) AS t_b
+      FROM both_sides GROUP BY col
+    )
+    SELECT b.col AS column,
+           ROUND(SUM(
+             (GREATEST(n_a / t_a, {_PSI_FLOOR}) -
+              GREATEST(n_b / t_b, {_PSI_FLOOR})) *
+             ln(GREATEST(n_a / t_a, {_PSI_FLOOR}) /
+                GREATEST(n_b / t_b, {_PSI_FLOOR}))
+           ), {round_to}) AS psi
+    FROM both_sides b JOIN tot t ON b.col = t.col
+    GROUP BY b.col
+    """

@@ -283,6 +283,39 @@ def test_retention_matrix_null_user_excluded(spark):
     assert all(ret == 1.0 for (_, age), (_, ret) in out.items() if age == 0)
 
 
+def test_drift_psi_semantics(spark):
+    """drift_psi: identical distributions score 0; a genuine shift
+    scores positive; out-of-range values clamp into the edge bins
+    (mass moves, never vanishes); nulls are excluded."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.profile import drift_psi
+
+    a = spark.range(0, 1000).select((F.col("id") % 10).cast("double").alias("x"))
+    specs = {"x": (0.0, 10.0, 10)}
+    same = drift_psi(a, a, specs).collect()[0]
+    assert same.psi == 0.0
+
+    # shift: mass collapses into the lower half — strongly positive PSI
+    b = a.select(F.floor(F.col("x") / 2).cast("double").alias("x"))
+    assert drift_psi(a, b, specs).collect()[0].psi > 0.1
+
+    # clamping: values at 1e6 land in the last bin, not dropped; the
+    # PSI vs uniform must see that mass (equal to replacing bin 9)
+    c = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 == 9, 1e6)
+        .otherwise((F.col("id") % 10).cast("double"))
+        .alias("x")
+    )
+    assert drift_psi(a, c, specs).collect()[0].psi == 0.0  # same bins after clamp
+
+    # nulls excluded: padding one side with nulls changes nothing
+    d = a.unionByName(
+        spark.range(0, 100).select(F.lit(None).cast("double").alias("x"))
+    )
+    assert drift_psi(a, d, specs).collect()[0].psi == 0.0
+
+
 def test_scd2_history_semantics(spark):
     """scd2_history (cdc.py): consecutive unchanged snapshots collapse
     into one validity run; valid_to is the next run's valid_from
