@@ -1601,3 +1601,120 @@ def tx_tfidf_terms(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return tfidf_terms(d, min_tf=2, min_df=2)
+
+
+# --------------------------------------------------------------------------
+# End-to-end pretraining-data pipeline (flagship composite)
+# --------------------------------------------------------------------------
+
+from gpssbzd_spark.dataprep.dedup import neardup_dedup  # noqa: E402
+
+
+def _pretrain_e2e_oracle() -> str:
+    """Full-oracle composition of the whole pipeline: every stage's
+    SQL twin nested into one query (quality/lang gate -> exact-dedup
+    survivors -> portable MinHash near-dup cluster drop -> per-source
+    quota cap -> deterministic split -> per-(split, source) rollup)."""
+    pairs = minhash_lsh_portable_sql("surv")
+    clusters = neardup_clusters_sql(pairs)
+    capped = cap_per_group_sql("deduped", ["source"], "doc_id", 10)
+    split_case = hash_split_sql("doc_id", _SPLIT_WEIGHTS)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, source, {_lang_scores_sql()},
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / NULLIF(length(text), 0) AS alpha_ratio,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), langed AS (
+      SELECT *,
+        CASE
+          WHEN text IS NULL THEN NULL
+          WHEN 2 * length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+               > length(text) THEN 'zh'
+          WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+          WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          WHEN s_fr >= s_es THEN 'fr'
+          ELSE 'es'
+        END AS lang_guess
+      FROM scored
+    ), kept AS (
+      SELECT * FROM langed
+      WHERE lang_guess = 'en' AND alpha_ratio >= 0.6
+        AND n_tokens BETWEEN 20 AND 5000
+    ), surv AS (
+      SELECT k.* FROM kept k
+      JOIN (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)) s
+        ON k.doc_id = s.doc_id
+    ), clusters AS (
+      SELECT * FROM ({clusters}) q
+    ), deduped AS (
+      SELECT * FROM surv WHERE doc_id NOT IN (
+        SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)
+    ), capped AS (
+      {capped}
+    ), final AS (
+      SELECT *, {split_case} AS split FROM capped
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM final GROUP BY split, source
+    """
+
+
+@query(
+    "dp_pipeline_pretrain_e2e",
+    oracle=_pretrain_e2e_oracle(),
+    note="FLAGSHIP composite with a full oracle: the whole "
+    "RefinedWeb-shaped pretraining-data pipeline in one plan — "
+    "quality gate (alpha ratio + token band) -> language filter -> "
+    "exact-dedup survivors (min id per md5) -> NEAR-dup cluster drop "
+    "(portable MinHash banding -> connected components -> keep each "
+    "cluster's rep) -> per-source quota cap (10) -> deterministic "
+    "hash split -> per-(split, source) doc/token rollup. Every stage "
+    "is the library operator the standalone rows test; the oracle "
+    "nests every stage's SQL twin (including the recursive-CTE "
+    "closure) into one DuckDB query, so the END-TO-END composition is "
+    "hash-verified, not just the pieces. Scale shape: the only "
+    "all-to-all moves are the banding equi-join and the group-quota "
+    "window; everything else is filters, one partial-agg groupBy, "
+    "semi/anti joins, and a bounded-pair CC.",
+    tier=2,
+)
+def dp_pipeline_pretrain_e2e(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features(_F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "text",
+        "source",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        language_id(_F.col("text")).alias("lang_guess"),
+    )
+    kept = scored.filter(
+        (_F.col("lang_guess") == "en")
+        & (_F.col("alpha_ratio") >= 0.6)
+        & _F.col("n_tokens").between(20, 5000)
+    )
+    surv_ids = (
+        kept.groupBy(_F.md5(_F.col("text").cast("binary")).alias("_h"))
+        .agg(_F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # surv feeds three consumers (the MinHash pipeline, the dedup
+    # anti-join, and the capped tail) and its lineage carries the
+    # regex-heavy quality/language scoring — pin it once, GC-scoped
+    surv = kept.join(surv_ids, "doc_id", "left_semi").localCheckpoint()
+    pairs = minhash_lsh_portable(surv)
+    deduped = neardup_dedup(surv, pairs)
+    capped = cap_per_group(deduped, ["source"], "doc_id", 10)
+    final = hash_split(capped, "doc_id", _SPLIT_WEIGHTS)
+    return final.groupBy("split", "source").agg(
+        _F.count("*").alias("n_docs"),
+        _F.sum("n_tokens").alias("sum_tokens"),
+    )

@@ -742,11 +742,14 @@ def minhash_lsh_portable(
         )
         .filter(F.size("sh") > 0)
         # consumed three times (signatures + both verify sides); without
-        # this, CollapseProject inlines the shingle expression into all
-        # consumers and the tokenization runs 3x (8x pre-optimizer for
-        # the per-permutation signature projections) — the repo's
-        # persist-iteratively-reused-inputs rule
-        .persist()
+        # pinning, CollapseProject inlines the shingle expression into
+        # all consumers and the tokenization runs 3x (8x pre-optimizer
+        # for the per-permutation signature projections).
+        # localCheckpoint, not persist: a persist here is registered in
+        # the session CacheManager and outlives the query (the ADVICE
+        # r5 leak class); the checkpointed RDD is released by the
+        # ContextCleaner once the result is garbage-collected
+        .localCheckpoint()
     )
     # signatures via explode + min-AGGREGATE, not array_min(transform):
     # higher-order lambdas run interpreted (no codegen), so 8 transforms
