@@ -148,9 +148,9 @@ def tx_vocab_heavy_hitters(spark, sf_dir):
         .groupBy("token")
         .agg(F2.count("*").alias("freq"))
         # both the grand total and the join read counts: without the
-        # persist each branch would recompute the full explode+count
-        # subtree, i.e. scan documents twice
-        .persist()
+        # pin each branch would recompute the full explode+count
+        # subtree, i.e. scan documents twice (GC-scoped checkpoint)
+        .localCheckpoint()
     )
     total = counts.agg(F2.sum("freq").alias("_total"))
     return (

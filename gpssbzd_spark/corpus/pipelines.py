@@ -418,11 +418,12 @@ def pe_pipeline_segments(spark, sf_dir):
     )
     # the derived terminal dimension is O(lines) rows but its lineage is
     # a full-scan window that prepare_pings reads from ~5 join branches;
-    # persist pins one materialization (exchange reuse catches most of
-    # the duplication already — measured neutral at sf0.1 — but reuse is
-    # best-effort and the cache makes it structural). A real
-    # deployment's bus_line is a static tiny table.
-    bus_line = bus_line.persist()
+    # the GC-scoped checkpoint pins one materialization (exchange reuse
+    # catches most of the duplication already — measured neutral at
+    # sf0.1 — but reuse is best-effort and the pin makes it structural)
+    # without a session persist. A real deployment's bus_line is a
+    # static tiny table.
+    bus_line = bus_line.localCheckpoint()
     # exact percentile (not the sketch): the per-vehicle threshold must
     # be bit-identical across engines for the DuckDB oracle
     prepared = prepare_pings(gps, bus_line, exact_percentile=True)

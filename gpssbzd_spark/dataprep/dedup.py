@@ -351,10 +351,11 @@ def minhash_dedup_pairs(
         F.col("_p.band_hashes").alias("_bh"),
     )
     # the prep feeds 6 join branches (band self-join ×2, prefilter ×2,
-    # verify ×2) — cache it or the fused shingle+signature kernel reruns
-    # per branch (reference tactic kept per SURVEY §4: persist
-    # iteratively-reused inputs)
-    prepped = prepped.persist()
+    # verify ×2) — pin it or the fused shingle+signature kernel reruns
+    # per branch (reference tactic kept per SURVEY §4). localCheckpoint,
+    # not persist: GC-scoped, released when the result dies instead of
+    # living in the session CacheManager (the ADVICE r5 leak class)
+    prepped = prepped.localCheckpoint()
 
     # banding straight off the kernel's band_hashes: posexplode of a
     # 16-element long array — no interpreted slice/concat/xxhash64 pass
@@ -514,7 +515,8 @@ def embedding_lsh_pairs(
             F.transform("_v", lambda x: x / F.col("_norm")).alias("_u"),
             "_bk",
         )
-        .persist()
+        # GC-scoped pin (multi-branch consumer), not a session persist
+        .localCheckpoint()
     )
     banded = prepped.select(
         F.col(id_col), F.posexplode("_bk").alias("tbl", "bucket")
@@ -945,8 +947,9 @@ def simhash_portable(
     # one row per doc, three scalars — but consumed three times (banding
     # + both verify sides), and each consumer would otherwise re-run the
     # token explode + 64-sum groupBy upstream (measured 23.5s → 4.5s at
-    # sf0.1): the repo's persist-iteratively-reused-inputs rule
-    ).persist()
+    # sf0.1): the repo's pin-iteratively-reused-inputs rule,
+    # GC-scoped via localCheckpoint rather than a session persist
+    ).localCheckpoint()
     mask = (1 << bits_per_band) - 1
     band_vals = F.array(
         *[
@@ -1148,9 +1151,9 @@ def embedding_lsh_portable(
         df.select(F.col(id_col).alias("_id"), q.alias("q"))
         .withColumn("_sq", sq_norm)
         .filter(F.col("_sq") > 0)
-        # consumed three times (plane dots + both verify sides); persist
-        # or each consumer re-quantizes every vector
-        .persist()
+        # consumed three times (plane dots + both verify sides); pin
+        # or each consumer re-quantizes every vector (GC-scoped)
+        .localCheckpoint()
     )
     dot_plane = F.aggregate(
         F.zip_with("q", "sgn", lambda a, s: a * s),
@@ -1235,8 +1238,9 @@ def neardup_clusters(
     # projections, then mapping again for rep/size joins) and is tiny by
     # construction — persist it or the upstream near-dup pipeline that
     # produced it re-runs once per consumer (measured 80s → 8s at sf0.1
-    # over the portable MinHash pipeline)
-    pairs = pairs.persist()
+    # over the portable MinHash pipeline). GC-scoped localCheckpoint —
+    # a session persist here leaked for the session lifetime
+    pairs = pairs.localCheckpoint()
     ids = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))

