@@ -119,6 +119,7 @@ HEADLINE = [
     "dp_profile_correlation",
     "dd_embedding_neardup_clusters",
     "dp_drift_psi",
+    "dp_outliers_mad",
     "dp_pipeline_pretrain_e2e",
 ]
 

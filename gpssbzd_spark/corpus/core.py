@@ -1002,6 +1002,51 @@ def dp_drift_psi(spark, sf_dir):
     return drift_psi(li, b, _PSI_SPECS)
 
 
+_OUTLIER_SRC = (
+    "(SELECT l_quantity, l_discount, "
+    "l_extendedprice * (CASE WHEN l_orderkey % 97 = 0 THEN 50 ELSE 1 END) "
+    "AS spiked_price FROM lineitem)"
+)
+
+
+def _outliers_oracle() -> str:
+    from gpssbzd_spark.operators.profile import outliers_mad_sql
+
+    return outliers_mad_sql(
+        _OUTLIER_SRC, ["l_quantity", "l_discount", "spiked_price"]
+    )
+
+
+@query(
+    "dp_outliers_mad",
+    oracle=_outliers_oracle(),
+    note="robust outlier profile (extension, operators/profile.py "
+    "outliers_mad): per-column median, MAD, and the count/fraction of "
+    "rows beyond 3 scaled MADs (1.4826·MAD ≈ σ) — the robust z-score "
+    "that survives the outliers inflating the spread, unlike "
+    "mean/stddev rules. Three one-pass multi-column aggregates with "
+    "two one-row collects between them; exact percentiles keep the "
+    "oracle bit-comparable (approx_percentile is the documented 100 TB "
+    "swap). The profiled set includes a deliberately spiked price "
+    "(50x on ~1% of orders) so the detection path is exercised with "
+    "n_outliers > 0, beside untouched uniform columns at 0. Fully "
+    "oracled.",
+    tier=2,
+)
+def dp_outliers_mad(spark, sf_dir):
+    from gpssbzd_spark.operators.profile import outliers_mad
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_discount",
+        (
+            F.col("l_extendedprice")
+            * F.when(F.col("l_orderkey") % 97 == 0, 50).otherwise(1)
+        ).alias("spiked_price"),
+    )
+    return outliers_mad(li, ["l_quantity", "l_discount", "spiked_price"])
+
+
 def _profile_corr_oracle() -> str:
     from gpssbzd_spark.operators.profile import profile_correlation_sql
 

@@ -272,3 +272,91 @@ def drift_psi_sql(
     FROM both_sides b JOIN tot t ON b.col = t.col
     GROUP BY b.col
     """
+
+
+def outliers_mad(
+    df: DataFrame, cols: Sequence[str], k: float = 3.0, round_to: int = 4
+) -> DataFrame:
+    """Robust outlier profile per column: median, MAD (median absolute
+    deviation), and how many rows sit further than ``k`` scaled MADs
+    from the median (1.4826·MAD ≈ σ under normality — the robust
+    z-score; mean/stddev-based rules break down when the outliers
+    themselves inflate the spread). One row per column: (column,
+    median_value, mad, n_outliers, outlier_frac).
+
+    Cost is THREE scans by construction — MAD needs the median and the
+    outlier count needs both — each a one-pass multi-column aggregate
+    with only two scalar collects (one row each) between passes. Exact
+    percentiles keep the DuckDB oracle bit-comparable; at 100 TB swap
+    the interior ``percentile`` calls for ``approx_percentile`` the
+    same way profile_numeric's ``distinct='approx'`` swaps its
+    countDistinct."""
+    assert cols, "outliers_mad needs at least one column"
+    cols = list(cols)
+    meds_row = df.agg(
+        *[
+            F.percentile(F.col(c), F.lit(0.5)).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    meds = {c: meds_row[c] for c in cols}
+    mads_row = df.agg(
+        *[
+            F.percentile(F.abs(F.col(c) - F.lit(meds[c])), F.lit(0.5)).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    mads = {c: mads_row[c] for c in cols}
+    aggs = []
+    for c in cols:
+        bound = k * 1.4826 * (mads[c] or 0.0)
+        aggs += [
+            F.count(F.col(c)).alias(f"_n_{c}"),
+            F.count(
+                F.when(F.abs(F.col(c) - F.lit(meds[c])) > F.lit(bound), True)
+            ).alias(f"_o_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.round(F.lit(meds[c]), round_to).alias("median_value"),
+                F.round(F.lit(mads[c]), round_to).alias("mad"),
+                F.col(f"_o_{c}").cast("long").alias("n_outliers"),
+                F.round(
+                    F.col(f"_o_{c}") / F.nullif(F.col(f"_n_{c}"), F.lit(0)),
+                    round_to,
+                ).alias("outlier_frac"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def outliers_mad_sql(
+    table: str, cols: Sequence[str], k: float = 3.0, round_to: int = 4
+) -> str:
+    """DuckDB twin of :func:`outliers_mad` (same exact medians, same
+    1.4826 scale, same strict > bound)."""
+    parts = []
+    for c in cols:
+        parts.append(
+            f"""
+    SELECT '{c}' AS column,
+           ROUND(m.med, {round_to}) AS median_value,
+           ROUND(d.mad, {round_to}) AS mad,
+           CAST(COUNT(CASE WHEN abs(t.{c} - m.med) > {k} * 1.4826 * d.mad
+                      THEN 1 END) AS BIGINT) AS n_outliers,
+           ROUND(COUNT(CASE WHEN abs(t.{c} - m.med) > {k} * 1.4826 * d.mad
+                      THEN 1 END)
+                 / CAST(NULLIF(COUNT(t.{c}), 0) AS DOUBLE),
+                 {round_to}) AS outlier_frac
+    FROM {table} t,
+         (SELECT median({c}) AS med FROM {table}) m,
+         (SELECT median(abs({c} - (SELECT median({c}) FROM {table}))) AS mad
+          FROM {table}) d
+    GROUP BY m.med, d.mad"""
+        )
+    return " UNION ALL ".join(parts)

@@ -283,6 +283,32 @@ def test_retention_matrix_null_user_excluded(spark):
     assert all(ret == 1.0 for (_, age), (_, ret) in out.items() if age == 0)
 
 
+def test_outliers_mad_semantics(spark):
+    """outliers_mad: a clean uniform column scores 0 outliers; planted
+    far points are counted exactly; MAD is unmoved by the outliers
+    themselves (the robustness property that motivates MAD over
+    stddev); all-null columns degrade to null stats, not a crash."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.profile import outliers_mad
+
+    base = spark.range(0, 1001).select(
+        (F.col("id") % 11).cast("double").alias("clean"),
+        F.when(F.col("id") < 3, 1e6)
+        .otherwise((F.col("id") % 11).cast("double"))
+        .alias("spiked"),
+        F.lit(None).cast("double").alias("allnull"),
+    )
+    out = {r.column: r for r in outliers_mad(base, ["clean", "spiked", "allnull"]).collect()}
+    assert out["clean"].n_outliers == 0
+    assert out["spiked"].n_outliers == 3  # exactly the planted points
+    # robustness: 3 wild points leave median/MAD at the clean values
+    assert out["spiked"].median_value == out["clean"].median_value
+    assert out["spiked"].mad == out["clean"].mad
+    assert out["allnull"].median_value is None
+    assert out["allnull"].n_outliers == 0
+
+
 def test_drift_psi_semantics(spark):
     """drift_psi: identical distributions score 0; a genuine shift
     scores positive; out-of-range values clamp into the edge bins
