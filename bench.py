@@ -120,6 +120,7 @@ HEADLINE = [
     "dd_embedding_neardup_clusters",
     "dp_drift_psi",
     "dp_outliers_mad",
+    "tx_bigram_logprob",
     "dp_pipeline_pretrain_e2e",
 ]
 

@@ -1603,6 +1603,34 @@ def tx_tfidf_terms(spark, sf_dir):
     return tfidf_terms(d, min_tf=2, min_df=2)
 
 
+def _bigram_oracle() -> str:
+    from gpssbzd_spark.dataprep.text import bigram_logprob_sql
+
+    return bigram_logprob_sql(vocab_size=256, alpha=0.5, round_to=4)
+
+
+@query(
+    "tx_bigram_logprob",
+    oracle=_bigram_oracle(),
+    note="corpus-trained BIGRAM LM score per document (dataprep/text.py "
+    "bigram_logprob): mean log10 of add-alpha-smoothed P(w2|w1) over "
+    "adjacent token pairs, OOV mapped to <unk> under the same top-V "
+    "vocab cut as tx_unigram_logprob — the next rung on the CCNet/"
+    "Gopher quality-filter ladder (a unigram model cannot tell shuffled "
+    "text from prose; word-order likelihood can). One posexplode + one "
+    "per-doc lead() window; bigram/context count tables are bounded by "
+    "(V+1)^2 and broadcast, so the corpus side never shuffles for "
+    "scoring. Fully oracled (DuckDB zipped parallel unnests replay the "
+    "position pairing).",
+    tier=2,
+)
+def tx_bigram_logprob(spark, sf_dir):
+    from gpssbzd_spark.dataprep.text import bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(d)
+
+
 # --------------------------------------------------------------------------
 # End-to-end pretraining-data pipeline (flagship composite)
 # --------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -488,3 +488,133 @@ def repetition_features(
             / F.nullif(count, F.lit(0)).cast("double")
         )
     return out
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+    alpha: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document: the
+    mean log10 of the add-α-smoothed conditional P(w₂|w₁) over the
+    doc's adjacent token pairs, with tokens outside the corpus's top-V
+    vocab mapped to ``<unk>`` — the next step up from
+    :func:`unigram_logprob` on the CCNet/Gopher quality-filter ladder:
+    a unigram model cannot tell shuffled text from prose; word-ORDER
+    likelihood can.
+
+    P(w₂|w₁) = (c(w₁,w₂) + α) / (c(w₁·) + α·(V+1)), where c(w₁·) is
+    w₁'s count as a pair left-context (so the distribution sums to 1
+    over the V+1 mapped successor types by construction).
+
+    Scale shape: one explode for positions, one lead() window per doc
+    (the same (doc) exchange the scorer reuses), bigram/context counts
+    partial-aggregate and are BOUNDED by (V+1)² / (V+1) rows — both
+    broadcast; the corpus side never shuffles for the scoring joins.
+    Deterministic (integer counts, fixed vocab cut) — the DuckDB
+    oracle replays it exactly (corpus ``tx_bigram_logprob``).
+
+    Returns (id_col, n_bigrams, mean_logprob); docs with fewer than
+    two tokens drop out (no pairs ⇒ no score).
+    """
+    d = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
+    tk = d.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    freq = tk.groupBy("token").agg(F.count("*").alias("freq")).persist()
+    vocab = (
+        freq.orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(vocab_size)
+        .select("token")
+        .localCheckpoint()
+    )
+    freq.unpersist()
+    mapped = (
+        tk.join(
+            F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
+        )
+        .select(
+            id_col,
+            "pos",
+            F.when(F.col("_in").isNotNull(), F.col("token"))
+            .otherwise(F.lit("<unk>"))
+            .alias("u"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prs = (
+        mapped.withColumn("u2", F.lead("u").over(w))
+        .filter(F.col("u2").isNotNull())
+        .select(id_col, F.col("u").alias("u1"), "u2")
+    )
+    c12 = prs.groupBy("u1", "u2").agg(F.count("*").alias("c12"))
+    c1 = prs.groupBy("u1").agg(F.count("*").alias("c1"))
+    denom_types = vocab_size + 1
+    lp = F.log10(
+        (F.col("c12") + F.lit(alpha))
+        / (F.col("c1") + F.lit(alpha * denom_types))
+    )
+    return (
+        prs.join(F.broadcast(c12), ["u1", "u2"])
+        .join(F.broadcast(c1), "u1")
+        .select(id_col, lp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("_lp"), round_to).alias("mean_logprob"),
+        )
+    )
+
+
+def bigram_logprob_sql(
+    vocab_size: int = 256, alpha: float = 0.5, round_to: int = 4
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob` over the `documents` view
+    (parallel unnests zip token with its ordinal; same vocab cut, same
+    <unk> map, same smoothing arithmetic)."""
+    return f"""
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), toks AS (
+      SELECT doc_id,
+             unnest(arr) AS token,
+             unnest(generate_series(1, len(arr))) AS pos
+      FROM arrs
+    ), tok AS (
+      SELECT doc_id, token, pos FROM toks WHERE token <> ''
+    ), freq AS (
+      SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    ), vocab AS (
+      SELECT token FROM freq ORDER BY freq DESC, token ASC
+      LIMIT {vocab_size}
+    ), mapped AS (
+      SELECT t.doc_id, t.pos,
+             CASE WHEN v.token IS NOT NULL THEN t.token
+                  ELSE '<unk>' END AS u
+      FROM tok t LEFT JOIN vocab v USING (token)
+    ), prs AS (
+      SELECT doc_id, u AS u1, u2 FROM (
+        SELECT doc_id, u,
+               lead(u) OVER (PARTITION BY doc_id ORDER BY pos) AS u2
+        FROM mapped
+      ) WHERE u2 IS NOT NULL
+    ), c12 AS (
+      SELECT u1, u2, COUNT(*) AS c12 FROM prs GROUP BY u1, u2
+    ), c1 AS (
+      SELECT u1, COUNT(*) AS c1 FROM prs GROUP BY u1
+    )
+    SELECT p.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(log10((b.c12 + {alpha})
+                           / (s.c1 + {alpha * (vocab_size + 1)}))),
+                 {round_to}) AS mean_logprob
+    FROM prs p JOIN c12 b USING (u1, u2) JOIN c1 s USING (u1)
+    GROUP BY p.doc_id
+    """
