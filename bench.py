@@ -121,6 +121,7 @@ HEADLINE = [
     "dp_drift_psi",
     "dp_outliers_mad",
     "tx_bigram_logprob",
+    "j10_interval_overlap",
     "dp_pipeline_pretrain_e2e",
 ]
 

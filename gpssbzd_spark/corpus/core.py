@@ -538,6 +538,53 @@ def j8_range_join_broadcast(spark, sf_dir):
     )
 
 
+@query(
+    "j10_interval_overlap",
+    oracle="""
+    SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id
+    FROM (SELECT user_id, event_id, ts AS ls,
+                 ts + INTERVAL 7200 SECOND AS le
+          FROM events WHERE event_type = 'view') l
+    JOIN (SELECT user_id, event_id, ts AS rs,
+                 ts + INTERVAL 3600 SECOND AS re
+          FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ls <= r.re AND r.rs <= l.le
+    """,
+    note="J10 (extension, operators/joins.py interval_overlap_join): "
+    "interval×interval overlap join per key — both sides fact-sized "
+    "(2 h view windows × 1 h purchase windows per user), the "
+    "temporal shape j8's point-in-broadcast-interval cannot express. "
+    "Bin-bucketing plan: both sides explode into 3600 s buckets, "
+    "equi-join on (user, bucket), and each true pair is emitted "
+    "exactly once via its overlap-defining bucket (the later start's "
+    "bucket — covered by both sides by definition), so there is NO "
+    "distinct re-shuffle. Cost O(intervals·buckets + true pairs) vs "
+    "the oracle's per-key cross product. Fully oracled (DuckDB theta "
+    "join).",
+    tier=2,
+)
+def j10_interval_overlap(spark, sf_dir):
+    from gpssbzd_spark.operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("ls"),
+        (F.col("ts") + F.expr("INTERVAL 7200 SECONDS")).alias("le"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("rs"),
+        (F.col("ts") + F.expr("INTERVAL 3600 SECONDS")).alias("re"),
+    )
+    out = interval_overlap_join(
+        views, buys, ["user_id"], ("ls", "le"), ("rs", "re"), bucket_secs=3600
+    )
+    return out.select("user_id", "view_id", "purchase_id")
+
+
 # --------------------------------------------------------------------------
 # §2.4 aggregations
 # --------------------------------------------------------------------------

@@ -226,3 +226,79 @@ def asof_join_forward(
     backward variant (struct-atomic payload, NULL key/time bypass).
     """
     return _asof_join(left, right, on, time_col, value_cols, direction="forward")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket_secs: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval×interval overlap join per key: one output row for every
+    (left, right) pair sharing a key whose time intervals intersect
+    (``ls <= re AND rs <= le`` — closed bounds). The temporal-join
+    shape :func:`range_join_broadcast` (point-in-interval, tiny dim)
+    does not cover: BOTH sides are fact-sized interval sets
+    (session×session concurrency, downtime×incident attribution,
+    shift×event rostering).
+
+    Scale shape — the bin-bucketing pattern, not a theta join: each
+    interval explodes into its covered ``bucket_secs`` buckets, the
+    sides equi-join on (keys…, bucket) — a plain shuffled hash join —
+    and a pair that shares several buckets is kept once via the
+    OVERLAP-DEFINING bucket (the bucket of the later start:
+    ``bucket(greatest(ls, rs))`` is always covered by both intervals,
+    so exactly one of the shared buckets emits the pair — no
+    ``distinct`` re-shuffle pass at all). A naive theta join is a
+    per-key cross product; this plan's cost is
+    O(intervals · buckets-per-interval + true pairs). Size
+    ``bucket_secs`` near the typical interval length: too small
+    explodes many buckets per interval, too large piles unrelated
+    intervals into one bucket (degenerating toward per-key
+    cross-product within the bucket).
+
+    Right-side columns keep their names unless they collide, which
+    takes ``suffix``. Open intervals / NULL bounds drop (an unbounded
+    interval has no bucket cover — clamp upstream if needed).
+    """
+    keys = list(keys)
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+
+    def buckets(s: str, e: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(s)) / bucket_secs),
+                F.floor(F.unix_timestamp(F.col(e)) / bucket_secs),
+            )
+        )
+
+    l_ex = (
+        left.filter(F.col(ls).isNotNull() & F.col(le).isNotNull())
+        .filter(F.col(ls) <= F.col(le))
+        .withColumn("_bkt", buckets(ls, le))
+    )
+    rcols = {
+        c: (c + suffix if c in left.columns and c not in keys else c)
+        for c in right.columns
+    }
+    r = right.select(
+        *[F.col(c).alias(a) for c, a in rcols.items()]
+    )
+    rs2, re2 = rcols[rs], rcols[re_]
+    r_ex = (
+        r.filter(F.col(rs2).isNotNull() & F.col(re2).isNotNull())
+        .filter(F.col(rs2) <= F.col(re2))
+        .withColumn("_bkt", buckets(rs2, re2))
+    )
+    later_start = F.greatest(F.col(ls), F.col(rs2))
+    emit_bucket = F.floor(F.unix_timestamp(later_start) / bucket_secs)
+    return (
+        l_ex.join(r_ex, keys + ["_bkt"])
+        .filter((F.col(ls) <= F.col(re2)) & (F.col(rs2) <= F.col(le)))
+        .filter(F.col("_bkt") == emit_bucket)
+        .drop("_bkt")
+    )

@@ -283,6 +283,69 @@ def test_retention_matrix_null_user_excluded(spark):
     assert all(ret == 1.0 for (_, age), (_, ret) in out.items() if age == 0)
 
 
+def test_interval_overlap_join_semantics(spark):
+    """interval_overlap_join: closed-bound overlap pairs per key, each
+    TRUE pair emitted exactly once even when the two intervals share
+    many buckets (the overlap-defining-bucket trick replaces a distinct
+    re-shuffle); non-overlaps and cross-key pairs never appear; the
+    result equals the naive theta join on the same input."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.joins import interval_overlap_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 10, t(0), t(50)),   # long: spans many 5-min buckets
+            (1, 11, t(55), t(56)),  # overlaps nothing on key 1
+            (2, 12, t(0), t(10)),   # other key
+        ],
+        "k long, lid long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, t(5), t(45)),   # overlaps lid=10 across ~9 buckets
+            (1, 21, t(50), t(52)),  # touches lid=10 exactly at its end
+            (2, 22, t(11), t(12)),  # adjacent but NOT overlapping lid=12
+        ],
+        "k long, rid long, rs timestamp, re timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], ("ls", "le"), ("rs", "re"), bucket_secs=300
+    )
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    assert pairs == [(10, 20), (10, 21)]  # exactly once each
+
+    # equivalence vs the naive theta join for a denser random-ish input
+    l2 = spark.range(60).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("lid"),
+        F.timestamp_seconds(F.col("id") * 137 % 5000).alias("ls"),
+        F.timestamp_seconds(F.col("id") * 137 % 5000 + 400).alias("le"),
+    )
+    r2 = spark.range(60).select(
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") + 100).alias("rid"),
+        F.timestamp_seconds(F.col("id") * 211 % 5000).alias("rs"),
+        F.timestamp_seconds(F.col("id") * 211 % 5000 + 250).alias("re"),
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            l2, r2, ["k"], ("ls", "le"), ("rs", "re"), bucket_secs=300
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in l2.join(r2, "k")
+        .filter((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+
+
 def test_outliers_mad_semantics(spark):
     """outliers_mad: a clean uniform column scores 0 outliers; planted
     far points are counted exactly; MAD is unmoved by the outliers
