@@ -336,3 +336,39 @@ def test_profile_is_one_pass_one_scan(spark):
     plan = final_plan(q(spark, "dp_profile_numeric"))
     assert plan.count("FileScan") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_r6_operators_plan_shapes(spark):
+    """Plan gates for the round-6 additions: the bigram scorer's count
+    tables broadcast (corpus side never shuffles for scoring), the
+    interval-overlap join plans as an equi hash join (never a
+    nested-loop/cartesian — the whole point of bucketing), the
+    per-group cap needs exactly one exchange (the ranking window), the
+    SCD2 collapse shares ONE key exchange across its lag flags, run
+    ids, groupBy and valid_to lead, and nothing anywhere drops to a
+    Python worker."""
+    def exchanges(plan):
+        return len(re.findall(r"Exchange hashpartitioning", plan))
+
+    bigram = final_plan(q(spark, "tx_bigram_logprob"))
+    assert len(re.findall(r"BroadcastHashJoin", bigram)) >= 3, bigram
+    assert "CartesianProduct" not in bigram
+
+    j10 = final_plan(q(spark, "j10_interval_overlap"))
+    assert "CartesianProduct" not in j10 and "NestedLoop" not in j10, j10
+    # the bucket join itself: an equi join on (key, bucket)
+    assert re.search(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)", j10)
+
+    cap = final_plan(q(spark, "dp_cap_per_group"))
+    assert exchanges(cap) == 1, cap  # the ranking window, nothing else
+
+    scd2 = final_plan(q(spark, "p17_scd2_history"))
+    # two partitionings total: the daily-snapshot row_number keys on
+    # (user, day); every SCD2 stage after it shares the (user) exchange
+    assert exchanges(scd2) <= 2, scd2
+
+    for name in ("tx_bigram_logprob", "j10_interval_overlap",
+                 "dp_cap_per_group", "p17_scd2_history", "dp_drift_psi",
+                 "dp_outliers_mad", "dp_profile_correlation",
+                 "dp_pipeline_pretrain_e2e"):
+        assert "EvalPython" not in final_plan(q(spark, name)), name
