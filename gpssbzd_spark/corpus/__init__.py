@@ -117,7 +117,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window",
-     ["st_sliding_window", "ts_bucket_gapfill", "ts_bucket_interpolate"]),
+     ["st_sliding_window", "ts_bucket_gapfill", "ts_bucket_interpolate",
+      "st_drift_histogram"]),
     ("st_enrich_dim",
      ["st_stream_stream_join", "st_dedup_within_watermark",
       "st_upsert_state", "st_funnel_stateful"]),

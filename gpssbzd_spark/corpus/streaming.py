@@ -323,3 +323,35 @@ def st_funnel_stateful(spark, sf_dir):
     return streaming_funnel(
         ev, ("view", "click", "purchase"), within=604800.0
     )
+
+
+@query(
+    "st_drift_histogram",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             AS window_end,
+           LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT), 0), 9)
+             AS bucket,
+           COUNT(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+    note="streaming drift monitoring (streaming/windows.py "
+    "windowed_histogram): per-tumbling-window clamped fixed-bin value "
+    "histogram — the same bins as the batch drift gate dp_drift_psi, "
+    "so a monitor diffs each closed window against a reference "
+    "distribution (PSI or any distance) without re-reading history. "
+    "One shuffle on (window, bucket), map-side partial counts, state "
+    "bounded by windows x bins; the streaming twin drops late rows "
+    "past the watermark. Batch twin fully oracled. st rotation "
+    "alternate",
+    tier=2,
+)
+def st_drift_histogram(spark, sf_dir):
+    from gpssbzd_spark.streaming.windows import windowed_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_histogram(
+        ev, "ts", "value", "1 hour", lo=0.0, hi=500.0, n_bins=10
+    )

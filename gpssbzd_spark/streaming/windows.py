@@ -188,3 +188,50 @@ def dedup_within_watermark(
     if not df.isStreaming:
         return df.dropDuplicates(list(subset))
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(subset))
+
+
+def windowed_histogram(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    duration: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window value histogram: (window_start, window_end,
+    bucket, n) with the same clamped fixed-width bins as the batch
+    drift gate (``operators/profile.drift_psi`` — below-range mass in
+    bin 0, above-range in the last bin, nulls excluded). This is the
+    STREAMING half of drift monitoring: a monitor diffs each closed
+    window's histogram against a reference distribution (PSI or any
+    distance) without ever re-reading history — the window aggregate
+    is one shuffle on (window, bucket) with map-side partial counts
+    and bounded state (windows × bins rows per open window). Works on
+    a batch frame identically (the oracle twin replays it with epoch
+    arithmetic)."""
+    w = (hi - lo) / n_bins
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    src = df.filter(F.col(value_col).isNotNull())
+    if watermark is not None and df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), duration).alias("w"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "n",
+        )
+    )

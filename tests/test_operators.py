@@ -571,6 +571,47 @@ def test_merge_upsert_order_col_replay_safe(spark):
     }
 
 
+def test_scd2_randomized_against_python_reference(spark):
+    """150 keys x random snapshot stacks (seeded, with nulls and long
+    constant runs): scd2_history must match a direct Python evaluation
+    of the run-collapse semantics — null-safe change detection,
+    valid_from = run's first snapshot, valid_to = next run's
+    valid_from, is_current on the last run."""
+    import random
+    from datetime import date, timedelta
+
+    from gpssbzd_spark.operators.cdc import scd2_history
+
+    rng = random.Random(7)
+    vals = ["A", "B", "C", None]
+    base = date(2024, 1, 1)
+    rows = []
+    per_key: dict[int, list] = {}
+    for k in range(150):
+        days = sorted(rng.sample(range(60), rng.randint(1, 12)))
+        seq = [(base + timedelta(days=d), rng.choice(vals)) for d in days]
+        per_key[k] = seq
+        rows += [(k, d, v) for d, v in seq]
+    rng.shuffle(rows)
+
+    expected = set()
+    for k, seq in per_key.items():
+        runs = []
+        for d, v in seq:  # seq already time-ordered
+            if not runs or runs[-1][0] != v:
+                runs.append([v, d])
+        for i, (v, start) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected.add((k, v, start, nxt, nxt is None))
+
+    df = spark.createDataFrame(rows, "k long, snap date, v string")
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(df, ["k"], ["v"], "snap").collect()
+    }
+    assert got == expected
+
+
 def test_funnel_randomized_against_python_reference(spark):
     """200 users x random event streams (seeded): funnel_times must
     match a direct per-user Python evaluation of the strict-order

@@ -84,6 +84,27 @@ def test_tumbling_window_batch_stream_parity(spark, events_dir):
     assert _rows(got, *cols) == _rows(batch, *cols)
 
 
+def test_windowed_histogram_batch_stream_parity(spark, events_dir):
+    """windowed_histogram (the streaming half of drift monitoring):
+    the streamed per-window bucket counts must equal the batch twin's
+    — same clamped fixed bins, null values excluded on both paths."""
+    from gpssbzd_spark.streaming.windows import windowed_histogram
+
+    kw = dict(
+        ts_col="ts", value_col="value", duration="1 hour",
+        lo=0.0, hi=500.0, n_bins=10,
+    )
+    batch = windowed_histogram(load_table(spark, SF, "events"), **kw)
+    stream = windowed_histogram(
+        read_parquet_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=1),
+        watermark="1 minute",
+        **kw,
+    )
+    got = _drain(stream, "hist_parity", "complete")
+    cols = ("window_start", "bucket", "n")
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
 def test_session_window_batch_stream_parity(spark, events_dir):
     batch = session_window_agg(
         load_table(spark, SF, "events"), ts_col="ts", gap="30 minutes",
