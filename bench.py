@@ -122,6 +122,8 @@ HEADLINE = [
     "dp_outliers_mad",
     "tx_bigram_logprob",
     "j10_interval_overlap",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "dp_pipeline_pretrain_e2e",
 ]
 

@@ -539,6 +539,111 @@ def j8_range_join_broadcast(spark, sf_dir):
 
 
 @query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    note="TPC-H Q3 shape (shipping priority): a 3-way star join with "
+    "per-table filters pushed below the joins, revenue rollup, global "
+    "top-10 (TakeOrderedAndProject, no full sort). Catalyst broadcasts "
+    "the filtered customer/orders sides under AQE; the fact side never "
+    "shuffles twice. Deterministic under ties via the orderkey "
+    "tiebreak. Fully oracled.",
+    tier=2,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    note="TPC-H Q5 shape (local supplier volume): the 6-table join "
+    "graph — region→nation→supplier chained onto "
+    "customer→orders→lineitem with the 'local' c_nationkey = "
+    "s_nationkey residual — revenue per nation. The dims broadcast "
+    "down the chain; the two fact joins shuffle once each on their "
+    "keys. Fully oracled.",
+    tier=2,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
     "j10_interval_overlap",
     oracle="""
     SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id
