@@ -379,7 +379,14 @@ def pe_pipeline_segments(spark, sf_dir):
     ts_j = F.timestamp_micros(
         F.unix_micros(F.col("ts")) + F.col("event_id") % 999983
     )
-    gps = ev.select(
+    # explicit source-side null gate: the pipeline's joins/windows imply
+    # isnotnull on the DERIVED id/linenumber expressions, which cannot
+    # push to parquet (isnotnull(cast(user_id % 5 as string)) is not a
+    # bare-column predicate); filtering user_id itself is equivalent
+    # (user_id % k is null iff user_id is) and reaches the scan as a
+    # pushed IsNotNull — at 100 TB that prunes null rows at the source
+    # instead of after a full read (caught by the repo's own audit_plan)
+    gps = ev.filter(F.col("user_id").isNotNull()).select(
         (F.col("user_id") % 20).cast("string").alias("id"),
         (F.col("user_id") % 5).cast("string").alias("linenumber"),
         F.lit("x").alias("opath"),

@@ -372,3 +372,18 @@ def test_r6_operators_plan_shapes(spark):
                  "dp_outliers_mad", "dp_profile_correlation",
                  "dp_pipeline_pretrain_e2e"):
         assert "EvalPython" not in final_plan(q(spark, name)), name
+
+
+def test_pe_pipeline_scans_have_no_unpushed_filters(spark):
+    """The pattern-extraction adapter must gate nulls on the BARE
+    user_id column so the scan gets a pushed IsNotNull — the derived
+    isnotnull(cast(user_id % k as string)) forms Catalyst cannot push
+    (found by the repo's own audit_plan self-audit, round 6)."""
+    from gpssbzd_spark.plans.audit import audit_plan
+
+    findings = [
+        f
+        for f in audit_plan(q(spark, "pe_pipeline_segments"), max_python_stages=9)
+        if f.kind == "unpushed-filter"
+    ]
+    assert not findings, findings
