@@ -124,6 +124,7 @@ HEADLINE = [
     "j10_interval_overlap",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q18_large_volume_customers",
     "dp_pipeline_pretrain_e2e",
 ]
 

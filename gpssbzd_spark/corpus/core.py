@@ -644,6 +644,54 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 @query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    )
+    SELECT c.c_name, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY total_qty DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+    note="TPC-H Q18 shape (large-volume customers): a HAVING-filtered "
+    "aggregate feeding a SEMI JOIN back onto the join graph — the "
+    "qualify-then-enrich composition (aggregate once, qualify keys, "
+    "never re-aggregate on the enrich side). The reference's "
+    "collect+isin tactic for exactly this shape is replaced by the "
+    "broadcastable left-semi join (SURVEY §2.3 J5). Deterministic "
+    "top-20 via the orderkey tiebreak. Fully oracled.",
+    tier=2,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@query(
     "j10_interval_overlap",
     oracle="""
     SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id
