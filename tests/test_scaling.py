@@ -88,3 +88,54 @@ def test_cc_and_event_families_scale_linearly(spark):
         table, inflate, fn = harness.families()[family]
         exp, times = _exponent(spark, table, inflate, fn)
         assert exp < 1.3, (family, exp, times)
+
+
+def test_inflate_embeddings_is_per_replica_isometry(spark):
+    """The scaling exponents for the embedding families are only
+    meaningful if the inflation preserves within-replica geometry
+    EXACTLY: every replica's transform (dimension roll + sign mask) is
+    orthogonal, so norms and pairwise within-replica cosines must equal
+    the originals to float precision, while cross-replica cosines of
+    the SAME vector collapse toward 0 (no self-match leakage)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.scalegen import ID_STRIDE, inflate_embeddings
+    from gpssbzd_spark.sources import load_table
+    from tests.conftest import ORACLE_SF_DIR
+
+    base = load_table(spark, ORACLE_SF_DIR, "embeddings").limit(40)
+    inflated = inflate_embeddings(base, 4)
+
+    def vecs(df):
+        return {r.vec_id: r.embedding for r in df.collect()}
+
+    orig = vecs(base)
+    infl = vecs(inflated)
+    assert len(infl) == 4 * len(orig)
+
+    def norm(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (norm(a) * norm(b))
+
+    ids = sorted(orig)[:6]
+    for rep in range(4):
+        for i in ids:
+            assert norm(infl[i + rep * ID_STRIDE]) == pytest.approx(
+                norm(orig[i]), rel=1e-6
+            )
+        # within-replica pairwise cosines preserved
+        for a, b in zip(ids, ids[1:]):
+            assert cos(
+                infl[a + rep * ID_STRIDE], infl[b + rep * ID_STRIDE]
+            ) == pytest.approx(cos(orig[a], orig[b]), abs=1e-6)
+    # the same vector across replicas must NOT stay similar
+    crosses = [
+        abs(cos(infl[i], infl[i + rep * ID_STRIDE]))
+        for i in ids
+        for rep in (1, 2, 3)
+    ]
+    assert max(crosses) < 0.9 and sum(crosses) / len(crosses) < 0.35
