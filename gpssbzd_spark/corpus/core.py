@@ -1226,8 +1226,10 @@ def _outliers_oracle() -> str:
     "that survives the outliers inflating the spread, unlike "
     "mean/stddev rules. Three one-pass multi-column aggregates with "
     "two one-row collects between them; exact percentiles keep the "
-    "oracle bit-comparable (approx_percentile is the documented 100 TB "
-    "swap). The profiled set includes a deliberately spiked price "
+    "oracle bit-comparable, and percentile='approx' is the one-argument "
+    "100 TB swap (approx_percentile sketch, accuracy-pinned in "
+    "tests/test_operators.py). The profiled set includes a deliberately "
+    "spiked price "
     "(50x on ~1% of orders) so the detection path is exercised with "
     "n_outliers > 0, beside untouched uniform columns at 0. Fully "
     "oracled.",

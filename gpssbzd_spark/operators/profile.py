@@ -275,7 +275,11 @@ def drift_psi_sql(
 
 
 def outliers_mad(
-    df: DataFrame, cols: Sequence[str], k: float = 3.0, round_to: int = 4
+    df: DataFrame,
+    cols: Sequence[str],
+    k: float = 3.0,
+    round_to: int = 4,
+    percentile: str = "exact",
 ) -> DataFrame:
     """Robust outlier profile per column: median, MAD (median absolute
     deviation), and how many rows sit further than ``k`` scaled MADs
@@ -286,23 +290,32 @@ def outliers_mad(
 
     Cost is THREE scans by construction — MAD needs the median and the
     outlier count needs both — each a one-pass multi-column aggregate
-    with only two scalar collects (one row each) between passes. Exact
-    percentiles keep the DuckDB oracle bit-comparable; at 100 TB swap
-    the interior ``percentile`` calls for ``approx_percentile`` the
-    same way profile_numeric's ``distinct='approx'`` swaps its
-    countDistinct."""
+    with only two scalar collects (one row each) between passes.
+
+    ``percentile``: ``"exact"`` (Spark ``percentile`` — the oracle
+    default, bit-comparable to DuckDB ``median``) or ``"approx"``
+    (``approx_percentile`` accuracy 10000, i.e. ≤0.01% rank error — the
+    100 TB setting: exact percentile buffers EVERY value of the column
+    in one aggregation buffer, which is an executor memory wall at
+    scale, while the approx sketch keeps fixed-size partials). Same
+    one-argument scale switch as profile_numeric's ``distinct``;
+    ``tests/test_operators.py`` pins |approx−exact| on the fixtures."""
     assert cols, "outliers_mad needs at least one column"
+    assert percentile in ("exact", "approx"), percentile
     cols = list(cols)
+    if percentile == "exact":
+        med = lambda c: F.percentile(c, F.lit(0.5))  # noqa: E731
+    else:
+        med = lambda c: F.approx_percentile(  # noqa: E731
+            c, F.lit(0.5), F.lit(10000)
+        )
     meds_row = df.agg(
-        *[
-            F.percentile(F.col(c), F.lit(0.5)).alias(c)
-            for c in cols
-        ]
+        *[med(F.col(c)).alias(c) for c in cols]
     ).collect()[0]
     meds = {c: meds_row[c] for c in cols}
     mads_row = df.agg(
         *[
-            F.percentile(F.abs(F.col(c) - F.lit(meds[c])), F.lit(0.5)).alias(c)
+            med(F.abs(F.col(c) - F.lit(meds[c]))).alias(c)
             for c in cols
         ]
     ).collect()[0]

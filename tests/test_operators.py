@@ -372,6 +372,39 @@ def test_outliers_mad_semantics(spark):
     assert out["allnull"].n_outliers == 0
 
 
+def test_outliers_mad_approx_accuracy(spark):
+    """outliers_mad(percentile="approx"): the 100 TB scale switch
+    (approx_percentile sketch instead of exact percentile's
+    buffer-every-value aggregate) stays pinned to the exact path —
+    median/MAD within the sketch's rank-error bound on a 10k-row
+    integer-granular column, and the outlier verdict (count built from
+    the approximate center/spread) identical on well-separated data."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.operators.profile import outliers_mad
+
+    base = spark.range(0, 10000).select(
+        (F.col("id") % 101).cast("double").alias("x"),
+        F.when(F.col("id") < 7, 1e7)
+        .otherwise((F.col("id") % 101).cast("double"))
+        .alias("spiked"),
+    )
+    exact = {r.column: r for r in outliers_mad(base, ["x", "spiked"]).collect()}
+    approx = {
+        r.column: r
+        for r in outliers_mad(
+            base, ["x", "spiked"], percentile="approx"
+        ).collect()
+    }
+    for c in ("x", "spiked"):
+        # accuracy 10000 → ≤0.01% rank error; on the %101 lattice that
+        # is at most one lattice step of drift in median or MAD
+        assert abs(approx[c].median_value - exact[c].median_value) <= 1.0
+        assert abs(approx[c].mad - exact[c].mad) <= 1.0
+        assert approx[c].n_outliers == exact[c].n_outliers
+    assert approx["spiked"].n_outliers == 7
+
+
 def test_drift_psi_semantics(spark):
     """drift_psi: identical distributions score 0; a genuine shift
     scores positive; out-of-range values clamp into the edge bins
