@@ -10,6 +10,7 @@ order-insensitive value-hash is stable across engines.
 from __future__ import annotations
 
 import glob
+import json
 import os
 from dataclasses import dataclass, field
 from collections.abc import Callable
@@ -84,6 +85,12 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
       "p15_merge_upsert", "p16_snapshot_diff", "dp_profile_numeric",
       "p17_scd2_history"]),
     ("j5_semi_anti_join", ["j5_semi_join", "j6_anti_join"]),
+    ("j8_range_join_broadcast", ["j10_interval_overlap"]),
+    ("a7_tpch_q1_rollup",
+     ["q3_shipping_priority", "q5_local_supplier_volume",
+      "q18_large_volume_customers"]),
+    ("a4_percentile_exact",
+     ["dp_outliers_mad", "dp_profile_correlation", "dp_drift_psi"]),
     ("a2_cascaded_conditional",
      ["a2_conditional_agg", "a3_cascaded_agg",
       "a1_count_distinct_group", "a6_global_distinct_count",
@@ -98,13 +105,15 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("dd_exact_dup_groups",
      ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture",
       "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells",
-      "dp_shard_shuffle", "dp_chunk_documents"]),
+      "dp_shard_shuffle", "dp_chunk_documents", "dp_cap_per_group",
+      "dp_pipeline_pretrain_e2e"]),
     # the portable twins rotate against their kernel counterparts'
     # rows-only slots: alternate rounds give the SAME family hash-match
     # driver evidence (portable md5 family) and kernel-path rows
     ("dd_minhash_lsh_pairs",
      ["dd_minhash_portable_pairs", "dd_neardup_clusters"]),
-    ("dd_embedding_cosine_blocked", ["dd_embedding_lsh_portable_pairs"]),
+    ("dd_embedding_cosine_blocked",
+     ["dd_embedding_lsh_portable_pairs", "dd_embedding_neardup_clusters"]),
     ("dd_simhash_buckets", ["dd_simhash_portable_pairs"]),
     ("sim_topk_lsh", ["sim_topk_lsh_portable"]),
     ("sim_topk_brute", ["sim_topk_ivf_portable"]),
@@ -113,12 +122,12 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",
       "tx_repetition_filter", "tx_vocab_heavy_hitters",
       "dp_decontaminate_overlap", "tx_unigram_logprob",
-      "tx_tfidf_terms"]),
+      "tx_tfidf_terms", "tx_bigram_logprob"]),
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window",
      ["st_sliding_window", "ts_bucket_gapfill", "ts_bucket_interpolate",
-      "st_drift_histogram"]),
+      "st_drift_histogram", "st_drift_psi"]),
     ("st_enrich_dim",
      ["st_stream_stream_join", "st_dedup_within_watermark",
       "st_upsert_state", "st_funnel_stateful"]),
@@ -151,33 +160,76 @@ def _round_key() -> int:
     return _ROUND_KEY_CACHE
 
 
-def rotation_swaps(key: int | None = None) -> dict[str, str]:
+_SAMPLED_CACHE: frozenset[str] | None = None
+
+
+def _sampled_names() -> frozenset[str]:
+    """Names that have EVER earned a driver CORRECTNESS row — the union
+    of keys across every committed CORRECTNESS_r*.json at the repo root
+    (cached per process, same determinism contract as _round_key: the
+    files are committed before the next round starts, so every process
+    in one round sees the same set)."""
+    global _SAMPLED_CACHE
+    if _SAMPLED_CACHE is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        names: set[str] = set()
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            try:
+                with open(f) as fh:
+                    names |= set(json.load(fh))
+            except (OSError, ValueError):
+                pass
+        _SAMPLED_CACHE = frozenset(names)
+    return _SAMPLED_CACHE
+
+
+def rotation_swaps(
+    key: int | None = None, sampled: frozenset[str] | None = None
+) -> dict[str, str]:
     """anchor → this round's in-window pick, for groups whose pick is
-    not the anchor itself. Offset by group index so one round swaps a
-    staggered subset (~len/2) instead of all groups at once."""
+    not the anchor itself.
+
+    DEBT-AWARE (VERDICT r6 next-round #5): a group whose choices
+    include names that have never earned a driver CORRECTNESS row
+    (per the committed CORRECTNESS_r*.json files) round-robins among
+    THOSE first — so every group with rotation debt retires one
+    never-sampled query per round instead of re-proving sampled ones.
+    Once a group's debt drains, it falls back to the plain staggered
+    round-robin over all choices. ``sampled`` overrides the disk state
+    for tests."""
     if key is None:
         key = _round_key()
+    if sampled is None:
+        sampled = _sampled_names()
     out: dict[str, str] = {}
     for i, (anchor, alts) in enumerate(ROTATION_GROUPS):
         choices = [anchor] + alts
-        pick = choices[(key + i) % len(choices)]
+        unsampled = [c for c in choices if c not in sampled]
+        pool = unsampled if unsampled else choices
+        pick = pool[(key + i) % len(pool)]
         if pick != anchor:
             out[anchor] = pick
     return out
 
 
-def _ordered(key: int | None = None) -> list[Query]:
+def _ordered(
+    key: int | None = None, sampled: frozenset[str] | None = None
+) -> list[Query]:
     _load_all()
     sort_key = {q.name: (q.tier, q.seq) for q in CORPUS.values()}
-    for anchor, pick in rotation_swaps(key).items():
+    for anchor, pick in rotation_swaps(key, sampled).items():
         sort_key[anchor], sort_key[pick] = sort_key[pick], sort_key[anchor]
     return sorted(CORPUS.values(), key=lambda q: sort_key[q.name])
 
 
-def window_names(key: int | None = None) -> list[str]:
+def window_names(
+    key: int | None = None, sampled: frozenset[str] | None = None
+) -> list[str]:
     """The driver's correctness window under rotation ``key`` (None →
-    the current round)."""
-    return [q.name for q in _ordered(key)[:DRIVER_WINDOW]]
+    the current round / the committed sampled set)."""
+    return [q.name for q in _ordered(key, sampled)[:DRIVER_WINDOW]]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

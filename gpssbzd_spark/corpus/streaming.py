@@ -355,3 +355,57 @@ def st_drift_histogram(spark, sf_dir):
     return windowed_histogram(
         ev, "ts", "value", "1 hour", lo=0.0, hi=500.0, n_bins=10
     )
+
+
+@query(
+    "st_drift_psi",
+    oracle="""
+    WITH hist AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+             LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT), 0), 9)
+               AS bucket,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT ws, SUM(n) AS total FROM hist GROUP BY ws
+    ), grid AS (
+      SELECT t.ws, t.total, r.range AS bucket FROM tot t, range(10) r
+    ), fullh AS (
+      SELECT g.ws, g.total, g.bucket, COALESCE(h.n, 0) AS n
+      FROM grid g LEFT JOIN hist h ON h.ws = g.ws AND h.bucket = g.bucket
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL '1 hour' AS window_end,
+           CAST(MAX(total) AS BIGINT) AS n_rows,
+           ROUND(SUM((GREATEST(n / CAST(total AS DOUBLE), 1e-6) - 0.1)
+                 * ln(GREATEST(n / CAST(total AS DOUBLE), 1e-6) / 0.1)),
+                 4) AS psi
+    FROM fullh GROUP BY ws
+    """,
+    note="composed streaming drift monitor (streaming/windows.py "
+    "windowed_drift_psi): per-closed-window PSI of the value histogram "
+    "against a fixed reference distribution — windowed_histogram (the "
+    "streaming half) composed with the batch drift gate's arithmetic "
+    "(operators/profile.drift_psi: same clamped bins, same 1e-6 floor, "
+    "same sum((p-q)*ln(p/q))), closing VERDICT r6 missing #3. The "
+    "n_bins reference counts fold into the plan as literals (no "
+    "reference join to re-plan per micro-batch); unobserved bins still "
+    "contribute their floor term via a full-grid expansion in pure "
+    "higher-order column expressions (map_from_entries/transform/"
+    "zip_with/aggregate — no UDF). Two chained event-time aggregations "
+    "(multiple stateful operators, append mode, window_time "
+    "re-windowing); batch twin takes the identical plan and is fully "
+    "oracled here against a DuckDB grid replay; stream/batch parity "
+    "pinned in tests/test_streaming.py. st rotation alternate",
+    tier=2,
+)
+def st_drift_psi(spark, sf_dir):
+    from gpssbzd_spark.streaming.windows import windowed_drift_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    # uniform reference over the 10 bins: every window is scored for
+    # deviation from the flat profile (q_i = 0.1 exactly on both sides)
+    return windowed_drift_psi(
+        ev, "ts", "value", "1 hour", lo=0.0, hi=500.0, n_bins=10,
+        ref_counts=[1.0] * 10,
+    )

@@ -18,6 +18,8 @@ from gpssbzd_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
+    windowed_drift_psi,
+    windowed_histogram,
     with_watermark,
 )
 from gpssbzd_spark.streaming.sources import (
@@ -36,6 +38,8 @@ __all__ = [
     "session_window_agg",
     "dedup_within_watermark",
     "enrich_with_dim",
+    "windowed_histogram",
+    "windowed_drift_psi",
     "with_watermark",
     "read_parquet_stream",
     "run_to_memory_sink",

@@ -190,6 +190,123 @@ def dedup_within_watermark(
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(subset))
 
 
+def _clamped_bucket(value_col: str, lo: float, hi: float, n_bins: int) -> Column:
+    """Clamped fixed-width bin index — the shared bin arithmetic of
+    windowed_histogram / windowed_drift_psi and the batch drift gate
+    (operators/profile.drift_psi): below-range mass in bin 0,
+    above-range in the last bin."""
+    w = (hi - lo) / n_bins
+    return F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+
+
+def windowed_drift_psi(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    duration: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    ref_counts: Sequence[float],
+    round_to: int = 4,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-closed-window drift monitor: PSI of each tumbling window's
+    value histogram against a fixed reference distribution — the
+    composition of :func:`windowed_histogram` (the streaming half)
+    with the batch drift gate's arithmetic
+    (``operators/profile.drift_psi``: same clamped fixed-width bins,
+    same 1e-6 share floor, same Σ (p−q)·ln(p/q)). Emits
+    (window_start, window_end, n_rows, psi) — one row per closed
+    window, PSI < 0.1 stable / > 0.25 shifted, so an alerting sink
+    just filters ``psi > threshold``.
+
+    ``ref_counts`` is the reference histogram, one count (or share)
+    per bucket 0..n_bins-1 — e.g. the profile of the training drop the
+    model was fit on. It is n_bins scalars by construction, so it is
+    folded into the PLAN as literals: no reference join, no second
+    input, and in streaming mode no stream-static join to re-plan per
+    micro-batch. Bins the window never observed still contribute their
+    (floor − q)·ln(floor/q) mass exactly like the batch gate's
+    full-outer join — the per-window bucket map is expanded to the
+    full 0..n_bins-1 grid with higher-order expressions before the
+    fold, so mass drifting ENTIRELY out of a bin raises PSI instead of
+    silently vanishing.
+
+    Scale shape: two chained event-time aggregations — the histogram's
+    (window, bucket) shuffle with map-side partials, then a
+    (windows × bins)-row rollup into one map per window (bounded:
+    n_bins entries each). Streaming mode chains them with
+    ``window_time`` re-windowing (multiple stateful operators, append
+    mode); the PSI fold itself is pure column expressions
+    (map_from_entries / transform / zip_with / aggregate) — JVM-side,
+    no UDF, no state beyond the open windows. Batch input takes the
+    identical plan minus watermarks (the module's one-definition
+    contract); the corpus twin ``st_drift_psi`` oracles it against a
+    DuckDB replay with epoch window arithmetic."""
+    assert len(ref_counts) == n_bins, (len(ref_counts), n_bins)
+    floor = 1e-6  # operators/profile._PSI_FLOOR — keep the gates identical
+    ref_total = float(sum(ref_counts))
+    assert ref_total > 0, "reference histogram is empty"
+    q = [max(c / ref_total, floor) for c in ref_counts]
+
+    # first aggregation: the windowed histogram, KEEPING the window
+    # struct — extracting w.start/w.end would strip the event-time
+    # watermark metadata that the chained aggregation needs in
+    # streaming mode (same bins as windowed_histogram by construction)
+    src = df.filter(F.col(value_col).isNotNull())
+    if watermark is not None and df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    hist = src.groupBy(
+        F.window(F.col(ts_col), duration).alias("w"),
+        _clamped_bucket(value_col, lo, hi, n_bins).alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    # chained aggregation: window_time(w) (= w.end − 1µs, carrying the
+    # event-time tag) re-windowed by the same duration reproduces the
+    # source window — the multiple-stateful-operator contract; on
+    # batch input it is the same pure expression
+    per_w = (
+        hist.groupBy(
+            F.window(F.window_time(F.col("w")), duration).alias("w")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "n"))
+            ).alias("m"),
+            F.sum("n").alias("total"),
+        )
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    qarr = F.array(*[F.lit(v) for v in q])
+    terms = F.zip_with(
+        counts,
+        qarr,
+        lambda n, qv: (
+            F.greatest(n / F.col("total"), F.lit(floor)) - qv
+        )
+        * F.log(F.greatest(n / F.col("total"), F.lit(floor)) / qv),
+    )
+    return per_w.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("total").cast("long").alias("n_rows"),
+        F.round(
+            F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t), round_to
+        ).alias("psi"),
+    )
+
+
 def windowed_histogram(
     df: DataFrame,
     ts_col: str,
@@ -211,14 +328,7 @@ def windowed_histogram(
     and bounded state (windows × bins rows per open window). Works on
     a batch frame identically (the oracle twin replays it with epoch
     arithmetic)."""
-    w = (hi - lo) / n_bins
-    bucket = F.least(
-        F.greatest(
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("int"),
-            F.lit(0),
-        ),
-        F.lit(n_bins - 1),
-    )
+    bucket = _clamped_bucket(value_col, lo, hi, n_bins)
     src = df.filter(F.col(value_col).isNotNull())
     if watermark is not None and df.isStreaming:
         src = src.withWatermark(ts_col, watermark)

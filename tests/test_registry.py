@@ -26,12 +26,13 @@ FIXED = [
     # with the JSONL round-trip twin, group-checked not FIXED)
     "p1_scan_project_filter", "p5_filter_in_list",
     "p9_dedup_keep_first", "p13_null_handling", "o1_global_topk",
-    # joins (j1 rotates with its salted twin, group-checked not FIXED)
+    # joins (j1 and j8 rotate with their salted/interval twins,
+    # group-checked not FIXED)
     "j2_join_left_broadcast_dim", "j3_join_left_attach_agg",
-    "j4_self_theta_pair_join", "j8_range_join_broadcast",
-    # aggregates
-    "a4_percentile_exact", "a5_collect_list_ordered", "a7_tpch_q1_rollup",
-    "a8_rollup_grouping",
+    "j4_self_theta_pair_join",
+    # aggregates (a4/a7 rotate with the profiling and TPC-H-shape
+    # alternates, group-checked not FIXED)
+    "a5_collect_list_ordered", "a8_rollup_grouping",
     # scalar functions (merged rows cover F3+U2, W4+W5)
     "f1_datetime_parts", "f1_timestamp_arithmetic",
     "f3_haversine_native_and_sql",
@@ -95,11 +96,14 @@ def test_rotation_groups_well_formed():
 
 
 @pytest.mark.parametrize("key", KEYS)
-def test_driver_window_invariants_under_rotation(key):
-    """At every round key: exactly DRIVER_WINDOW queries, every fixed
-    family row present, exactly ONE member of each rotation group, and
-    no unexpected rows-only entries."""
-    names = corpus.window_names(key)
+@pytest.mark.parametrize("sampled", [None, frozenset()],
+                         ids=["disk-debt", "no-debt"])
+def test_driver_window_invariants_under_rotation(key, sampled):
+    """At every round key — under BOTH the committed sampled set and
+    the drained (no-debt) state: exactly DRIVER_WINDOW queries, every
+    fixed family row present, exactly ONE member of each rotation
+    group, and no unexpected rows-only entries."""
+    names = corpus.window_names(key, sampled)
     assert len(names) == corpus.DRIVER_WINDOW
     in_window = set(names)
 
@@ -122,8 +126,9 @@ def test_driver_window_invariants_under_rotation(key):
 def test_rotation_changes_window_between_rounds():
     """Consecutive round keys must produce different window compositions
     (the whole point: tier-2 oracles earn driver rows over rounds), and
-    every rotation alternate must appear within a full cycle."""
-    comps = [set(corpus.window_names(k)) for k in KEYS]
+    every rotation alternate must appear within a full cycle. Checked in
+    the drained (no-debt) state — the steady-state round-robin."""
+    comps = [set(corpus.window_names(k, frozenset())) for k in KEYS]
     assert all(a != b for a, b in zip(comps, comps[1:]))
     everyone = set().union(*comps)
     for anchor, alts in corpus.ROTATION_GROUPS:
@@ -131,6 +136,47 @@ def test_rotation_changes_window_between_rounds():
             assert name in everyone, (
                 f"{name} never rotates into the window across keys {KEYS}"
             )
+
+
+def test_rotation_prefers_never_sampled():
+    """Debt-aware rotation (VERDICT r6 #5): while a group has choices
+    that never earned a driver CORRECTNESS row, every round's pick for
+    that group IS one of them — the debt drains one query per group per
+    round instead of re-proving sampled names. With the committed r1–r6
+    record this must put 10+ never-sampled queries into the round-7
+    window."""
+    corpus._load_all()
+    sampled = corpus._sampled_names()
+    for key in KEYS:
+        swaps = corpus.rotation_swaps(key, sampled)
+        for anchor, alts in corpus.ROTATION_GROUPS:
+            choices = [anchor, *alts]
+            unsampled = [c for c in choices if c not in sampled]
+            if not unsampled:
+                continue
+            pick = swaps.get(anchor, anchor)
+            assert pick in unsampled, (
+                f"group {anchor} picked already-sampled {pick} at key "
+                f"{key} while {unsampled} still owe driver rows"
+            )
+    # the concrete r7 outcome the drain exists for
+    never_in_w7 = [
+        n for n in corpus.window_names(7, sampled) if n not in sampled
+    ]
+    assert len(never_in_w7) >= 10, never_in_w7
+
+
+def test_sampled_names_matches_committed_records():
+    """_sampled_names unions exactly the committed CORRECTNESS files."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    expect: set[str] = set()
+    for f in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        expect |= set(_json.load(open(f)))
+    assert corpus._sampled_names() == expect
 
 
 def test_oracle_sql_tracks_rotated_window():

@@ -105,6 +105,72 @@ def test_windowed_histogram_batch_stream_parity(spark, events_dir):
     assert _rows(got, *cols) == _rows(batch, *cols)
 
 
+def test_windowed_drift_psi_batch_stream_parity(spark, events_dir):
+    """windowed_drift_psi (the composed drift monitor): the streamed
+    per-closed-window PSI must equal the batch twin's. Chained
+    stateful aggregations only support APPEND output, which emits a
+    window once the watermark passes its end — so the comparison set
+    is exactly the batch windows with window_end <= final watermark
+    (max event ts − delay); the still-open tail windows are expected
+    to be withheld, not lost."""
+    from gpssbzd_spark.streaming.windows import windowed_drift_psi
+
+    kw = dict(
+        ts_col="ts", value_col="value", duration="1 hour",
+        lo=0.0, hi=500.0, n_bins=10, ref_counts=[1.0] * 10,
+    )
+    ev = load_table(spark, SF, "events")
+    batch = windowed_drift_psi(ev, **kw)
+    stream = windowed_drift_psi(
+        read_parquet_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=1),
+        watermark="1 minute",
+        **kw,
+    )
+    got = _drain(stream, "drift_psi_parity", "append")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - __import__("datetime").timedelta(minutes=1)
+    expected = batch.filter(F.col("window_end") <= F.lit(wm))
+    cols = ("window_start", "window_end", "n_rows", "psi")
+    got_rows = _rows(got, *cols)
+    assert got_rows == _rows(expected, *cols)
+    assert len(got_rows) > 10  # the drain genuinely closed windows
+
+
+def test_windowed_drift_psi_semantics(spark):
+    """PSI semantics through the windowed monitor: a window matching
+    the reference scores ~0; a window with all mass in one bin vs a
+    uniform reference scores far above the 0.25 'shifted' gate; bins
+    the window never observed contribute their floor term (mass
+    leaving a bin must raise PSI, not vanish)."""
+    from gpssbzd_spark.streaming.windows import windowed_drift_psi
+
+    rows = []
+    # window 0: 100 rows uniform over 10 bins (values 5,15,...,95)
+    for i in range(100):
+        rows.append(("2024-01-01 00:30:00", float((i % 10) * 10 + 5)))
+    # window 1: 100 rows all in bin 0
+    for _ in range(100):
+        rows.append(("2024-01-01 01:30:00", 5.0))
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        r.window_start.hour: r
+        for r in windowed_drift_psi(
+            df, "ts", "value", "1 hour", 0.0, 100.0, 10, [1.0] * 10
+        ).collect()
+    }
+    assert out[0].psi == 0.0
+    assert out[1].psi > 0.25  # 'shifted' by any PSI rulebook
+    # 9 unobserved bins each contribute (1e-6 - 0.1)*ln(1e-6/0.1); the
+    # observed bin (1.0 - 0.1)*ln(1.0/0.1) — pin the closed form
+    import math
+
+    expect = 9 * (1e-6 - 0.1) * math.log(1e-6 / 0.1) + 0.9 * math.log(10.0)
+    assert abs(out[1].psi - round(expect, 4)) < 1e-9
+    assert out[0].n_rows == 100 and out[1].n_rows == 100
+
+
 def test_session_window_batch_stream_parity(spark, events_dir):
     batch = session_window_agg(
         load_table(spark, SF, "events"), ts_col="ts", gap="30 minutes",
