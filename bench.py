@@ -199,6 +199,18 @@ def main() -> None:
         "queries": medians,
         "repeats": repeats,
         "sf": sf,
+        # round-over-round context for the bench reader; details and the
+        # measurements behind each note live in PERF_NOTES.md
+        "notes": [
+            "r6 sub-second drift (p15/p16/ev_*) confirmed as machine-load "
+            "noise: idle r7 re-run put all five back under their r6 "
+            "medians (PERF_NOTES.md #1)",
+            "dd_neardup_clusters_kernel stage timing: the fused Arrow "
+            "shingle+signature kernel is the floor (3.2s of 7.8s "
+            "first-run at sf0.1), CC adds ~2s fixed scheduling overhead "
+            "on 256 pairs; the r5 md5->xxhash hypothesis is closed - no "
+            "parameter-level change left that wins (PERF_NOTES.md #2)",
+        ],
     }
     if errors:
         summary["errors"] = errors
