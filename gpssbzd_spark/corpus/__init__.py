@@ -88,7 +88,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("j8_range_join_broadcast", ["j10_interval_overlap"]),
     ("a7_tpch_q1_rollup",
      ["q3_shipping_priority", "q5_local_supplier_volume",
-      "q18_large_volume_customers"]),
+      "q18_large_volume_customers", "q4_order_priority_checking",
+      "q21_suppliers_who_kept_waiting"]),
     ("a4_percentile_exact",
      ["dp_outliers_mad", "dp_profile_correlation", "dp_drift_psi"]),
     ("a2_cascaded_conditional",

@@ -692,6 +692,132 @@ def q18_large_volume_customers(spark, sf_dir):
 
 
 @query(
+    "q4_order_priority_checking",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    note="TPC-H Q4 shape (order priority checking): correlated EXISTS "
+    "under aggregation — orders in a quarter having at least one "
+    "lineitem shipped >60 days after the order date, counted per "
+    "priority. The EXISTS is a LEFT SEMI join on the order key with "
+    "the shipdate>orderdate+60d residual evaluated inside the hash "
+    "join (one probe per lineitem, each order emitted at most once — "
+    "no distinct, no subquery re-scan); the date-range filter pushes "
+    "to the orders scan. The synthetic lineitem has no "
+    "commitdate/receiptdate, so lateness is shipdate vs order date — "
+    "same shape, available columns. Fully oracled.",
+    tier=2,
+)
+def q4_order_priority_checking(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "q21_suppliers_who_kept_waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_nationkey < 13
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate
+                                            + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 100
+    """,
+    note="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "EXISTS + NOT EXISTS anti-join chain — late lineitems on "
+    "completed orders, kept when ANOTHER supplier shipped the same "
+    "order (LEFT SEMI self-join on the order key, suppkey<>suppkey "
+    "residual) and no OTHER supplier was late on it (LEFT ANTI on the "
+    "late set, same key and residual). Both self-joins are keyed on "
+    "the order key, so per-order fanout bounds the probe; the 'late' "
+    "set is computed once and reused for the anti side, and the "
+    "nation dim broadcasts. Lateness is shipdate vs orderdate+60d "
+    "(the synthetic lineitem has no receipt/commit dates — same "
+    "shape, available columns); deterministic top-100 via the s_name "
+    "tiebreak. Fully oracled.",
+    tier=2,
+)
+def q21_suppliers_who_kept_waiting(spark, sf_dir):
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2")
+    )
+    multi = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("_k2"))
+        & (F.col("l_suppkey") != F.col("_s2")),
+        "left_semi",
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("_k3"), F.col("l_suppkey").alias("_s3")
+    )
+    sole = multi.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("_k3"))
+        & (F.col("l_suppkey") != F.col("_s3")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+    return (
+        sole.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@query(
     "j10_interval_overlap",
     oracle="""
     SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id
