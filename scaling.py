@@ -52,8 +52,12 @@ sys.path.insert(0, REPO)
 
 
 def families():
-    """name → (table, inflate_fn, op_fn). Imported lazily so the
-    harness can print a clean error without a JVM."""
+    """name → (table, inflate_fn, op_fn[, max_k]). Imported lazily so
+    the harness can print a clean error without a JVM. ``max_k`` caps
+    the multiplier for a family: the dedup/CC families run the full
+    ladder (the K=64 octave guards against a knee hiding just past
+    16×, VERDICT r6 #7); the event families' curves are already flat
+    sub-second affairs at K=16 and stop there."""
     from pyspark.sql import functions as F
 
     from gpssbzd_spark.dataprep.dedup import (
@@ -112,6 +116,7 @@ def families():
             lambda d, K: funnel_times(
                 d, ("view", "click", "purchase"), within=604800.0
             ),
+            16,
         ),
         "gapfill_per_user": (
             "events",
@@ -124,6 +129,7 @@ def families():
                 {"sum_value": F.round(F.sum("value"), 2)},
                 fill="prev",
             ),
+            16,
         ),
     }
 
@@ -152,10 +158,13 @@ def main() -> None:
     ).save()
 
     results: dict[str, dict] = {}
-    for name, (table, inflate, op) in families().items():
+    for name, spec in families().items():
+        table, inflate, op = spec[:3]
+        max_k = spec[3] if len(spec) > 3 else None
+        fam_mults = [K for K in mults if max_k is None or K <= max_k]
         base = load_table(spark, sf_dir, table)
         per_mult = {}
-        for K in mults:
+        for K in fam_mults:
             inp = inflate(base, K).persist()
             n_in = inp.count()
             runs, n_out = [], None
@@ -183,11 +192,15 @@ def main() -> None:
                 f"min={min(runs):.2f}s median={statistics.median(runs):.2f}s",
                 file=sys.stderr,
             )
-        lo, hi = mults[-2], mults[-1]
+        lo, hi = fam_mults[-2], fam_mults[-1]
         exponent = math.log(
             per_mult[hi]["sec_min"] / per_mult[lo]["sec_min"]
         ) / math.log(hi / lo)
-        results[name] = {"mults": per_mult, "exponent": round(exponent, 3)}
+        results[name] = {
+            "mults": per_mult,
+            "exponent": round(exponent, 3),
+            "exponent_pair": [lo, hi],
+        }
 
     _write_md(sf_dir, mults, repeats, results)
     print(
@@ -211,14 +224,17 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "duplicate/near-dup rate held constant (`dataprep/scalegen.py`; the",
         "inflation is materialized+persisted before the timer, so each cell",
         "times the operator only). Exponent = log-log slope of the MIN wall",
-        f"time between K={mults[-2]} and K={mults[-1]} (min of {repeats}",
+        f"time between each family's two largest measured K (min of {repeats}",
         "runs — a co-tenant spike would otherwise fake a superlinear slope).",
         "~1.0 = linear in rows; an all-pairs implementation would show ~2.",
         "",
         "Fixed per-job scheduling overhead (~0.3-1 s on local[32]) inflates",
         "the small-K cells, which biases slopes DOWN at small K — the",
-        f"K={mults[-2]}→{mults[-1]} slope is the honest one and is what",
+        "largest-pair slope is the honest one and is what",
         "`tests/test_scaling.py` gates (< 1.3 on the banded families).",
+        "The dedup/CC families run one octave further (K=64) than the",
+        "flat sub-second event families (capped at 16) so a knee past",
+        "16x would show.",
         "",
         "`embedding_blocked` holds expected bucket occupancy constant",
         "(n_planes = 6 + log2 K) — the fixture vectors are iid, so at any",
@@ -234,10 +250,14 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
     for name, r in results.items():
         cells = []
         for K in mults:
-            m = r["mults"][K]
-            cells.append(f"{m['sec_min']} ({m['rows_out']})")
+            m = r["mults"].get(K)
+            cells.append(
+                f"{m['sec_min']} ({m['rows_out']})" if m else "—"
+            )
+        lo, hi = r["exponent_pair"]
         lines.append(
-            f"| {name} | " + " | ".join(cells) + f" | {r['exponent']} |"
+            f"| {name} | " + " | ".join(cells)
+            + f" | {r['exponent']} (K={lo}→{hi}) |"
         )
     lines += [
         "",

@@ -374,6 +374,30 @@ def test_r6_operators_plan_shapes(spark):
         assert "EvalPython" not in final_plan(q(spark, name)), name
 
 
+def test_r7_operators_plan_shapes(spark):
+    """Plan gates for the round-7 additions: Q4's EXISTS is a LEFT
+    SEMI hash/merge join with the lateness residual INSIDE the join
+    (no distinct, no extra aggregate below the rollup); Q21's chain is
+    semi+anti keyed joins with no nested-loop anywhere; the windowed
+    drift monitor is pure column expressions over its two aggregations
+    — no Python stage, no join against the reference (the q literals
+    folded into the plan)."""
+    q4 = final_plan(q(spark, "q4_order_priority_checking"))
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftSemi", q4), q4
+    assert "CartesianProduct" not in q4 and "NestedLoop" not in q4, q4
+
+    q21 = final_plan(q(spark, "q21_suppliers_who_kept_waiting"))
+    assert re.search(r"LeftSemi", q21) and re.search(r"LeftAnti", q21), q21
+    assert "CartesianProduct" not in q21 and "NestedLoop" not in q21, q21
+
+    drift = final_plan(q(spark, "st_drift_psi"))
+    assert "EvalPython" not in drift, drift
+    assert "Join" not in drift, drift  # reference folded as literals
+    for name in ("q4_order_priority_checking",
+                 "q21_suppliers_who_kept_waiting"):
+        assert "EvalPython" not in final_plan(q(spark, name)), name
+
+
 def test_pe_pipeline_scans_have_no_unpushed_filters(spark):
     """The pattern-extraction adapter must gate nulls on the BARE
     user_id column so the scan gets a pushed IsNotNull — the derived

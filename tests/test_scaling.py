@@ -73,7 +73,7 @@ def test_banded_families_scale_linearly(spark, family):
     family — the empirical half of the 100 TB claim."""
     import scaling as harness
 
-    table, inflate, fn = harness.families()[family]
+    table, inflate, fn = harness.families()[family][:3]
     exp, times = _exponent(spark, table, inflate, fn)
     assert exp < 1.3, (family, exp, times)
 
@@ -85,7 +85,7 @@ def test_cc_and_event_families_scale_linearly(spark):
     import scaling as harness
 
     for family in ("neardup_cc", "funnel"):
-        table, inflate, fn = harness.families()[family]
+        table, inflate, fn = harness.families()[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
         assert exp < 1.3, (family, exp, times)
 

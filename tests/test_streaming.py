@@ -171,6 +171,42 @@ def test_windowed_drift_psi_semantics(spark):
     assert out[0].n_rows == 100 and out[1].n_rows == 100
 
 
+def test_windowed_drift_psi_matches_batch_gate(spark):
+    """Cross-operator consistency: with ONE window spanning all rows
+    and the reference set to the other drop's histogram counts, the
+    streaming monitor's PSI must equal operators/profile.drift_psi on
+    the same two drops (same bins, same floor, same arithmetic) — the
+    composed monitor IS the batch gate, windowed."""
+    from gpssbzd_spark.operators.profile import drift_psi
+    from gpssbzd_spark.streaming.windows import windowed_drift_psi
+
+    a = spark.range(0, 2000).select(
+        F.lit("2024-01-01 00:10:00").cast("timestamp").alias("ts"),
+        ((F.col("id") % 37) * 2.7).alias("x"),
+    )
+    b = spark.range(0, 1500).select(((F.col("id") % 23) * 4.1).alias("x"))
+    lo, hi, n = 0.0, 100.0, 10
+    batch = drift_psi(a, b, {"x": (lo, hi, n)}).collect()[0].psi
+
+    # reference = b's clamped histogram over the same bins
+    w = (hi - lo) / n
+    bucket = F.least(
+        F.greatest(F.floor((F.col("x") - lo) / w).cast("int"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    counts = {
+        r.b: r.n
+        for r in b.groupBy(bucket.alias("b")).agg(F.count("*").alias("n")).collect()
+    }
+    ref = [float(counts.get(i, 0)) for i in range(n)]
+    got = windowed_drift_psi(
+        a, "ts", "x", "1 hour", lo, hi, n, ref_counts=ref
+    ).collect()
+    assert len(got) == 1
+    assert got[0].psi == batch
+    assert got[0].n_rows == 2000
+
+
 def test_session_window_batch_stream_parity(spark, events_dir):
     batch = session_window_agg(
         load_table(spark, SF, "events"), ts_col="ts", gap="30 minutes",
