@@ -126,6 +126,11 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q18_large_volume_customers",
     "dp_pipeline_pretrain_e2e",
+    # r7 additions — new op families (additive: earlier rows unchanged)
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "dp_passage_dedup",
 ]
 
 

@@ -89,7 +89,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("a7_tpch_q1_rollup",
      ["q3_shipping_priority", "q5_local_supplier_volume",
       "q18_large_volume_customers", "q4_order_priority_checking",
-      "q21_suppliers_who_kept_waiting"]),
+      "q21_suppliers_who_kept_waiting", "q13_customer_distribution",
+      "q17_small_quantity_revenue", "q22_global_sales_opportunity"]),
     ("a4_percentile_exact",
      ["dp_outliers_mad", "dp_profile_correlation", "dp_drift_psi"]),
     ("a2_cascaded_conditional",
@@ -107,7 +108,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
      ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture",
       "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells",
       "dp_shard_shuffle", "dp_chunk_documents", "dp_cap_per_group",
-      "dp_pipeline_pretrain_e2e"]),
+      "dp_pipeline_pretrain_e2e", "dp_passage_dedup"]),
     # the portable twins rotate against their kernel counterparts'
     # rows-only slots: alternate rounds give the SAME family hash-match
     # driver evidence (portable md5 family) and kernel-path rows

@@ -818,6 +818,160 @@ def q21_suppliers_who_kept_waiting(spark, sf_dir):
 
 
 @query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    """,
+    note="TPC-H Q13 shape (customer distribution): LEFT OUTER join "
+    "with the predicate INSIDE the join condition (a WHERE would "
+    "silently drop the zero-order customers the query exists to "
+    "count), then two-level aggregation — per-customer order count "
+    "including zeros, re-aggregated into a count-of-counts histogram. "
+    "COUNT(o_orderkey) counts the non-null probe side, so unmatched "
+    "customers land in the c_count=0 bucket. The second agg's input "
+    "is one row per customer — the re-shuffle is small by "
+    "construction. Fully oracled.",
+    tier=2,
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH th AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand, ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN th ON th.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p.p_size <= 15
+      AND l.l_quantity < th.qty_thresh
+    GROUP BY p.p_brand
+    """,
+    note="TPC-H Q17 shape (small-quantity-order revenue): a "
+    "CORRELATED SCALAR subquery per group — each lineitem compares "
+    "its quantity against 0.2x the mean quantity of ITS part — "
+    "decorrelated into a per-part aggregate joined back on the part "
+    "key. The qualifying-part dim (brand+size filtered) BROADCASTS "
+    "and semi-joins lineitem BEFORE the threshold agg, so the "
+    "per-part averages are computed only over qualifying parts' "
+    "lineitems (the correlation key makes the restriction lossless), "
+    "not the whole fact table. Quantities are integer-valued, so the "
+    "0.2x-mean threshold compare is exact across engines. Per-brand "
+    "output; fully oracled.",
+    tier=2,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_q = li.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
+    th = li_q.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li_q.join(th, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey < 7
+    ),
+    avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM eligible WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM eligible c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+    note="TPC-H Q22 shape (global sales opportunity): a GLOBAL scalar "
+    "subquery (mean positive balance over the eligible countries) "
+    "gating the fact side via a broadcast one-row cross join — no "
+    "re-scan, no driver collect — composed with a NOT EXISTS "
+    "anti-join against a filtered orders set, grouped per country. "
+    "Every fixture customer has SOME order, so the anti side is "
+    "scoped to urgent orders (customers with above-average balance "
+    "and no urgent order) — same decorrelation, non-degenerate "
+    "result. The nation code stands in for the reference query's "
+    "phone prefix (the fixture has no phone column). Fully oracled.",
+    tier=2,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 7)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_a")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "j10_interval_overlap",
     oracle="""
     SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id

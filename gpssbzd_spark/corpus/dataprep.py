@@ -1746,3 +1746,32 @@ def dp_pipeline_pretrain_e2e(spark, sf_dir):
         _F.count("*").alias("n_docs"),
         _F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+def _passage_dedup_oracle() -> str:
+    from gpssbzd_spark.dataprep.dedup import passage_dedup_sql
+
+    return passage_dedup_sql(passage_tokens=8)
+
+
+@query(
+    "dp_passage_dedup",
+    oracle=_passage_dedup_oracle(),
+    note="corpus-wide PASSAGE-level exact dedup with document "
+    "reassembly (dataprep/dedup.py passage_dedup): documents cut into "
+    "non-overlapping 8-token passages on chunk_documents' grid, every "
+    "occurrence of a passage after its lexicographically-first "
+    "(doc_id, chunk_idx) dropped, docs stitched back from survivors — "
+    "the sub-document half of C4/RefinedWeb cleaning (boilerplate "
+    "repeated ACROSS documents survives doc-level dedup). One "
+    "md5-keyed partial-agg groupBy carries the winner text in the "
+    "min-struct (hot boilerplate keys combine map-side; no join back "
+    "to the corpus), then one winner-doc groupBy reassembles. Fully "
+    "oracled. dd rotation alternate",
+    tier=2,
+)
+def dp_passage_dedup(spark, sf_dir):
+    from gpssbzd_spark.dataprep.dedup import passage_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return passage_dedup(d, passage_tokens=8)

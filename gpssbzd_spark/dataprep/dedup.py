@@ -48,6 +48,120 @@ def exact_dedup(
     return df.join(survivors.select(id_col), id_col, "left_semi")
 
 
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-wide PASSAGE-level exact dedup with document reassembly
+    — the sub-document half of C4/RefinedWeb-style cleaning: a
+    boilerplate span repeated across many documents (nav text, license
+    blocks, quoted passages) survives document-level dedup because the
+    surrounding text differs, so it must be removed at passage
+    granularity and the documents stitched back together.
+
+    Documents are cut into NON-overlapping ``passage_tokens``-word
+    passages (:func:`~gpssbzd_spark.dataprep.splits.chunk_documents`
+    with ``overlap=0`` — same tokenizer, same start grid), every
+    occurrence of a passage after its first is dropped, and each
+    document is reassembled from its surviving passages in order.
+    First occurrence = lexicographically smallest ``(doc_id,
+    chunk_idx)``, a total order, so the survivor set is deterministic.
+
+    Returns ``(id_col, clean_text, n_kept, n_dropped)``; documents
+    whose every passage lost (fully-boilerplate docs) vanish, exactly
+    like exact_dedup's non-survivors.
+
+    Scale shape: chunking is stateless per-row array ops (no shuffle);
+    the dedup is ONE md5-keyed groupBy whose partial aggregation keeps
+    one buffer per DISTINCT passage per map task — the hot key a
+    million-fold-repeated boilerplate passage would create is combined
+    map-side, so the reduce side sees #distinct rows, not #occurrence
+    rows. The winner's text rides in the min-struct (no join back to
+    the corpus); reassembly groups the winners by their winning doc —
+    two row-count-bounded exchanges total plus the co-keyed totals
+    join. Nothing Python, nothing driver-side.
+    """
+    from .splits import chunk_documents
+
+    chunks = chunk_documents(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=passage_tokens,
+        overlap=0,
+    )
+    winners = (
+        chunks.groupBy(F.md5(F.col("chunk_text").cast("binary")).alias("_h"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col), F.col("chunk_idx"), F.col("chunk_text")
+                )
+            ).alias("_w")
+        )
+        .select(F.col("_w.*"))
+    )
+    kept = winners.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count("*").alias("_n_total"))
+    return kept.join(totals, id_col).select(
+        id_col,
+        "clean_text",
+        "n_kept",
+        (F.col("_n_total") - F.col("n_kept")).alias("n_dropped"),
+    )
+
+
+def passage_dedup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 8,
+) -> str:
+    """DuckDB twin of :func:`passage_dedup` (same chunk grid via
+    :func:`~gpssbzd_spark.dataprep.splits.chunk_documents_sql`, same
+    (doc_id, chunk_idx) first-occurrence rule, same reassembly)."""
+    from .splits import chunk_documents_sql
+
+    chunks = chunk_documents_sql(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=passage_tokens,
+        overlap=0,
+    )
+    return f"""
+    WITH chunks AS ({chunks}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(chunk_text) ORDER BY {id_col}, chunk_idx
+      ) AS rn FROM chunks
+    ),
+    kept AS (
+      SELECT {id_col},
+             string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM ranked WHERE rn = 1 GROUP BY {id_col}
+    ),
+    tot AS (SELECT {id_col}, COUNT(*) AS n FROM chunks GROUP BY {id_col})
+    SELECT k.{id_col}, k.clean_text, CAST(k.n_kept AS BIGINT) AS n_kept,
+           CAST(t.n - k.n_kept AS BIGINT) AS n_dropped
+    FROM kept k JOIN tot t USING ({id_col})
+    """
+
+
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct lowercase character k-shingles, natively.
 

@@ -53,6 +53,52 @@ def test_exact_dedup_keeps_min_id_per_text(spark):
     assert got == {1, 3, 6}
 
 
+def test_passage_dedup_drops_cross_doc_boilerplate(spark):
+    """Seeded boilerplate scenario: a 4-token license block appears in
+    three docs. The (doc_id, chunk_idx)-first occurrence survives, the
+    other copies vanish from their docs' reassembled text, a doc that
+    IS only the boilerplate disappears entirely, and a unique doc
+    passes through byte-identical."""
+    from gpssbzd_spark.dataprep.dedup import passage_dedup
+
+    boiler = "all rights reserved worldwide"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),     # owns the block
+            (2, "epsilon zeta eta theta " + boiler),     # loses the block
+            (3, boiler),                                 # nothing survives
+            (4, "iota kappa lambda mu"),                 # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in passage_dedup(df, passage_tokens=4).collect()}
+    assert set(out) == {1, 2, 4}  # doc 3 fully deduped away
+    assert out[1].clean_text == boiler + " alpha beta gamma delta"
+    assert out[1].n_kept == 2 and out[1].n_dropped == 0
+    assert out[2].clean_text == "epsilon zeta eta theta"
+    assert out[2].n_kept == 1 and out[2].n_dropped == 1
+    assert out[4].clean_text == "iota kappa lambda mu"
+    assert out[4].n_kept == 1 and out[4].n_dropped == 0
+
+
+def test_passage_dedup_first_occurrence_is_total_order(spark):
+    """Within one doc a repeated passage keeps only its first
+    position, and across docs the smaller doc_id wins regardless of
+    row order in the input."""
+    from gpssbzd_spark.dataprep.dedup import passage_dedup
+
+    rows = [(9, "x y z w x y z w"), (2, "x y z w tail one two three")]
+    for perm in (rows, rows[::-1]):
+        df = spark.createDataFrame(perm, "doc_id long, text string")
+        out = {
+            r.doc_id: r for r in passage_dedup(df, passage_tokens=4).collect()
+        }
+        # doc 2 owns "x y z w" (smaller id); doc 9's two copies both drop
+        assert set(out) == {2}
+        assert out[2].clean_text == "x y z w tail one two three"
+        assert out[2].n_dropped == 0
+
+
 def test_embedding_cosine_pairs_exact_and_blocked(spark):
     df = spark.createDataFrame(
         [

@@ -398,6 +398,32 @@ def test_r7_operators_plan_shapes(spark):
         assert "EvalPython" not in final_plan(q(spark, name)), name
 
 
+def test_r7_tpch_and_passage_plan_shapes(spark):
+    """Plan gates for the second round-7 batch: Q17's qualifying-part
+    dim both broadcasts (the enrich join) and drives a LEFT SEMI
+    prefilter below the per-part threshold aggregate; Q22's global
+    scalar is a broadcast nested-loop over ONE row (the only place a
+    nested-loop is the right plan) plus a LEFT ANTI for NOT EXISTS;
+    Q13's zero-preserving join stays an OUTER join (a WHERE-style
+    rewrite would surface as Inner); passage dedup is pure native
+    exprs end-to-end."""
+    q17 = final_plan(q(spark, "q17_small_quantity_revenue"))
+    assert "BroadcastHashJoin" in q17, q17
+    assert re.search(r"LeftSemi", q17), q17
+    assert "CartesianProduct" not in q17, q17
+
+    q22 = final_plan(q(spark, "q22_global_sales_opportunity"))
+    assert re.search(r"LeftAnti", q22), q22
+    assert "BroadcastNestedLoopJoin" in q22, q22  # one-row scalar side
+
+    q13 = final_plan(q(spark, "q13_customer_distribution"))
+    assert re.search(r"LeftOuter", q13), q13
+
+    for name in ("q13_customer_distribution", "q17_small_quantity_revenue",
+                 "q22_global_sales_opportunity", "dp_passage_dedup"):
+        assert "EvalPython" not in final_plan(q(spark, name)), name
+
+
 def test_pe_pipeline_scans_have_no_unpushed_filters(spark):
     """The pattern-extraction adapter must gate nulls on the BARE
     user_id column so the scan gets a pushed IsNotNull — the derived
