@@ -197,31 +197,45 @@ def main() -> None:
     # queries_spread for 47 rows, ~4.3 KB) exceeded the round driver's
     # tail-capture window. min/spread detail goes to BENCH_DETAIL.json
     # beside this script (and stderr) for human/judge consumption.
+    # The round driver tail-captures the LAST 2000 bytes of stdout: r5 AND
+    # r7 both recorded ``parsed: null`` because extra payload (min/spread
+    # in r5, a prose ``notes`` array in r7) pushed the line past that
+    # window and truncated its HEAD. So the stdout line is budgeted hard:
+    # compact separators, 2-decimal medians, nothing but the contract
+    # keys; and if the query list itself ever outgrows the budget, the
+    # FASTEST queries are elided from the line (never from
+    # BENCH_DETAIL.json, which always carries the full-precision set)
+    # with a visible ``queries_elided`` count — never a silent cap.
+    LINE_BUDGET = 1950
     summary = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": medians,
+        "queries": {k: round(v, 2) for k, v in medians.items()},
         "repeats": repeats,
         "sf": sf,
-        # round-over-round context for the bench reader; details and the
-        # measurements behind each note live in PERF_NOTES.md
-        "notes": [
-            "r6 sub-second drift (p15/p16/ev_*) confirmed as machine-load "
-            "noise: idle r7 re-run put all five back under their r6 "
-            "medians (PERF_NOTES.md #1)",
-            "dd_neardup_clusters_kernel stage timing: the fused Arrow "
-            "shingle+signature kernel is the floor (3.2s of 7.8s "
-            "first-run at sf0.1), CC adds ~2s fixed scheduling overhead "
-            "on 256 pairs; the r5 md5->xxhash hypothesis is closed - no "
-            "parameter-level change left that wins (PERF_NOTES.md #2)",
-        ],
     }
     if errors:
         summary["errors"] = errors
     detail = dict(summary)
+    detail["queries"] = medians
     detail["queries_min"] = mins
     detail["queries_spread"] = spreads
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        by_speed = sorted(summary["queries"], key=lambda k: summary["queries"][k])
+        elided = 0
+        while len(line) > LINE_BUDGET and by_speed:
+            summary["queries"].pop(by_speed.pop(0))
+            elided += 1
+            summary["queries_elided"] = elided
+            line = json.dumps(summary, separators=(",", ":"))
+        print(
+            f"bench: stdout line over {LINE_BUDGET}B budget — elided the "
+            f"{elided} fastest queries from the LINE (full set in "
+            "BENCH_DETAIL.json)",
+            file=sys.stderr,
+        )
     try:
         with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1)
@@ -231,7 +245,7 @@ def main() -> None:
     # the summary line is the bench's entire contract: if it cannot be
     # built/serialized, or any query failed, exit non-zero LOUDLY so the
     # round driver records the failure instead of a silent null
-    print(json.dumps(summary))
+    print(line)
     spark.stop()
     if errors:
         sys.exit(2)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from collections.abc import Callable
 
@@ -137,54 +138,79 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
     ("s_csv_roundtrip", ["s_jsonl_roundtrip"]),
 ]
 
-_ROUND_KEY_CACHE: int | None = None
+# Names the global debt-lending pass drains FIRST (VERDICT r7 #4 called
+# these out by name: the flagship pipeline deserves a driver hash row,
+# and the rows-only kernel queries deserve rows-only driver evidence).
+# Order matters — consumed front-to-back before the seq-ordered rest.
+DRAIN_PRIORITY: list[str] = [
+    "dp_pipeline_pretrain_e2e",
+    "q21_suppliers_who_kept_waiting",
+    "tx_tfidf_terms",
+    "a13_cube_grouping_sets",
+    "ev_funnel_steps",
+    "ts_bucket_interpolate",
+    "sim_topk_ivf_build",
+    "sim_topk_ivf_query",
+    "dd_neardup_clusters_kernel",
+    "dd_simhash_near_pairs",
+    "a9_hll_mergeable_rollup",
+    "mm_feature_extract",
+    "sim_topk_ivf",
+]
+
+_STATE_CACHE: tuple[int, frozenset[str]] | None = None
 
 
-def _round_key() -> int:
-    """Current round number: SPARK_GRAFT_ROUND env if set, else the
-    count of CORRECTNESS_r*.json files committed at the repo root + 1
-    (cached per process so one run sees one window even if the driver
-    writes this round's file mid-process)."""
-    env = os.environ.get("SPARK_GRAFT_ROUND")
-    if env is not None:
-        try:
-            return int(env)
-        except ValueError:
-            pass
-    global _ROUND_KEY_CACHE
-    if _ROUND_KEY_CACHE is None:
+def _window_state() -> tuple[int, frozenset[str]]:
+    """One atomic snapshot of (round key, sampled set).
+
+    Round key: SPARK_GRAFT_ROUND env if set, else 1 + the highest round
+    index among committed CORRECTNESS_r*.json files. Sampled set: the
+    union of names across files with round index STRICTLY BELOW the
+    key — so a process launched after the driver writes the in-flight
+    round's file mid-round computes the SAME window as one launched
+    before (ADVICE r7: globbing everything made the window depend on
+    process start time within a round). Cached per process."""
+    global _STATE_CACHE
+    if _STATE_CACHE is None:
         root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        _ROUND_KEY_CACHE = 1 + len(
-            glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-        )
-    return _ROUND_KEY_CACHE
-
-
-_SAMPLED_CACHE: frozenset[str] | None = None
-
-
-def _sampled_names() -> frozenset[str]:
-    """Names that have EVER earned a driver CORRECTNESS row — the union
-    of keys across every committed CORRECTNESS_r*.json at the repo root
-    (cached per process, same determinism contract as _round_key: the
-    files are committed before the next round starts, so every process
-    in one round sees the same set)."""
-    global _SAMPLED_CACHE
-    if _SAMPLED_CACHE is None:
-        root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        names: set[str] = set()
+        indexed: list[tuple[int, str]] = []
         for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+            if m:
+                indexed.append((int(m.group(1)), f))
+        key: int | None = None
+        env = os.environ.get("SPARK_GRAFT_ROUND")
+        if env is not None:
+            try:
+                key = int(env)
+            except ValueError:
+                key = None
+        if key is None:
+            key = 1 + max((i for i, _ in indexed), default=0)
+        names: set[str] = set()
+        for i, f in indexed:
+            if i >= key:
+                continue
             try:
                 with open(f) as fh:
                     names |= set(json.load(fh))
             except (OSError, ValueError):
                 pass
-        _SAMPLED_CACHE = frozenset(names)
-    return _SAMPLED_CACHE
+        _STATE_CACHE = (key, frozenset(names))
+    return _STATE_CACHE
+
+
+def _round_key() -> int:
+    return _window_state()[0]
+
+
+def _sampled_names() -> frozenset[str]:
+    """Names that earned a driver CORRECTNESS row in any round BEFORE
+    the current one (see _window_state for the coherence contract)."""
+    return _window_state()[1]
 
 
 def rotation_swaps(
@@ -193,24 +219,58 @@ def rotation_swaps(
     """anchor → this round's in-window pick, for groups whose pick is
     not the anchor itself.
 
-    DEBT-AWARE (VERDICT r6 next-round #5): a group whose choices
-    include names that have never earned a driver CORRECTNESS row
-    (per the committed CORRECTNESS_r*.json files) round-robins among
-    THOSE first — so every group with rotation debt retires one
-    never-sampled query per round instead of re-proving sampled ones.
-    Once a group's debt drains, it falls back to the plain staggered
-    round-robin over all choices. ``sampled`` overrides the disk state
-    for tests."""
+    DEBT-AWARE (VERDICT r6 #5): a group whose choices include names
+    that never earned a driver CORRECTNESS row round-robins among THOSE
+    first, so each indebted group retires one never-sampled query per
+    round instead of re-proving sampled ones.
+
+    GLOBAL DEBT LENDING (VERDICT r7 #4): after the per-group pass, any
+    group with NO debt of its own lends its window slot to the global
+    queue of still-unsampled tier>0 queries (DRAIN_PRIORITY names
+    first, then registration order) — so the drain rate is bounded by
+    the number of groups, not by one-per-indebted-group, and group-less
+    queries (the rows-only kernels, the flagship) earn driver rows too.
+    Once ALL debt drains, every group falls back to the plain staggered
+    round-robin over its own choices. ``sampled`` overrides the disk
+    state for tests."""
     if key is None:
         key = _round_key()
     if sampled is None:
         sampled = _sampled_names()
+    _load_all()
     out: dict[str, str] = {}
+    used: set[str] = set()
+    free: list[tuple[int, str, list[str]]] = []
     for i, (anchor, alts) in enumerate(ROTATION_GROUPS):
         choices = [anchor] + alts
         unsampled = [c for c in choices if c not in sampled]
-        pool = unsampled if unsampled else choices
-        pick = pool[(key + i) % len(pool)]
+        if unsampled:
+            pick = unsampled[(key + i) % len(unsampled)]
+            used.add(pick)
+            if pick != anchor:
+                out[anchor] = pick
+        else:
+            free.append((i, anchor, choices))
+    # global queue: tier>0 only (tier-0 rows sit in the window already;
+    # anchors are tier-0, so a lent pick can never collide with a swap
+    # key), minus this round's in-group picks
+    debt = [
+        n
+        for n, q in CORPUS.items()
+        if q.tier > 0 and n not in sampled and n not in used
+    ]
+    prio = [n for n in DRAIN_PRIORITY if n in debt]
+    queue = prio + sorted(
+        (n for n in debt if n not in DRAIN_PRIORITY),
+        key=lambda n: CORPUS[n].seq,
+    )
+    qi = 0
+    for i, anchor, choices in free:
+        if qi < len(queue):
+            pick = queue[qi]
+            qi += 1
+        else:
+            pick = choices[(key + i) % len(choices)]
         if pick != anchor:
             out[anchor] = pick
     return out

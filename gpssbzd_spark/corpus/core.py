@@ -922,7 +922,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
       WHERE c_nationkey < 7
     ),
     avg_bal AS (
-      SELECT AVG(c_acctbal) AS a FROM eligible WHERE c_acctbal > 0.0
+      SELECT ROUND(AVG(c_acctbal), 2) AS a FROM eligible
+      WHERE c_acctbal > 0.0
     )
     SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
            ROUND(SUM(c.c_acctbal), 2) AS totacctbal
@@ -951,8 +952,13 @@ def q22_global_sales_opportunity(spark, sf_dir):
         .filter(F.col("c_nationkey") < 7)
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
+    # threshold rounded to cents on BOTH sides (ADVICE r7): acctbal is
+    # fractional, so the raw double AVG is summation-order dependent in
+    # the last ulp between Spark and DuckDB — a boundary customer could
+    # flip. Cent-rounding collapses both engines to the same threshold
+    # unless the true mean sits within an ulp of a $.005 edge.
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("_a")
+        F.round(F.avg("c_acctbal"), 2).alias("_a")
     )
     urgent = (
         _t(spark, sf_dir, "orders")

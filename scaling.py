@@ -34,7 +34,10 @@ Methodology notes:
 
 Writes SCALING.md (human table) and prints one JSON line (driver
 record). Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_SCALE_MULTS (default "1,4,16"), SPARK_GRAFT_SCALE_REPEATS
+SPARK_GRAFT_SCALE_MULTS (default "1,4,16,64" — the K=64 octave runs by
+default for every family whose max_k allows it; a custom MULTS list
+must leave >= 2 multipliers under each family's cap or the slope is
+undefined and the run aborts loudly), SPARK_GRAFT_SCALE_REPEATS
 (default 3).
 """
 
@@ -138,7 +141,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mults = [
         int(m)
-        for m in os.environ.get("SPARK_GRAFT_SCALE_MULTS", "1,4,16").split(",")
+        for m in os.environ.get(
+            "SPARK_GRAFT_SCALE_MULTS", "1,4,16,64"
+        ).split(",")
     ]
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     assert len(mults) >= 2 and mults == sorted(mults)
@@ -162,6 +167,11 @@ def main() -> None:
         table, inflate, op = spec[:3]
         max_k = spec[3] if len(spec) > 3 else None
         fam_mults = [K for K in mults if max_k is None or K <= max_k]
+        assert len(fam_mults) >= 2, (
+            f"family {name}: SPARK_GRAFT_SCALE_MULTS={mults} leaves "
+            f"{fam_mults} under max_k={max_k} — need >= 2 multipliers "
+            "to fit a log-log slope"
+        )
         base = load_table(spark, sf_dir, table)
         per_mult = {}
         for K in fam_mults:

@@ -101,8 +101,12 @@ def test_rotation_groups_well_formed():
 def test_driver_window_invariants_under_rotation(key, sampled):
     """At every round key — under BOTH the committed sampled set and
     the drained (no-debt) state: exactly DRIVER_WINDOW queries, every
-    fixed family row present, exactly ONE member of each rotation
-    group, and no unexpected rows-only entries."""
+    fixed family row present, the window is exactly (tier-0 minus the
+    swapped-out anchors) plus the swapped-in picks, and no unexpected
+    rows-only entries. While debt exists a rows-only name may sit in
+    the window the one round it earns its rows-only driver row (VERDICT
+    r7 #4); once sampled it may never come back (oracle share is a
+    ratchet)."""
     names = corpus.window_names(key, sampled)
     assert len(names) == corpus.DRIVER_WINDOW
     in_window = set(names)
@@ -110,16 +114,26 @@ def test_driver_window_invariants_under_rotation(key, sampled):
     missing = [n for n in FIXED if n not in in_window]
     assert not missing, f"fixed family rows fell out at key {key}: {missing}"
 
-    for anchor, alts in corpus.ROTATION_GROUPS:
-        members = [n for n in (anchor, *alts) if n in in_window]
-        assert len(members) == 1, (
-            f"rotation group {anchor} has {members} in window at key {key}"
-        )
+    swaps = corpus.rotation_swaps(key, sampled)
+    tier0 = {q.name for q in corpus.CORPUS.values() if q.tier == 0}
+    expect = (tier0 - set(swaps)) | set(swaps.values())
+    assert in_window == expect, (
+        f"window at key {key} is not slot-consistent: "
+        f"extra={sorted(in_window - expect)} "
+        f"missing={sorted(expect - in_window)}"
+    )
 
+    eff_sampled = corpus._sampled_names() if sampled is None else sampled
+    earning = {
+        n
+        for n, q in corpus.CORPUS.items()
+        if q.oracle is None and n not in eff_sampled
+    }
     no_oracle = {n for n in names if corpus.CORPUS[n].oracle is None}
-    assert no_oracle <= ALLOWED_NO_ORACLE, (
-        f"unexpected rows-only queries in the driver window at key "
-        f"{key}: {sorted(no_oracle - ALLOWED_NO_ORACLE)}"
+    assert no_oracle <= ALLOWED_NO_ORACLE | earning, (
+        f"rows-only queries in the driver window at key {key} that are "
+        f"neither allowlisted nor earning their first driver row: "
+        f"{sorted(no_oracle - ALLOWED_NO_ORACLE - earning)}"
     )
 
 
@@ -139,16 +153,19 @@ def test_rotation_changes_window_between_rounds():
 
 
 def test_rotation_prefers_never_sampled():
-    """Debt-aware rotation (VERDICT r6 #5): while a group has choices
-    that never earned a driver CORRECTNESS row, every round's pick for
-    that group IS one of them — the debt drains one query per group per
-    round instead of re-proving sampled names. With the committed r1–r6
-    record this must put 10+ never-sampled queries into the round-7
-    window."""
+    """Debt-aware rotation (VERDICT r6 #5, rewritten per VERDICT r7 #1:
+    no hard-coded round counts — the expectation derives from the
+    actual remaining debt, so committing this round's CORRECTNESS file
+    cannot stale the assertion). While a group has choices that never
+    earned a driver row, its pick IS one of them; groups without debt
+    lend their slot to the global queue. So at the CURRENT round key
+    the window's first-time-name count must be at least
+    min(#groups, total tier>0 debt)."""
     corpus._load_all()
     sampled = corpus._sampled_names()
-    for key in KEYS:
-        swaps = corpus.rotation_swaps(key, sampled)
+    key = corpus._round_key()
+    for k in (key, key + 1):
+        swaps = corpus.rotation_swaps(k, sampled)
         for anchor, alts in corpus.ROTATION_GROUPS:
             choices = [anchor, *alts]
             unsampled = [c for c in choices if c not in sampled]
@@ -157,25 +174,79 @@ def test_rotation_prefers_never_sampled():
             pick = swaps.get(anchor, anchor)
             assert pick in unsampled, (
                 f"group {anchor} picked already-sampled {pick} at key "
-                f"{key} while {unsampled} still owe driver rows"
+                f"{k} while {unsampled} still owe driver rows"
             )
-    # the concrete r7 outcome the drain exists for
-    never_in_w7 = [
-        n for n in corpus.window_names(7, sampled) if n not in sampled
+    debt = [
+        n
+        for n, q in corpus.CORPUS.items()
+        if q.tier > 0 and n not in sampled
     ]
-    assert len(never_in_w7) >= 10, never_in_w7
+    first_time = [
+        n for n in corpus.window_names(key, sampled) if n not in sampled
+    ]
+    assert len(first_time) >= min(len(corpus.ROTATION_GROUPS), len(debt)), (
+        f"round {key} drains only {len(first_time)} of {len(debt)} "
+        f"debt names with {len(corpus.ROTATION_GROUPS)} slots available: "
+        f"{first_time}"
+    )
+
+
+def test_rotation_debt_drains_within_two_rounds():
+    """The durable version of the drain property (VERDICT r7 #8):
+    simulating the rotation forward from the committed state, every
+    round's window retires first-time names until NO tier>0 query is
+    left unsampled — and with global lending that takes at most
+    ceil(debt / #groups) more rounds. Once the real debt is zero this
+    also asserts the end state: every registered query has earned at
+    least one driver row."""
+    corpus._load_all()
+    sampled = set(corpus._sampled_names())
+    key = corpus._round_key()
+    debt = {
+        n
+        for n, q in corpus.CORPUS.items()
+        if q.tier > 0 and n not in sampled
+    }
+    bound = -(-len(debt) // len(corpus.ROTATION_GROUPS))  # ceil
+    rounds = 0
+    while debt:
+        assert rounds < bound, (
+            f"debt not drained after {rounds} simulated rounds: "
+            f"{sorted(debt)}"
+        )
+        window = set(corpus.window_names(key + rounds, frozenset(sampled)))
+        drained = debt & window
+        assert drained, f"round {key + rounds} drains nothing: {sorted(debt)}"
+        sampled |= window
+        debt -= drained
+        rounds += 1
+    # end state (vacuous until the real debt hits zero, binding after)
+    if not any(
+        q.tier > 0 and n not in corpus._sampled_names()
+        for n, q in corpus.CORPUS.items()
+    ):
+        assert set(corpus.CORPUS) <= corpus._sampled_names() | {
+            q.name for q in corpus.CORPUS.values() if q.tier == 0
+        }
 
 
 def test_sampled_names_matches_committed_records():
-    """_sampled_names unions exactly the committed CORRECTNESS files."""
+    """_sampled_names unions exactly the committed CORRECTNESS files of
+    rounds STRICTLY BEFORE the current round key — the in-flight
+    round's file (which the driver writes mid-round) must not shift
+    the window composition between processes (ADVICE r7)."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    key = corpus._round_key()
     expect: set[str] = set()
     for f in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
-        expect |= set(_json.load(open(f)))
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if m and int(m.group(1)) < key:
+            expect |= set(_json.load(open(f)))
     assert corpus._sampled_names() == expect
 
 
