@@ -130,6 +130,19 @@ HEADLINE = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "mm_decode_roundtrip",
     "dp_passage_dedup",
 ]
 

@@ -91,7 +91,13 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
      ["q3_shipping_priority", "q5_local_supplier_volume",
       "q18_large_volume_customers", "q4_order_priority_checking",
       "q21_suppliers_who_kept_waiting", "q13_customer_distribution",
-      "q17_small_quantity_revenue", "q22_global_sales_opportunity"]),
+      "q17_small_quantity_revenue", "q22_global_sales_opportunity",
+      "q2_min_cost_supplier", "q11_important_stock",
+      "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+      "q9_product_type_profit", "q10_returned_items",
+      "q14_promo_revenue", "q15_top_supplier",
+      "q16_parts_supplier_counts", "q19_discounted_revenue",
+      "q20_potential_promotion"]),
     ("a4_percentile_exact",
      ["dp_outliers_mad", "dp_profile_correlation", "dp_drift_psi"]),
     ("a2_cascaded_conditional",
@@ -144,6 +150,9 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
 # Order matters — consumed front-to-back before the seq-ordered rest.
 DRAIN_PRIORITY: list[str] = [
     "dp_pipeline_pretrain_e2e",
+    "mm_decode_roundtrip",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
     "q21_suppliers_who_kept_waiting",
     "tx_tfidf_terms",
     "a13_cube_grouping_sets",
@@ -315,6 +324,7 @@ def _load_all() -> None:
         dataprep,
         pipelines,
         streaming,
+        tpch,
         windows,
     )
 

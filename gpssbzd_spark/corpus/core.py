@@ -978,6 +978,193 @@ def q22_global_sales_opportunity(spark, sf_dir):
 
 
 @query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    po AS (
+      SELECT o.l_partkey, o.l_suppkey, o.cost
+      FROM offers o
+      JOIN eu ON eu.s_suppkey = o.l_suppkey
+      WHERE o.l_partkey IN (
+        SELECT p_partkey FROM part
+        WHERE p_size <= 15 AND p_type = 'ECONOMY'
+      )
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name, po.l_partkey AS p_partkey,
+           p.p_brand, ROUND(po.cost, 4) AS supply_cost
+    FROM po
+    JOIN eu ON eu.s_suppkey = po.l_suppkey
+    JOIN part p ON p.p_partkey = po.l_partkey
+    WHERE po.cost = (
+      SELECT MIN(po2.cost) FROM po po2 WHERE po2.l_partkey = po.l_partkey
+    )
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p_partkey
+    LIMIT 100
+    """,
+    note="TPC-H Q2 shape (minimum-cost supplier): the CORRELATED scalar "
+    "MIN subquery over a dim-filtered join — for each qualifying part, "
+    "the cheapest regional supply offer, then the rows ACHIEVING that "
+    "minimum (ties included) with supplier/nation attributes, ordered "
+    "with LIMIT. Decorrelated into a per-part MIN aggregate joined "
+    "back on the correlation key; the region->nation->supplier chain "
+    "broadcasts (5/30/100 rows), and the part dim restriction "
+    "semi-joins the offer fact BEFORE both the MIN and the equality "
+    "probe (lossless: partkey is the correlation key). The fixture has "
+    "no partsupp table, so pair-level offers derive from lineitem as "
+    "MIN unit price per (part, supplier) — MIN is order-insensitive "
+    "and division is IEEE-exact, so the cost==min equality compare is "
+    "deterministic across engines (unlike a SUM). ORDER BY carries the "
+    "(s_name, partkey) unique tie-break. Fully oracled.",
+    tier=2,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    parts = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    )
+    po = offers.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(parts.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    # one row per QUALIFYING part (the semi-join above already restricted
+    # po), so the min-cost probe side broadcasts instead of shuffling the
+    # pair-level offers a second time
+    min_cost = po.groupBy("l_partkey").agg(F.min("cost").alias("_min_cost"))
+    return (
+        po.join(F.broadcast(min_cost), "l_partkey")
+        .filter(F.col("cost") == F.col("_min_cost"))
+        .join(
+            F.broadcast(parts.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            F.round("cost", 4).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH nat_supply AS (
+      SELECT l.l_partkey,
+             l.l_extendedprice * (1.0 - l.l_discount) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'AFRICA'
+    ),
+    grp AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS part_cents
+      FROM nat_supply GROUP BY l_partkey
+    ),
+    threshold AS (
+      SELECT SUM(part_cents) * 0.001 AS t FROM grp
+    )
+    SELECT g.l_partkey AS ps_partkey,
+           g.part_cents / 100.0 AS part_value
+    FROM grp g, threshold
+    WHERE g.part_cents > threshold.t
+    """,
+    note="TPC-H Q11 shape (important stock identification): per-part "
+    "value of a nation-filtered supply fact, kept only where the "
+    "part's share exceeds a FRACTION OF THE GLOBAL TOTAL over the "
+    "same filtered set — the uncorrelated scalar-aggregate HAVING. "
+    "The scalar total reuses the per-group sums (one pass over the "
+    "fact, a second tiny agg over the groups) and broadcasts back as "
+    "a one-row cross join — no re-scan of lineitem, no driver "
+    "collect. Values are summed as EXACT integer cents (per-row cent "
+    "rounding of identical doubles, then bigint SUM — "
+    "order-independent), so summation-order ulp drift cannot flip a "
+    "boundary part on either engine. The fixture has no partsupp, "
+    "so value = discounted extended price from lineitem restricted to "
+    "one region's suppliers. Fully oracled.",
+    tier=2,
+)
+def q11_important_stock(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+        "left_semi",
+    )
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "value"
+        ),
+    )
+    grp = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias(
+                "part_cents"
+            )
+        )
+    )
+    threshold = grp.agg((F.sum("part_cents") * 0.001).alias("_t"))
+    return (
+        grp.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_cents") > F.col("_t"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("part_cents") / 100.0).alias("part_value"),
+        )
+    )
+
+
+@query(
     "j10_interval_overlap",
     oracle="""
     SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id

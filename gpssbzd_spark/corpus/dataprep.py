@@ -292,6 +292,7 @@ from gpssbzd_spark.dataprep.multimodal import (  # noqa: E402
     media_from_binary,
     resize_images,
     sample_frames,
+    synth_media,
 )
 from gpssbzd_spark.dataprep.similarity import (  # noqa: E402
     brute_force_topk,
@@ -760,6 +761,72 @@ def mm_feature_extract(spark, sf_dir):
         _F.count("*").alias("n_media"),
         _F.sum("n_bytes").alias("total_bytes"),
         _F.min(_F.size("feature")).alias("feat_dim"),
+    )
+
+
+@query(
+    "mm_decode_roundtrip",
+    oracle="""
+    SELECT doc_id AS media_id,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 'audio' WHEN 1 THEN 'image' ELSE 'video' END AS kind,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN CAST((doc_id % 50 + 1) * 10 AS DOUBLE)
+        WHEN 1 THEN CAST((doc_id % 64 + 1) * 4 AS DOUBLE)
+        ELSE CAST(doc_id % 7000 + 500 AS DOUBLE) END AS d1,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 8000.0
+        WHEN 1 THEN CAST((doc_id % 32 + 1) * 4 AS DOUBLE)
+        ELSE CAST((doc_id % 16 + 1) * 16 AS DOUBLE) END AS d2,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN (doc_id % 8 + 1) / 32.0
+        WHEN 1 THEN CAST((doc_id % 64 + 1) * 4 AS DOUBLE)
+             / CAST((doc_id % 32 + 1) * 4 AS DOUBLE)
+        ELSE CAST((doc_id % 9 + 1) * 16 AS DOUBLE) END AS d3,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN (doc_id % 8 + 1) / 32.0
+        WHEN 1 THEN 3.0
+        ELSE CAST((doc_id % 40 + 2) * 5 AS DOUBLE) END AS d4
+    FROM documents
+    """,
+    note="multimodal family's HASH row (VERDICT r7 #6): synthesize VALID "
+    "WAV/PNG/MP4 containers arithmetically from doc_id (dataprep/"
+    "multimodal.synth_media), push them through the REAL stdlib decode "
+    "kernels via extract_features(decode='auto') — wave-module PCM "
+    "stats, PNG-IHDR/Pillow dims, ISO-BMFF moov walk — and compare the "
+    "decoded properties against a pure-SQL oracle that predicts them "
+    "from the id without decoding. Every compared value is exact in "
+    "float64 by construction (integer durations/dims; square-wave RMS "
+    "is a dyadic rational k/32), so the hash cannot drift. d1=duration/"
+    "width, d2=rate/height/width, d3=rms/aspect/height, d4=peak/"
+    "channels/frame-count per kind. Pixel statistics (Pillow mean/std) "
+    "stay rows-only in the mm_feature_extract/mm_resize_pipeline "
+    "kernels.",
+    tier=2,
+)
+def mm_decode_roundtrip(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        _F.col("doc_id").cast("long").alias("doc_id")
+    )
+    feats = extract_features(
+        synth_media(d, id_col="doc_id"), decode="auto"
+    )
+    f, kind = _F.col("feature"), _F.col("kind")
+    return feats.select(
+        "media_id",
+        "kind",
+        f[0].alias("d1"),
+        _F.when(kind == "audio", f[2])
+        .otherwise(f[1])
+        .alias("d2"),
+        _F.when(kind == "audio", f[4])
+        .when(kind == "image", f[5])
+        .otherwise(f[2])
+        .alias("d3"),
+        _F.when(kind == "audio", f[5])
+        .when(kind == "image", f[2])
+        .otherwise(f[3])
+        .alias("d4"),
     )
 
 

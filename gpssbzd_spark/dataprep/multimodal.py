@@ -654,3 +654,140 @@ def sample_frames(
         .filter(F.col("meta.duration_ms") >= 0)
         .select("media_id", F.explode(ts).alias("frame_ms"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic media synthesis: VALID WAV / PNG / MP4 blobs derived
+# arithmetically from an integer id. Closes the multimodal family's
+# oracle gap (VERDICT r7 #6): the real stdlib decoders run end-to-end
+# over genuine containers, and because every decoded property is a pure
+# function of the id, a SQL oracle can predict the decoder's output
+# without decoding anything. All derived properties are chosen to be
+# EXACT in float64 (durations are integers, RMS of a square wave of
+# amplitude (k*1024) is k/32 — a dyadic rational), so the differential
+# hash cannot drift on floating-point rounding.
+# ---------------------------------------------------------------------------
+
+
+def synth_wav_bytes(media_id: int) -> bytes:
+    """Mono 16-bit 8 kHz WAV: (id%50+1)*80 frames of a square wave of
+    amplitude (id%8+1)*1024 → duration_ms=(id%50+1)*10 exactly, RMS and
+    peak = (id%8+1)/32 exactly."""
+    import wave
+
+    nf = (media_id % 50 + 1) * 80
+    amp = (media_id % 8 + 1) * 1024
+    pcm = np.empty(nf, dtype="<i2")
+    pcm[0::2] = amp
+    pcm[1::2] = -amp
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(pcm.tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png_bytes(media_id: int) -> bytes:
+    """Fully valid solid-color RGB PNG (signature + IHDR + zlib IDAT +
+    IEND, real CRCs): width=(id%64+1)*4, height=(id%32+1)*4. Valid
+    end-to-end so BOTH image kernels — the header-only stdlib parse and
+    the Pillow pixel decode when PIL is importable — agree on
+    width/height/channels/aspect."""
+    import zlib
+
+    w = (media_id % 64 + 1) * 4
+    h = (media_id % 32 + 1) * 4
+    rgb = bytes(((media_id * m) % 256 for m in (1, 7, 13)))
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    row = b"\x00" + rgb * w  # filter 0 + pixels
+    idat = _png_chunk(b"IDAT", zlib.compress(row * h))
+    return b"\x89PNG\r\n\x1a\n" + ihdr + idat + _png_chunk(b"IEND", b"")
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def synth_mp4_bytes(media_id: int) -> bytes:
+    """Minimal valid ISO-BMFF container (ftyp + moov{mvhd, trak{tkhd,
+    mdia/minf/stbl/stsz}}): timescale=1000 so duration_ms =
+    (id%7000)+500 exactly; width=(id%16+1)*16, height=(id%9+1)*16
+    (16.16 fixed point in tkhd), n_frames=(id%40+2)*5 in stsz."""
+    duration = media_id % 7000 + 500
+    w = (media_id % 16 + 1) * 16
+    h = (media_id % 9 + 1) * 16
+    n_frames = (media_id % 40 + 2) * 5
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, 1000, duration)
+        + b"\x00" * 80,
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        b"\x00\x00\x00\x00"
+        + b"\x00" * 72
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    stsz = _mp4_box(
+        b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, n_frames)
+    )
+    mdia = _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsz)))
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x00\x00isom")
+    return ftyp + _mp4_box(b"moov", mvhd + trak)
+
+
+_SYNTH_KINDS = ["audio", "image", "video"]
+_SYNTH_MIMES = {"audio": "audio/wav", "image": "image/png", "video": "video/mp4"}
+_SYNTH_FNS = {
+    "audio": synth_wav_bytes,
+    "image": synth_png_bytes,
+    "video": synth_mp4_bytes,
+}
+
+
+def synth_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """id column → media rows with REAL container bytes, kind cycling
+    audio/image/video by id%3. ``mapInPandas`` over the id column only
+    (column-pruned scan); the blob synthesis is per-partition, no
+    driver involvement, so it scales with the id table."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            kinds = [_SYNTH_KINDS[i % 3] for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _SYNTH_FNS[k](int(i)) for k, i in zip(kinds, ids)
+                    ],
+                    "meta": [
+                        {
+                            "kind": k,
+                            "mime": _SYNTH_MIMES[k],
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        }
+                        for k in kinds
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)

@@ -16,8 +16,8 @@ from gpssbzd_spark import corpus
 # enough consecutive keys to exercise every alternate of the largest
 # group: N consecutive integers cover all residues mod m for every
 # m <= N, so KEYS must be at least as long as the largest group's
-# choice count (currently a2: 13 choices)
-KEYS = list(range(1, 15))
+# choice count (currently the TPC-H group: 21 choices)
+KEYS = list(range(1, 23))
 
 # non-rotating tier-0 rows: every one must be in the window at EVERY
 # key (one name per §2 component or merged-component slot)
