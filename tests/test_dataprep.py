@@ -1269,3 +1269,48 @@ def test_chunk_documents_window_semantics(spark):
     ]
     for (_, _, a), (_, _, b) in zip(chunks, chunks[1:]):
         assert a.split()[-2:] == b.split()[:2]  # exact 2-token overlap
+
+
+def test_synth_media_containers_decode_to_predicted_values(spark):
+    """synth_media emits VALID containers whose decoded properties are
+    pure functions of the id — the invariant mm_decode_roundtrip's SQL
+    oracle relies on — and the pipeline is partition-count invariant
+    (same rows at 1 and 7 partitions: no per-batch state leaks)."""
+    from gpssbzd_spark.dataprep.multimodal import (
+        _header_image_features,
+        _parse_mp4_meta,
+        _real_audio_features,
+        extract_features,
+        synth_media,
+        synth_mp4_bytes,
+        synth_png_bytes,
+        synth_wav_bytes,
+    )
+
+    # kernel-level: decoded values match the arithmetic prediction
+    for i in (0, 7, 49, 123, 6999):
+        wav = _real_audio_features(synth_wav_bytes(i))
+        assert wav[0] == (i % 50 + 1) * 10.0  # duration_ms
+        assert wav[2] == 8000.0 and wav[4] == (i % 8 + 1) / 32.0
+        png = _header_image_features(synth_png_bytes(i))
+        assert png[0] == (i % 64 + 1) * 4.0
+        assert png[1] == (i % 32 + 1) * 4.0 and png[2] == 3.0
+        mp4 = _parse_mp4_meta(synth_mp4_bytes(i))
+        assert mp4["duration_ms"] == i % 7000 + 500
+        assert mp4["width"] == (i % 16 + 1) * 16
+        assert mp4["height"] == (i % 9 + 1) * 16
+        assert mp4["n_frames"] == (i % 40 + 2) * 5
+
+    # plan-level: partition-count invariance of the full pipeline
+    ids = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    rows = {}
+    for parts in (1, 7):
+        feats = extract_features(
+            synth_media(ids.repartition(parts), id_col="doc_id"),
+            decode="auto",
+        )
+        rows[parts] = sorted(
+            (r.media_id, r.kind, tuple(r.feature)) for r in feats.collect()
+        )
+    assert rows[1] == rows[7]
+    assert len(rows[1]) == 60

@@ -437,3 +437,66 @@ def test_pe_pipeline_scans_have_no_unpushed_filters(spark):
         if f.kind == "unpushed-filter"
     ]
     assert not findings, findings
+
+
+def test_r8_tpch_plans_broadcast_stars_no_smj(spark):
+    """Round-8 TPC-H batch plan gates: every star query resolves its
+    dim joins to broadcasts (zero SortMergeJoin anywhere — a shuffled
+    dim join would be a silent 100 TB regression), no accidental
+    cartesian products, the one-row scalar broadcasts in q11/q15 are
+    the ONLY nested-loop sites, q10 takes its top-20 with
+    TakeOrderedAndProject (no global sort), and q6 is pure scan-side
+    aggregation: no join operator at all and the date/quantity
+    predicates pushed to the parquet scan."""
+    stars = (
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q16_parts_supplier_counts",
+        "q19_discounted_revenue",
+        "q20_potential_promotion",
+    )
+    for name in stars:
+        plan = final_plan(q(spark, name))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "EvalPython" not in plan, name
+
+    for name in ("q11_important_stock", "q15_top_supplier"):
+        plan = final_plan(q(spark, name))
+        assert "SortMergeJoin" not in plan, name
+        # the broadcast one-row threshold/max — the intended exception
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, name
+
+    q10 = final_plan(q(spark, "q10_returned_items"))
+    assert "TakeOrderedAndProject" in q10, q10
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        q6 = final_plan(q(spark, "q6_forecast_revenue"))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "Join" not in q6, q6
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", q6)
+    assert m and "l_shipdate" in m.group(1) and "l_quantity" in m.group(1), q6
+
+
+def test_mm_decode_roundtrip_is_single_stage(spark):
+    """The multimodal decode roundtrip is synth → decode → project
+    inside ONE mapInPandas pipeline: zero exchanges (no shuffle for a
+    per-row transform) and a pruned scan that reads only doc_id."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = final_plan(q(spark, "mm_decode_roundtrip"))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "Exchange" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",") if c} == {
+        "doc_id"
+    }, plan
