@@ -989,7 +989,7 @@ def simhash_portable(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bands: int = 8,
+    bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs with an ENGINE-PORTABLE hash
@@ -1013,6 +1013,19 @@ def simhash_portable(
     free). 64 bits matters on a template-heavy corpus: at 32 bits the
     shared-boilerplate majority vote collides essentially everything
     (observed ~18% of ALL pairs under hamming<=3 on the fixture).
+
+    ``bands`` should be the MINIMUM the pigeonhole cover allows
+    (``max_hamming + 1``, rounded up to an even divisor of 64): the
+    verify step makes the output identical for ANY covering band
+    count, but spurious candidates scale as
+    ``bands * n^2 / 2^(64/bands)`` — fixed band space is the one
+    quadratic term in this pipeline. Measured on the K=64 inflation
+    (320k docs, sf0.1): bands=8 (8-bit values, 256-way space) hit
+    441 s with 2 GiB page-allocation stalls in the candidate
+    ``distinct``; bands=4 (16-bit values, 65536-way space) removes
+    ~512x of the spurious population at the same guaranteed recall —
+    the same grow-the-bucket-space-with-the-corpus rule the
+    hyperplane-LSH family documents.
 
     :func:`simhash_portable_sql` replays the identical pipeline in
     DuckDB for the cross-engine hash comparison.
@@ -1118,7 +1131,7 @@ def simhash_portable_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
-    bands: int = 8,
+    bands: int = 4,
     max_hamming: int = 3,
 ) -> str:
     """DuckDB twin of :func:`simhash_portable`, same parameters."""

@@ -32,13 +32,15 @@ Methodology notes:
 - CC: the pair graph grows K× (structure replicates); the measured
   cost is pairs + components + rep/size labeling end-to-end.
 
-Writes SCALING.md (human table) and prints one JSON line (driver
+Writes SCALING.json (machine record, merged across runs so a single
+family can be re-measured without redoing the ~1 h ladder) and renders
+SCALING.md from the merged record; prints one JSON line (driver
 record). Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_SCALE_MULTS (default "1,4,16,64" — the K=64 octave runs by
 default for every family whose max_k allows it; a custom MULTS list
 must leave >= 2 multipliers under each family's cap or the slope is
 undefined and the run aborts loudly), SPARK_GRAFT_SCALE_REPEATS
-(default 3).
+(default 3), SPARK_GRAFT_SCALE_FAMILIES (comma list; default = all).
 """
 
 from __future__ import annotations
@@ -147,6 +149,12 @@ def main() -> None:
     ]
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     assert len(mults) >= 2 and mults == sorted(mults)
+    fam_filter = os.environ.get("SPARK_GRAFT_SCALE_FAMILIES")
+    wanted = (
+        {f.strip() for f in fam_filter.split(",") if f.strip()}
+        if fam_filter
+        else None
+    )
 
     from pyspark.sql import functions as F
 
@@ -164,6 +172,8 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name, spec in families().items():
+        if wanted is not None and name not in wanted:
+            continue
         table, inflate, op = spec[:3]
         max_k = spec[3] if len(spec) > 3 else None
         fam_mults = [K for K in mults if max_k is None or K <= max_k]
@@ -212,18 +222,59 @@ def main() -> None:
             "exponent_pair": [lo, hi],
         }
 
-    _write_md(sf_dir, mults, repeats, results)
+    merged = _merge_sidecar(sf_dir, mults, repeats, results)
+    _write_md(sf_dir, mults, repeats, merged)
     print(
         json.dumps(
             {
                 "metric": "scaling_exponents",
                 "sf_dir": sf_dir,
                 "mults": mults,
-                "exponents": {k: v["exponent"] for k, v in results.items()},
+                "exponents": {k: v["exponent"] for k, v in merged.items()},
             }
         )
     )
     spark.stop()
+
+
+def _merge_sidecar(sf_dir, mults, repeats, results) -> dict:
+    """Merge this run's families into SCALING.json so a partial run
+    (SPARK_GRAFT_SCALE_FAMILIES) refreshes one family's rows without
+    discarding the rest of the ladder. Prior cells are kept only when
+    sf_dir matches; family order follows :func:`families` so the
+    rendered table is stable across partial refreshes."""
+    path = os.path.join(REPO, "SCALING.json")
+    prior: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            rec = json.load(fh)
+        if rec.get("sf_dir") == sf_dir:
+            for fam, r in rec.get("families", {}).items():
+                prior[fam] = {
+                    "mults": {int(k): v for k, v in r["mults"].items()},
+                    "exponent": r["exponent"],
+                    "exponent_pair": r["exponent_pair"],
+                }
+    prior.update(results)
+    order = list(families().keys())
+    merged = {
+        fam: prior[fam]
+        for fam in sorted(
+            prior, key=lambda f: order.index(f) if f in order else 99
+        )
+    }
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "mults": mults,
+                "repeats": repeats,
+                "families": merged,
+            },
+            fh,
+            indent=1,
+        )
+    return merged
 
 
 def _write_md(sf_dir, mults, repeats, results) -> None:
@@ -272,7 +323,9 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
     lines += [
         "",
         "Regenerate: `python scaling.py` (env `SPARK_GRAFT_SF_DIR`,",
-        "`SPARK_GRAFT_SCALE_MULTS`, `SPARK_GRAFT_SCALE_REPEATS`).",
+        "`SPARK_GRAFT_SCALE_MULTS`, `SPARK_GRAFT_SCALE_REPEATS`,",
+        "`SPARK_GRAFT_SCALE_FAMILIES` to refresh a subset — cells merge",
+        "into SCALING.json and this table renders from the merged record).",
         "",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as fh:

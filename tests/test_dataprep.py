@@ -553,6 +553,35 @@ def test_simhash_banding_excludes_tokenless_docs(spark):
     assert (2001, 2002) in {(r.id_a, r.id_b) for r in pairs}
 
 
+def test_simhash_defaults_use_minimal_pigeonhole_cover():
+    """The banding band count must stay at the MINIMUM the pigeonhole
+    cover allows for the default max_hamming: spurious candidates grow
+    as bands * n^2 / 2^(64/bands), so every band beyond the cover
+    multiplies a quadratic term. bands=8 (8-bit band space) measured
+    441 s at the K=64 inflation vs a ~linear curve at bands=4 — the
+    fixed-band-space knee only appears past the K=16 octave the gate
+    test can afford to run."""
+    import inspect
+
+    from gpssbzd_spark.dataprep.dedup import (
+        simhash_near_pairs,
+        simhash_portable,
+        simhash_portable_sql,
+    )
+
+    for fn in (simhash_near_pairs, simhash_portable, simhash_portable_sql):
+        p = inspect.signature(fn).parameters
+        bands, max_hamming = p["bands"].default, p["max_hamming"].default
+        assert bands > max_hamming, fn.__name__  # cover holds at all
+        # minimal even divisor of 64 that still covers max_hamming
+        minimal = next(
+            b
+            for b in (2, 4, 8, 16, 32)
+            if b > max_hamming and 64 % b == 0
+        )
+        assert bands == minimal, (fn.__name__, bands, minimal)
+
+
 def test_ivf_seed_sample_filters_below_take_ordered(spark):
     """The k-means seed scan must hash-filter BELOW the TakeOrdered so
     seeding a 100 TB corpus moves ~64·n_centroids rows, not the corpus;
