@@ -51,6 +51,8 @@ from gpssbzd_spark.dataprep.multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
     probe_video_meta,
+    synth_media,
+    synth_png_video,
 )
 from gpssbzd_spark.dataprep.scalegen import (  # noqa: F401
     inflate_documents,

@@ -553,6 +553,136 @@ def test_simhash_banding_excludes_tokenless_docs(spark):
     assert (2001, 2002) in {(r.id_a, r.id_b) for r in pairs}
 
 
+def test_png_decoder_full_filter_set_and_color_types():
+    """The stdlib PNG decoder must invert every scanline filter (0
+    None, 1 Sub, 2 Up, 3 Average, 4 Paeth) and the 8-bit color types
+    0/2/4/6 exactly — real-world encoders emit all of them. Encode a
+    random image with a different filter per row by applying the spec
+    forward, decode, compare byte-for-byte."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gpssbzd_spark.dataprep.multimodal import (
+        _decode_png_pixels,
+        _png_chunk,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def encode(img, filters):
+        h, w, c = img.shape
+        stride = w * c
+        flat = img.reshape(h, stride).astype(int)
+        out = bytearray()
+        prior = np.zeros(stride, dtype=int)
+        for y in range(h):
+            cur, filt = flat[y], filters[y % len(filters)]
+            out.append(filt)
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                b = prior[i]
+                cc = prior[i - c] if i >= c else 0
+                if filt == 0:
+                    v = cur[i]
+                elif filt == 1:
+                    v = (cur[i] - a) % 256
+                elif filt == 2:
+                    v = (cur[i] - b) % 256
+                elif filt == 3:
+                    v = (cur[i] - (a + b) // 2) % 256
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                    v = (cur[i] - pred) % 256
+                out.append(v)
+            prior = cur
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        ihdr = _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        )
+        idat = _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        return b"\x89PNG\r\n\x1a\n" + ihdr + idat + _png_chunk(b"IEND", b"")
+
+    for channels in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(6, 5, channels), dtype=np.uint8)
+        dec = _decode_png_pixels(encode(img, [0, 1, 2, 3, 4]))
+        assert dec is not None and (dec == img).all(), channels
+    assert _decode_png_pixels(b"not a png") is None
+
+
+def test_png_video_roundtrip_kernel_exact():
+    """synth_png_video_bytes → sample-table walk → per-frame PNG
+    decode → integer-moment stats must reproduce the arithmetic
+    prediction EXACTLY (the cross-engine contract behind
+    mm_video_pixel_roundtrip), and metadata-only MP4s must keep
+    degrading to zero pixel stats."""
+    import math
+
+    from gpssbzd_spark.dataprep.multimodal import (
+        _decode_video_frames,
+        _parse_mp4_meta,
+        _parse_mp4_video_samples,
+        _real_video_features,
+        synth_mp4_bytes,
+        synth_png_video_bytes,
+    )
+
+    for mid in (0, 3, 17, 254, 9999):
+        blob = synth_png_video_bytes(mid)
+        n_f = mid % 6 + 2
+        w, h = (mid % 8 + 1) * 8, (mid % 5 + 1) * 8
+        assert _parse_mp4_meta(blob) == {
+            "duration_ms": n_f * 40, "timescale": 1000,
+            "width": w, "height": h, "n_frames": n_f,
+        }
+        fourcc, samples = _parse_mp4_video_samples(blob)
+        assert fourcc == "png " and len(samples) == n_f
+        frames = _decode_video_frames(blob)
+        assert len(frames) == n_f and frames[0].shape == (h, w, 3)
+        for f, fr in enumerate(frames):
+            exp = [(mid + 3 * f) % 256, (mid * 7 + 5 * f) % 256,
+                   (mid * 13 + 11 * f) % 256]
+            assert (fr.reshape(-1, 3) == exp).all(), (mid, f)
+        feats = _real_video_features(blob)
+        s1 = w * h * sum(
+            (mid + 3 * f) % 256 + (mid * 7 + 5 * f) % 256
+            + (mid * 13 + 11 * f) % 256 for f in range(n_f))
+        s2 = w * h * sum(
+            ((mid + 3 * f) % 256) ** 2 + ((mid * 7 + 5 * f) % 256) ** 2
+            + ((mid * 13 + 11 * f) % 256) ** 2 for f in range(n_f))
+        n = w * h * 3 * n_f
+        mu = s1 / n
+        assert feats[6] == mu
+        assert feats[7] == math.sqrt(max(0.0, s2 / n - mu * mu))
+    # metadata-only container: parseable moov, no sample table
+    f = _real_video_features(synth_mp4_bytes(11))
+    assert f[6] == 0.0 and f[7] == 0.0
+    assert _parse_mp4_video_samples(synth_mp4_bytes(11)) is None
+
+
+def test_header_image_features_png_pixels_are_real():
+    """Without Pillow, PNG mean/std must still be REAL (stdlib decode
+    + Pillow's exact integer luma): a solid-color synth PNG's mean is
+    luma(r,g,b)/255 and its std is 0."""
+    from gpssbzd_spark.dataprep.multimodal import (
+        _header_image_features,
+        synth_png_bytes,
+    )
+
+    for mid in (0, 5, 42, 1001):
+        r, g, b = (mid % 256), (mid * 7 % 256), (mid * 13 % 256)
+        luma = (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+        feats = _header_image_features(synth_png_bytes(mid))
+        # np.mean's pairwise summation can drift a last ulp from the
+        # analytic value; the cross-env contract is that Pillow and
+        # stdlib environments run the SAME np ops on the SAME array
+        assert abs(feats[3] - luma / 255.0) < 1e-12, mid
+        assert feats[4] < 1e-9, mid
+
+
 def test_simhash_defaults_use_minimal_pigeonhole_cover():
     """The banding band count must stay at the MINIMUM the pigeonhole
     cover allows for the default max_hamming: spurious candidates grow

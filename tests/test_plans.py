@@ -486,6 +486,23 @@ def test_r8_tpch_plans_broadcast_stars_no_smj(spark):
     assert m and "l_shipdate" in m.group(1) and "l_quantity" in m.group(1), q6
 
 
+def test_mm_video_pixel_roundtrip_is_single_stage(spark):
+    """The PNG-codec video pixel roundtrip keeps the same shape as the
+    metadata roundtrip: synth → sample-table walk → per-frame PNG
+    decode → project, all inside ONE mapInPandas pipeline — zero
+    exchanges, scan pruned to doc_id."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = final_plan(q(spark, "mm_video_pixel_roundtrip"))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "Exchange" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",") if c} == {
+        "doc_id"
+    }, plan
+
+
 def test_mm_decode_roundtrip_is_single_stage(spark):
     """The multimodal decode roundtrip is synth → decode → project
     inside ONE mapInPandas pipeline: zero exchanges (no shuffle for a
