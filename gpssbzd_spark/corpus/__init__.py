@@ -142,7 +142,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
       "st_upsert_state", "st_funnel_stateful"]),
     ("j1_join_inner", ["j9_salted_join"]),
     ("s_csv_roundtrip", ["s_jsonl_roundtrip"]),
-    ("mm_frame_sample", ["mm_video_pixel_roundtrip"]),
+    ("mm_frame_sample",
+     ["mm_video_pixel_roundtrip", "mm_frames_to_image_features"]),
 ]
 
 # Names the global debt-lending pass drains FIRST (VERDICT r7 #4 called

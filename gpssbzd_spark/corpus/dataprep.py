@@ -289,6 +289,7 @@ from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
 )
 from gpssbzd_spark.dataprep.multimodal import (  # noqa: E402
     extract_features,
+    extract_frames,
     media_from_binary,
     resize_images,
     sample_frames,
@@ -896,6 +897,72 @@ def mm_video_pixel_roundtrip(spark, sf_dir):
         f[3].alias("n_frames"),
         _F.round(f[6], 4).alias("px_mean"),
         _F.round(f[7], 4).alias("px_std"),
+    )
+
+
+@query(
+    "mm_frames_to_image_features",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(doc_id AS BIGINT) AS id,
+             CAST(doc_id AS BIGINT) % 6 + 2 AS n_f,
+             (CAST(doc_id AS BIGINT) % 8 + 1) * 8 AS w,
+             (CAST(doc_id AS BIGINT) % 5 + 1) * 8 AS h
+      FROM documents
+    ),
+    fr AS (
+      SELECT p.id, p.w, p.h, d.f,
+             (p.id + 3 * d.f) % 256 AS r,
+             (p.id * 7 + 5 * d.f) % 256 AS g,
+             (p.id * 13 + 11 * d.f) % 256 AS b
+      FROM p JOIN (SELECT UNNEST([0,1,2,3,4,5,6]) AS f) d
+        ON d.f < p.n_f
+    )
+    SELECT id AS media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(w AS DOUBLE) AS width,
+           CAST(h AS DOUBLE) AS height,
+           ROUND(((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
+                 / 255.0, 4) AS px_mean
+    FROM fr
+    """,
+    note="the composed video -> image training pipeline, end-to-end "
+    "REAL: synth PNG-codec videos, extract_frames slices the raw PNG "
+    "samples out of the container (no transcode, frames never transit "
+    "the driver), media_from_binary retags them as image rows, and the "
+    "IMAGE kernel (stdlib PNG decode + Pillow's exact integer luma; "
+    "Pillow itself when importable — same formula, same floats) "
+    "produces per-frame dims and grayscale mean. The oracle predicts "
+    "every frame row arithmetically; ROUND(luma/255, 4) is ulp-safe "
+    "because k/255 never lands on a 4-decimal half-boundary "
+    "(4000k = 51(2m+1) has no solution), so the one-ulp pairwise-"
+    "summation drift in np.mean cannot flip the rounding.",
+    tier=2,
+)
+def mm_frames_to_image_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        _F.col("doc_id").cast("long").alias("doc_id")
+    )
+    frames = extract_frames(
+        synth_png_video(d, id_col="doc_id"), max_frames=8
+    )
+    imgs = media_from_binary(
+        frames.withColumn(
+            "frame_uid",
+            _F.col("media_id") * 8 + _F.col("frame_idx"),
+        ),
+        id_col="frame_uid",
+        content_col="content",
+        kind="image",
+        mime="image/png",
+    )
+    f = _F.col("feature")
+    return extract_features(imgs, decode="auto").select(
+        _F.floor(_F.col("media_id") / 8).cast("long").alias("media_id"),
+        (_F.col("media_id") % 8).cast("int").alias("frame_idx"),
+        f[0].alias("width"),
+        f[1].alias("height"),
+        _F.round(f[3], 4).alias("px_mean"),
     )
 
 

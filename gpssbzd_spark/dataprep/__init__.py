@@ -48,6 +48,7 @@ from gpssbzd_spark.dataprep.decontam import contamination_pairs  # noqa: F401
 from gpssbzd_spark.dataprep.multimodal import (  # noqa: F401
     media_from_binary,
     extract_features,
+    extract_frames,
     resize_images,
     sample_frames,
     probe_video_meta,

@@ -1105,6 +1105,66 @@ def synth_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def extract_frames(df: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Video rows → one row per sampled frame carrying the RAW PNG
+    sample bytes (no transcode): (media_id, frame_idx, frame_ms,
+    content). Frames come straight out of the container's sample table
+    (:func:`_parse_mp4_video_samples`), evenly strided to
+    ``max_frames`` exactly like :func:`_decode_video_frames`; frame
+    timestamps are idx · duration/n_samples from the moov parse.
+    Non-video rows, metadata-only containers, and non-PNG-codec tracks
+    emit no rows (the per-row degradation contract — ffmpeg-codec
+    frame extraction would slot in behind the same seam). Compose with
+    :func:`media_from_binary` + :func:`extract_features` for a real
+    video → image-features pipeline; `mapInPandas`, so frames never
+    transit the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = _meta_frame(pdf["meta"])
+            out_id, out_idx, out_ms, out_px = [], [], [], []
+            for mid, kind, content in zip(
+                pdf["media_id"], meta["kind"], pdf["content"]
+            ):
+                if kind != "video":
+                    continue
+                parsed = _parse_mp4_video_samples(content)
+                if parsed is None or parsed[0] not in (
+                    "png ", "mpng", "MPNG"
+                ):
+                    continue
+                samples = parsed[1]
+                m = _parse_mp4_meta(content)
+                per_ms = (
+                    m["duration_ms"] / len(samples)
+                    if m and samples
+                    else 0.0
+                )
+                stride = max(1, len(samples) // max_frames)
+                taken = 0
+                for i in range(0, len(samples), stride):
+                    out_id.append(mid)
+                    out_idx.append(i)
+                    out_ms.append(int(i * per_ms))
+                    out_px.append(samples[i])
+                    taken += 1
+                    if taken >= max_frames:
+                        break
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_ms": pd.Series(out_ms, dtype="int64"),
+                    "content": pd.Series(out_px, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        "media_id long, frame_idx int, frame_ms long, content binary",
+    )
+
+
 def synth_png_video(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """id column → ALL-video media rows whose blobs are PNG-codec MP4s
     with real frame samples (:func:`synth_png_video_bytes`) — the

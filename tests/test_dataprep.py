@@ -663,6 +663,43 @@ def test_png_video_roundtrip_kernel_exact():
     assert _parse_mp4_video_samples(synth_mp4_bytes(11)) is None
 
 
+def test_extract_frames_emits_raw_png_samples(spark):
+    """extract_frames slices the container's PNG samples out verbatim
+    (byte-identical to the encoder's), strides to max_frames, stamps
+    idx·duration/n timestamps, and emits nothing for non-video rows or
+    metadata-only containers (per-row degradation)."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.multimodal import (
+        _parse_mp4_video_samples,
+        extract_frames,
+        synth_media,
+        synth_png_video,
+        synth_png_video_bytes,
+    )
+
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    rows = extract_frames(synth_png_video(ids), max_frames=8).collect()
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid in range(12):
+        n_f = mid % 6 + 2
+        got = sorted(by_media[mid], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == list(range(n_f))
+        assert [r.frame_ms for r in got] == [i * 40 for i in range(n_f)]
+        _, samples = _parse_mp4_video_samples(synth_png_video_bytes(mid))
+        assert [bytes(r.content) for r in got] == samples
+    # stride: a 6-frame video at max_frames=3 takes every 2nd frame
+    strided = extract_frames(
+        synth_png_video(ids.filter(F.col("media_id") == 4)), max_frames=3
+    ).collect()
+    assert sorted(r.frame_idx for r in strided) == [0, 2, 4]
+    # degradation: synth_media's videos are metadata-only; images and
+    # audio are not videos — no frames from any of them
+    assert extract_frames(synth_media(ids)).count() == 0
+
+
 def test_header_image_features_png_pixels_are_real():
     """Without Pillow, PNG mean/std must still be REAL (stdlib decode
     + Pillow's exact integer luma): a solid-color synth PNG's mean is
