@@ -303,6 +303,16 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "growing the bucket space with the corpus is the documented",
         "production setting for the hyperplane-LSH families.",
         "",
+        "`simhash_portable` bands at the minimal pigeonhole cover (4x16",
+        "bits) after the K=64 octave exposed a 441s knee at 8x8-bit",
+        "banding (PERF_NOTES #3). The honest asymptote: a FIXED 64-bit",
+        "fingerprint caps the band space, so spurious candidates keep a",
+        "bands*n^2/2^16 term — negligible through this ladder (~3e6 at",
+        "K=64) but real at ~1e9+ docs, where production runs exact-dedup",
+        "first (boilerplate collapses the n that matters) and/or widens",
+        "the fingerprint to 128 bits; both leave this pipeline's shape",
+        "unchanged.",
+        "",
         "| family | "
         + " | ".join(f"K={K} s (rows out)" for K in mults)
         + " | exponent |",
