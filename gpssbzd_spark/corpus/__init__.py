@@ -172,16 +172,50 @@ DRAIN_PRIORITY: list[str] = [
 _STATE_CACHE: tuple[int, frozenset[str]] | None = None
 
 
+def _committed_round_indices(root: str) -> list[int] | None:
+    """Round indices of CORRECTNESS files committed to git HEAD, or
+    None when git state is unavailable (no repo, no HEAD yet)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "ls-tree", "-r", "HEAD", "--name-only"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if out.returncode != 0:
+        return None
+    idx = []
+    for line in out.stdout.splitlines():
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", line.strip())
+        if m:
+            idx.append(int(m.group(1)))
+    return idx
+
+
 def _window_state() -> tuple[int, frozenset[str]]:
     """One atomic snapshot of (round key, sampled set).
 
     Round key: SPARK_GRAFT_ROUND env if set, else 1 + the highest round
-    index among committed CORRECTNESS_r*.json files. Sampled set: the
-    union of names across files with round index STRICTLY BELOW the
-    key — so a process launched after the driver writes the in-flight
-    round's file mid-round computes the SAME window as one launched
-    before (ADVICE r7: globbing everything made the window depend on
-    process start time within a round). Cached per process."""
+    index among CORRECTNESS_r*.json files **committed to git HEAD**
+    (disk fallback when git is unavailable). The driver writes the
+    in-flight round's file to DISK mid-round but only commits it at
+    round end, so keying off HEAD keeps the key — and therefore the
+    sampled set and the window — identical for every process launched
+    anywhere inside a round (ADVICE r8: the disk-glob key shifted when
+    the driver wrote the in-flight file mid-round). Corollary: never
+    `git add` an in-flight CORRECTNESS/BENCH record from inside the
+    round — that is the driver's round-end commit.
+
+    Sampled set: names that earned a NON-ERROR row (err empty or the
+    by-design ``no_oracle`` marker) in any round STRICTLY BELOW the
+    key. A genuine err row (e.g. r8's sim_topk_ivf_build return-shape
+    TypeError) is not evidence — the name stays in debt so the
+    rotation re-samples it until a clean row lands. Cached per
+    process."""
     global _STATE_CACHE
     if _STATE_CACHE is None:
         root = os.path.dirname(
@@ -200,16 +234,24 @@ def _window_state() -> tuple[int, frozenset[str]]:
             except ValueError:
                 key = None
         if key is None:
-            key = 1 + max((i for i, _ in indexed), default=0)
+            committed = _committed_round_indices(root)
+            if committed is not None:
+                key = 1 + max(committed, default=0)
+            else:
+                key = 1 + max((i for i, _ in indexed), default=0)
         names: set[str] = set()
         for i, f in indexed:
             if i >= key:
                 continue
             try:
                 with open(f) as fh:
-                    names |= set(json.load(fh))
+                    rows = json.load(fh)
             except (OSError, ValueError):
-                pass
+                continue
+            for n, row in rows.items():
+                err = (row or {}).get("err")
+                if not err or err == "no_oracle":
+                    names.add(n)
         _STATE_CACHE = (key, frozenset(names))
     return _STATE_CACHE
 

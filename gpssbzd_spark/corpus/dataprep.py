@@ -682,18 +682,39 @@ def _ivf_cache_dir(sf_dir: str) -> str:
 
 @query(
     "sim_topk_ivf_build",
-    oracle=None,
+    oracle="""
+SELECT vec_id,
+       1 AS cid_agree,
+       1 AS norm_agree,
+       1 AS cid_in_range
+FROM embeddings
+""",
     note="IVF index BUILD, measured separately from the probe: codebook "
     "k-means + assignment, index written to parquet partitioned by "
     "centroid id (the inverted-file layout a 100 TB deployment persists "
-    "once and serves from). Returns the re-read persisted index so the "
-    "row check covers the artifact, not the in-memory plan",
+    "once and serves from). Returns a per-vector VERIFICATION of the "
+    "persisted artifact instead of the raw index (VERDICT r8 #1: the "
+    "array<float> vec column broke the driver's canonicalization): "
+    "vec_id proves the on-disk index covers exactly the corpus (no "
+    "loss, no dupes through the partitioned write), and each agreement "
+    "flag is recomputed FROM THE PERSISTED FILES — cid re-derived from "
+    "the JSON codebook via the same nearest-centroid kernel, the norm "
+    "re-evaluated from the parquet-roundtripped vec with the identical "
+    "column expression — so any roundtrip corruption flips a flag and "
+    "the value hash diverges from the all-ones oracle",
     tier=1,
 )
 def sim_topk_ivf_build(spark, sf_dir):
     import json
     import os
     import shutil
+
+    import numpy as _np
+
+    from gpssbzd_spark.dataprep.similarity import (
+        _nearest_centroids_udf,
+        _norm,
+    )
 
     em = load_table(spark, sf_dir, "embeddings")
     index, cents = build_ivf_index(em, dim=64, n_centroids=16, iters=2)
@@ -709,7 +730,26 @@ def sim_topk_ivf_build(spark, sf_dir):
     os.makedirs(cache, exist_ok=True)
     with open(os.path.join(cache, "codebook.json"), "w") as f:
         json.dump(cents.tolist(), f)
-    return spark.read.parquet(os.path.join(cache, "index"))
+    # verify the artifact from its persisted forms only: parquet index +
+    # JSON codebook (json.dump/load of float64 round-trips exactly, and
+    # parquet float32/float64 storage is exact, so every flag is a
+    # bit-equality check, not a tolerance)
+    with open(os.path.join(cache, "codebook.json")) as f:
+        cents_rt = _np.array(json.load(f), dtype=_np.float64)
+    persisted = spark.read.parquet(os.path.join(cache, "index"))
+    assign_rt = _nearest_centroids_udf(cents_rt, 1)
+    return persisted.select(
+        _F.col("vec_id"),
+        (_F.element_at(assign_rt(_F.col("embedding")), 1) == _F.col("cid"))
+        .cast("int")
+        .alias("cid_agree"),
+        (_norm(_F.col("embedding")) == _F.col("_norm_e"))
+        .cast("int")
+        .alias("norm_agree"),
+        ((_F.col("cid") >= 0) & (_F.col("cid") < _F.lit(16)))
+        .cast("int")
+        .alias("cid_in_range"),
+    )
 
 
 @query(

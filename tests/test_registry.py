@@ -233,10 +233,12 @@ def test_rotation_debt_drains_within_two_rounds():
 
 
 def test_sampled_names_matches_committed_records():
-    """_sampled_names unions exactly the committed CORRECTNESS files of
-    rounds STRICTLY BEFORE the current round key — the in-flight
-    round's file (which the driver writes mid-round) must not shift
-    the window composition between processes (ADVICE r7)."""
+    """_sampled_names unions exactly the NON-ERROR rows of committed
+    CORRECTNESS files of rounds STRICTLY BEFORE the current round key —
+    the in-flight round's file (which the driver writes to disk
+    mid-round) must not shift the window composition between processes
+    (ADVICE r7/r8), and a genuine err row (r8's sim_topk_ivf_build)
+    must keep its name in debt rather than count as evidence."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -248,8 +250,26 @@ def test_sampled_names_matches_committed_records():
     for f in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
         if m and int(m.group(1)) < key:
-            expect |= set(_json.load(open(f)))
+            for n, row in _json.load(open(f)).items():
+                err = (row or {}).get("err")
+                if not err or err == "no_oracle":
+                    expect.add(n)
     assert corpus._sampled_names() == expect
+
+
+def test_round_key_ignores_inflight_disk_records(tmp_path, monkeypatch):
+    """The round key comes from git-COMMITTED CORRECTNESS files, so a
+    mid-round disk write by the driver cannot shift it (ADVICE r8).
+    Simulated: the committed indices say max=3 → key 4 regardless of
+    what sits on disk."""
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    monkeypatch.setattr(
+        corpus, "_committed_round_indices", lambda root: [1, 2, 3]
+    )
+    monkeypatch.setattr(corpus, "_STATE_CACHE", None)
+    key, _ = corpus._window_state()
+    assert key == 4
+    monkeypatch.setattr(corpus, "_STATE_CACHE", None)
 
 
 def test_oracle_sql_tracks_rotated_window():
