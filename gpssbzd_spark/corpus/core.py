@@ -861,7 +861,9 @@ def q13_customer_distribution(spark, sf_dir):
       SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thresh
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT p.p_brand, ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT p.p_brand,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                 / 700.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN th ON th.l_partkey = l.l_partkey
@@ -909,7 +911,20 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+            # exact integer cents (ADVICE r8): the bigint cent SUM is
+            # summation-order independent, and ROUND(S/700.0, 2) can
+            # never land on a half boundary (2S = 7(2k+1) has no
+            # integer solution — even vs odd), so both engines round
+            # the bit-identical quotient the same way
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast(
+                        "bigint"
+                    )
+                )
+                / 700.0,
+                2,
+            ).alias("avg_yearly")
         )
     )
 
@@ -922,11 +937,13 @@ def q17_small_quantity_revenue(spark, sf_dir):
       WHERE c_nationkey < 7
     ),
     avg_bal AS (
-      SELECT ROUND(AVG(c_acctbal), 2) AS a FROM eligible
-      WHERE c_acctbal > 0.0
+      SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+             / (100.0 * COUNT(*)) AS a
+      FROM eligible WHERE c_acctbal > 0.0
     )
     SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+           SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) / 100.0
+             AS totacctbal
     FROM eligible c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -952,13 +969,15 @@ def q22_global_sales_opportunity(spark, sf_dir):
         .filter(F.col("c_nationkey") < 7)
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
-    # threshold rounded to cents on BOTH sides (ADVICE r7): acctbal is
-    # fractional, so the raw double AVG is summation-order dependent in
-    # the last ulp between Spark and DuckDB — a boundary customer could
-    # flip. Cent-rounding collapses both engines to the same threshold
-    # unless the true mean sits within an ulp of a $.005 edge.
+    # threshold from EXACT integer cents (ADVICE r8, upgrading the r7
+    # cent-rounding): SUM(bigint cents) / (100.0 · n) is one float
+    # division from order-independent integers, so both engines derive
+    # the bit-identical threshold — no half-cent-edge caveat at all
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.round(F.avg("c_acctbal"), 2).alias("_a")
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint"))
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("_a")
     )
     urgent = (
         _t(spark, sf_dir, "orders")
@@ -972,7 +991,13 @@ def q22_global_sales_opportunity(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            # exact integer cents, not ROUND over a raw double SUM
+            # (ADVICE r8: the latter can flip at a half-cent boundary
+            # between engines)
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint"))
+                / 100.0
+            ).alias("totacctbal"),
         )
     )
 

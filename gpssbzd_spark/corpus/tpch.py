@@ -115,10 +115,14 @@ def q6_forecast_revenue(spark, sf_dir):
     "customer's nation with a symmetric disjunctive cross-filter, "
     "grouped by the (supp, cust, year) triple. The reference's "
     "FRANCE/GERMANY pair becomes a region pair (AFRICA/ASIA) so both "
-    "sides are populated at every fixture scale. All five dim joins "
-    "broadcast; the disjunction is applied AFTER the cheap dim joins, "
-    "never against the fact table twice. Revenue in exact cents. "
-    "Fully oracled.",
+    "sides are populated at every fixture scale. The nation/region "
+    "dims broadcast onto supplier and customer, and the supplier "
+    "composite broadcasts onto lineitem; the orderkey and custkey "
+    "joins are the two intended shuffle joins (orders and customer "
+    "grow with scale — plan-gated as exactly 2 SortMergeJoins under "
+    "autoBroadcastJoinThreshold=-1, tests/test_plans.py). The "
+    "disjunction is applied AFTER the cheap dim joins, never against "
+    "the fact table twice. Revenue in exact cents. Fully oracled.",
     tier=2,
 )
 def q7_volume_shipping(spark, sf_dir):
@@ -301,8 +305,11 @@ def q8_market_share(spark, sf_dir):
     note="TPC-H Q9 shape (product type profit): profit per supplier "
     "nation per year over parts matching a type predicate — the "
     "every-order-year rollup with no date filter, so the orderkey "
-    "join carries the whole fact table (the shuffle-heaviest shape in "
-    "the suite; AQE coalesces its partitions). The fixture has no "
+    "join carries the whole fact table — the shuffle-heaviest shape "
+    "in the suite; AQE coalesces its partitions, and at fixture scale "
+    "the default threshold auto-broadcasts orders instead (both are "
+    "correct: the plan gate pins exactly 1 SortMergeJoin under "
+    "autoBroadcastJoinThreshold=-1, ADVICE r8). The fixture has no "
     "partsupp.ps_supplycost, so profit degrades to discounted revenue "
     "— the join tree and rollup are unchanged. Part/supplier dims "
     "broadcast. Exact-cents sum. Fully oracled.",

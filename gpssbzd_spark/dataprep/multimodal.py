@@ -420,8 +420,12 @@ def _decode_video_frames(
             px = _decode_png_pixels(samples[i])
             if px is None:
                 raise ValueError(f"undecodable png sample {i}")
-            if px.shape[2] == 1:
-                px = np.repeat(px, 3, axis=2)
+            if px.shape[2] in (1, 2):
+                # gray / gray+alpha: replicate the luma channel and drop
+                # alpha, so every caller sees the (h, w, 3) contract the
+                # ffmpeg backends guarantee (ADVICE r8: 2-channel PNGs
+                # previously slipped through as 2-channel frames)
+                px = np.repeat(px[:, :, :1], 3, axis=2)
             frames.append(px[:, :, :3])
             if len(frames) >= max_frames:
                 break
@@ -898,7 +902,6 @@ def synth_png_video_bytes(media_id: int) -> bytes:
     n_frames = media_id % 6 + 2
     w = (media_id % 8 + 1) * 8
     h = (media_id % 5 + 1) * 8
-    duration = n_frames * 40
     frames = [
         _solid_png_bytes(
             w,
@@ -911,6 +914,17 @@ def synth_png_video_bytes(media_id: int) -> bytes:
         )
         for f in range(n_frames)
     ]
+    return _png_video_from_frames(frames, w, h)
+
+
+def _png_video_from_frames(frames: list[bytes], w: int, h: int) -> bytes:
+    """Assemble a QuickTime PNG-codec ISO-BMFF container around the
+    given per-frame PNG payloads (25 fps, timescale 1000): the
+    container half of :func:`synth_png_video_bytes`, exposed so tests
+    can wrap ARBITRARY PNG frames (e.g. gray+alpha color type 4) and
+    pin the decoder's channel-normalization contract."""
+    n_frames = len(frames)
+    duration = n_frames * 40
     ftyp = _mp4_box(b"ftyp", b"qt  \x00\x00\x00\x00qt  ")
     mdat = _mp4_box(b"mdat", b"".join(frames))
     mdat_payload_off = len(ftyp) + 8  # absolute offset of first sample

@@ -700,6 +700,80 @@ def test_extract_frames_emits_raw_png_samples(spark):
     assert extract_frames(synth_media(ids)).count() == 0
 
 
+def test_decode_video_frames_equals_extract_frames_composition(spark):
+    """VERDICT r8 #8: the two PNG-codec pixel paths — the driver-side
+    `_decode_video_frames` kernel and the distributed `extract_frames`
+    → `_decode_png_pixels` composition — share the sample table but
+    not the stride/decode code; assert frame-for-frame array equality
+    across max_frames settings so the stride arithmetic can never
+    silently diverge between them."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.multimodal import (
+        _decode_png_pixels,
+        _decode_video_frames,
+        extract_frames,
+        synth_png_video,
+        synth_png_video_bytes,
+    )
+
+    ids = spark.range(0, 10).select(F.col("id").alias("media_id"))
+    for max_frames in (8, 3, 1):
+        rows = extract_frames(synth_png_video(ids), max_frames=max_frames)
+        by_media: dict[int, list] = {}
+        for r in rows.collect():
+            by_media.setdefault(r.media_id, []).append(r)
+        for mid in range(10):
+            kernel = _decode_video_frames(
+                synth_png_video_bytes(mid), max_frames=max_frames
+            )
+            got = sorted(by_media[mid], key=lambda r: r.frame_idx)
+            assert len(kernel) == len(got), (mid, max_frames)
+            for arr, row in zip(kernel, got):
+                composed = _decode_png_pixels(bytes(row.content))
+                assert composed is not None
+                assert arr.shape == composed[:, :, :3].shape
+                assert (arr == composed[:, :, :3]).all(), (
+                    mid, max_frames, row.frame_idx,
+                )
+
+
+def test_png_codec_video_gray_alpha_normalizes_to_rgb():
+    """ADVICE r8: a gray+alpha (PNG color type 4) sample must come out
+    of `_decode_video_frames` as the (h, w, 3) RGB contract frame —
+    luma replicated across the three channels, alpha dropped — not as
+    a 2-channel array; same for pure grayscale (type 0)."""
+    import zlib
+
+    import numpy as np
+
+    from gpssbzd_spark.dataprep.multimodal import (
+        _decode_video_frames,
+        _png_chunk,
+        _png_video_from_frames,
+    )
+
+    def png(w, h, ctype, px_bytes_per_row):
+        import struct as _s
+
+        ihdr = _png_chunk(
+            b"IHDR", _s.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        )
+        idat = _png_chunk(
+            b"IDAT", zlib.compress((b"\x00" + px_bytes_per_row) * h)
+        )
+        return b"\x89PNG\r\n\x1a\n" + ihdr + idat + _png_chunk(b"IEND", b"")
+
+    w, h = 6, 4
+    gray_alpha = png(w, h, 4, bytes([200, 128]) * w)  # luma 200, alpha 128
+    gray = png(w, h, 0, bytes([77]) * w)
+    blob = _png_video_from_frames([gray_alpha, gray], w, h)
+    frames = _decode_video_frames(blob)
+    assert [f.shape for f in frames] == [(h, w, 3), (h, w, 3)]
+    assert (frames[0] == np.full((h, w, 3), 200, dtype=np.uint8)).all()
+    assert (frames[1] == np.full((h, w, 3), 77, dtype=np.uint8)).all()
+
+
 def test_header_image_features_png_pixels_are_real():
     """Without Pillow, PNG mean/std must still be REAL (stdlib decode
     + Pillow's exact integer luma): a solid-color synth PNG's mean is

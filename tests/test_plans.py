@@ -450,9 +450,7 @@ def test_r8_tpch_plans_broadcast_stars_no_smj(spark):
     predicates pushed to the parquet scan."""
     stars = (
         "q2_min_cost_supplier",
-        "q7_volume_shipping",
         "q8_market_share",
-        "q9_product_type_profit",
         "q10_returned_items",
         "q14_promo_revenue",
         "q16_parts_supplier_counts",
@@ -466,6 +464,30 @@ def test_r8_tpch_plans_broadcast_stars_no_smj(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         assert "EvalPython" not in plan, name
+
+    # q7/q9 deliberately carry fact-side joins a 100 TB cluster CANNOT
+    # broadcast (lineitem⋈orders on orderkey; q7 additionally ⋈customer
+    # on custkey — customer is a scale-growing dim). At fixture scale
+    # the default threshold would auto-broadcast orders and silently
+    # pin the OPPOSITE plan from the one the query notes claim
+    # (ADVICE r8), so gate under autoBroadcastJoinThreshold=-1: every
+    # EXPLICITLY hinted dim must still broadcast, and exactly the
+    # intended fact-side joins sort-merge.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n_smj in (
+            ("q9_product_type_profit", 1),
+            ("q7_volume_shipping", 2),
+        ):
+            plan = final_plan(q(spark, name))
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "BroadcastHashJoin" in plan, name
+            assert "EvalPython" not in plan, name
+            assert plan.count("SortMergeJoin") == n_smj, (name, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     for name in ("q11_important_stock", "q15_top_supplier"):
         plan = final_plan(q(spark, name))
