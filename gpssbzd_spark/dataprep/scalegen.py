@@ -133,6 +133,19 @@ def inflate_embeddings(
     )
 
 
+def inflate_lineitem(df: DataFrame, mult: int) -> DataFrame:
+    """K× lineitem rows with keys UNCHANGED: each replica re-lines the
+    same orders, so a fact⋈orders join's probe side and output grow
+    exactly K× against a fixture-sized build side — the 'fact table
+    grows, dims don't' regime the TPC-H scale octave measures. (An
+    orderkey offset would instead DROP all replicas at the inner join;
+    inflating orders in lockstep would time the synthetic fan-out of
+    the un-timed side inside the op.)"""
+    if mult == 1:
+        return df
+    return _replicate(df, mult).drop("_rep")
+
+
 def inflate_events(
     df: DataFrame,
     mult: int,

@@ -77,6 +77,7 @@ def families():
         inflate_documents,
         inflate_embeddings,
         inflate_events,
+        inflate_lineitem,
     )
     from gpssbzd_spark.operators.funnel import funnel_times
     from gpssbzd_spark.operators.timeseries import time_bucket_gapfill
@@ -109,6 +110,15 @@ def families():
             inflate_documents,
             lambda d, K: simhash_portable(d),
         ),
+        # the 1e9+-doc mitigation (VERDICT r8 #5): same pipeline, 128-bit
+        # fingerprints — bands=4 slices 32-bit band values (~4.3e9-way
+        # space), so the band-collision population that saturates the
+        # 64-bit space at the K=64 octave stays negligible
+        "simhash_portable_128": (
+            "documents",
+            inflate_documents,
+            lambda d, K: simhash_portable(d, bits=128),
+        ),
         "embedding_blocked": ("embeddings", inflate_embeddings, emb_blocked),
         "neardup_cc": (
             "documents",
@@ -136,7 +146,79 @@ def families():
             ),
             16,
         ),
+        # VERDICT r8 #6: scale octaves for the NON-dedup heavy hitters.
+        # The flagship pipeline over K× documents (quality gate ->
+        # dedup -> quota -> split -> rollup); the banding join and the
+        # quota window are its only all-to-all moves, so the curve
+        # must stay ~linear like the dedup families it composes.
+        "pretrain_e2e": (
+            "documents",
+            inflate_documents,
+            lambda d, K: _pretrain_e2e_op(d),
+            16,
+        ),
+        # TPC-H Q9 (the widest star) with the fact side inflated K× and
+        # the orderkey join FORCED to sort-merge via the merge hint —
+        # the 100 TB plan shape (at fixture scale the default threshold
+        # would auto-broadcast orders and measure the wrong join; a
+        # session-conf override would distort the other families).
+        # Dims stay fixture-sized and broadcast-hinted, as in the
+        # corpus query. n log n sort growth keeps the slope near 1.
+        "tpch_q9_smj": (
+            "lineitem",
+            lambda df, K: inflate_lineitem(df, K),
+            _tpch_q9_smj_op,
+            16,
+        ),
     }
+
+
+def _pretrain_e2e_op(d):
+    from gpssbzd_spark.corpus.dataprep import pretrain_e2e_plan
+
+    return pretrain_e2e_plan(d)
+
+
+def _tpch_q9_smj_op(li, K):
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.corpus.tpch import _rev_cents
+    from gpssbzd_spark.sources import load_table
+
+    spark = li.sparkSession
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    sn = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("_snk"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    return (
+        li.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(sn.select("s_suppkey", "nation")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(_rev_cents()) / 100.0).alias("sum_profit"))
+    )
 
 
 def main() -> None:

@@ -339,17 +339,19 @@ def test_ivf_persisted_index_query_matches_combined(spark):
     anything (VERDICT r4 next-round #8)."""
     from gpssbzd_spark.corpus import dataprep as cdp
 
-    qs = {
-        n: f
-        for n, f in (
-            ("build", cdp.sim_topk_ivf_build),
-            ("query", cdp.sim_topk_ivf_query),
-            ("combined", cdp.sim_topk_ivf),
-        )
-    }
-    qs["build"](spark, SF)  # ensure a fresh index for this fixture gen
-    split = sorted(map(tuple, qs["query"](spark, SF).collect()))
-    combined = sorted(map(tuple, qs["combined"](spark, SF).collect()))
+    df = cdp.sim_topk_ivf_build(spark, SF)  # fresh index for this gen
+    # the build query's own verification flags must all be green
+    rows = df.collect()
+    assert rows and all(
+        r.cid_agree == 1 and r.norm_agree == 1 and r.cid_in_range == 1
+        for r in rows
+    )
+    # raw-neighbor parity: the persisted probe path must return
+    # byte-identical neighbors to the one-shot ivf_topk (the corpus
+    # queries themselves return rank-grid projections, which would
+    # compare trivially)
+    split = sorted(map(tuple, cdp._sim_topk_ivf_query_raw(spark, SF).collect()))
+    combined = sorted(map(tuple, cdp._sim_topk_ivf_raw(spark, SF).collect()))
     assert split == combined
 
 
@@ -821,6 +823,45 @@ def test_simhash_defaults_use_minimal_pigeonhole_cover():
             if b > max_hamming and 64 % b == 0
         )
         assert bands == minimal, (fn.__name__, bands, minimal)
+
+
+def test_simhash_portable_128_bits(spark):
+    """VERDICT r8 #5: the 128-bit variant — (a) guaranteed recall:
+    exact-dup twins fingerprint identically in all four lanes, so
+    every seeded pair comes out at hamming 0; (b) the band space
+    actually grows: bands=4 at 128 bits slices 32-bit band values
+    (~4.3e9-way), vs 16-bit at 64 bits — the 1e9+-doc band-saturation
+    mitigation; (c) precision: every emitted pair's recomputed
+    128-bit hamming clears the threshold (verify is exact by
+    construction, checked here through an independent collect)."""
+    from gpssbzd_spark.dataprep.dedup import (
+        _simhash_lane_params,
+        simhash_portable,
+    )
+
+    n_lanes, bands_per_lane, bits_per_band = _simhash_lane_params(
+        128, 4, 3
+    )
+    assert (n_lanes, bands_per_lane, bits_per_band) == (4, 1, 32)
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_portable(seeded, bits=128).collect()
+    }
+    twins = [
+        (r.doc_id, r.doc_id + 1000000)
+        for r in d.filter(F.col("doc_id") % 10 == 0).collect()
+    ]
+    assert twins
+    for pair in twins:
+        assert got.get(pair) == 0, pair
+    assert all(h <= 3 for h in got.values())
 
 
 def test_ivf_seed_sample_filters_below_take_ordered(spark):
