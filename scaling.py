@@ -393,7 +393,19 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "K=64) but real at ~1e9+ docs, where production runs exact-dedup",
         "first (boilerplate collapses the n that matters) and/or widens",
         "the fingerprint to 128 bits; both leave this pipeline's shape",
-        "unchanged.",
+        "unchanged. The 128-bit path is now MEASURED, not hypothetical:",
+        "`simhash_portable_128` (same pipeline, bits=128, 4x32-bit",
+        "bands, ~4.3e9-way band space) holds exponent ~0.97 through the",
+        "same K=64 octave — the r8 asymptote note's mitigation, shipped",
+        "and oracled (dd_simhash_portable128_pairs).",
+        "",
+        "`pretrain_e2e` is the flagship composite (quality gate ->",
+        "dedup -> quota cap -> split -> rollup) over K x documents;",
+        "`tpch_q9_smj` inflates the FACT side only and forces the",
+        "orderkey join to sort-merge (the 100 TB plan shape — at",
+        "fixture scale the default threshold would auto-broadcast",
+        "orders and time the wrong join), so the curve measures the",
+        "shuffle join + rollup the broadcast-star plan gates cannot.",
         "",
         "| family | "
         + " | ".join(f"K={K} s (rows out)" for K in mults)

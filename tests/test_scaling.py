@@ -66,7 +66,12 @@ def test_scalegen_preserves_structure_exactly(spark):
 
 @pytest.mark.parametrize(
     "family",
-    ["minhash_portable", "simhash_portable", "embedding_blocked"],
+    [
+        "minhash_portable",
+        "simhash_portable",
+        "simhash_portable_128",
+        "embedding_blocked",
+    ],
 )
 def test_banded_families_scale_linearly(spark, family):
     """Runtime exponent over K=4→16 < 1.3 for every banded/blocked
@@ -85,6 +90,19 @@ def test_cc_and_event_families_scale_linearly(spark):
     import scaling as harness
 
     for family in ("neardup_cc", "funnel"):
+        table, inflate, fn = harness.families()[family][:3]
+        exp, times = _exponent(spark, table, inflate, fn)
+        assert exp < 1.3, (family, exp, times)
+
+
+def test_composite_families_scale_linearly(spark):
+    """VERDICT r8 #6: the non-dedup heavy hitters — the flagship
+    pretraining pipeline and the forced-SMJ TPC-H Q9 star — must hold
+    the same ~linear gate (their sf0.1 K=16 octaves live in
+    SCALING.md: 0.487 / 0.415)."""
+    import scaling as harness
+
+    for family in ("pretrain_e2e", "tpch_q9_smj"):
         table, inflate, fn = harness.families()[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
         assert exp < 1.3, (family, exp, times)
