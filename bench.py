@@ -35,6 +35,20 @@ probe cost a deployment with a persisted index pays), and adds five
 rows for the r5 op families (HLL rollup, z-order keys, vocab heavy
 hitters, upsert merge, snapshot diff) — additive only; every
 pre-existing row's code path is unchanged.
+
+r9 methodology note: VERDICT r8 #4 turned eleven rows-only queries
+into oracled ones by reshaping their RESULTS into driver-hashable
+invariants, so these bench rows now measure the kernel PLUS its
+in-plan verification and their round-over-round series RESET at r9:
+``dd_minhash_lsh_pairs``/``dd_simhash_near_pairs``/
+``dd_neardup_clusters_kernel`` (dup-seeded corpus, +10% rows, plus a
+seed-pair join), ``dd_simhash_buckets``/``tx_fingerprint_groups``
+(per-text-group determinism join), ``a4_percentile_approx``/
+``a1_approx_count_distinct`` (exact twin computed in the same grouped
+pass), ``a9_hll_mergeable_rollup`` (exact countDistinct + join),
+``sim_topk_ivf``/``sim_topk_ivf_build``/``sim_topk_ivf_query``
+(rank-grid / artifact-verification projections). PERF_NOTES.md #5
+records the measured r8→r9 deltas for these rows.
 """
 
 from __future__ import annotations
@@ -147,6 +161,12 @@ HEADLINE = [
     "q20_potential_promotion",
     "mm_decode_roundtrip",
     "dp_passage_dedup",
+    # r9 additions — the TPC-H closer (Q12) and the 128-bit SimHash
+    # scale mitigation (additive: earlier rows' NAMES unchanged, but
+    # see the r9 methodology note above for the rows whose measured
+    # shape changed this round)
+    "q12_shipmode_priority",
+    "dd_simhash_portable128_pairs",
 ]
 
 

@@ -410,6 +410,60 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate <  DATE '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    note="TPC-H Q12 shape (shipping modes and order priority) — the "
+    "last of the 22 spec shapes (Q1 lives as a7_tpch_q1_rollup): a "
+    "fact⋈orders join restricted to LATE lineitems in a one-year "
+    "window, with the classic dual conditional count (urgent/high vs "
+    "other priorities) per shipping class. Fixture adaptations, "
+    "documented like q9's: no l_shipmode/l_commitdate/l_receiptdate "
+    "columns, so l_linestatus stands in for the mode key and "
+    "'shipped ≥ 60 days after the order date' (timestamp + INTERVAL "
+    "arithmetic, exact on both engines — never date_add, which would "
+    "truncate the time component) is the lateness predicate; the "
+    "join/aggregate shape is unchanged. The date filter is pushed to "
+    "the lineitem scan; the orderkey join is the intended at-scale "
+    "shuffle join (fixture auto-broadcasts it, same class as q7/q9). "
+    "Counts are exact integers — no float hashing at all. Fully "
+    "oracled.",
+    tier=2,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
     "q14_promo_revenue",
     oracle=f"""
     SELECT 100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
