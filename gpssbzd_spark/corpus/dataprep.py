@@ -1849,6 +1849,100 @@ def dp_cap_per_group(spark, sf_dir):
     return cap_per_group(d, ["source"], "doc_id", 10).select("doc_id", "source")
 
 
+_TOKENIZED_DOCS_SQL = (
+    "(SELECT doc_id, source, "
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) "
+    "AS n_tokens FROM documents) AS toks"
+)
+
+
+def _token_budget_cap_oracle() -> str:
+    from gpssbzd_spark.dataprep.splits import token_budget_cap_sql
+
+    return (
+        "SELECT doc_id, source, n_tokens FROM ("
+        + token_budget_cap_sql(
+            _TOKENIZED_DOCS_SQL, ["source"], "doc_id", "n_tokens", 600
+        )
+        + ")"
+    )
+
+
+@query(
+    "dp_token_budget_cap",
+    oracle=_token_budget_cap_oracle(),
+    note="per-group TOKEN-budget quota (dataprep/splits.py "
+    "token_budget_cap): keep the deterministic hash-ordered prefix of "
+    "each source whose running token total stays within 600 (binds at "
+    "every sf: sources carry ~1.1–1.7k tokens) — the unit pretraining "
+    "mixtures are actually budgeted in; a doc-count cap treats a "
+    "500k-token document and a tweet as equal contributions. Same "
+    "md5-bucket order as dp_cap_per_group (re-run/retry-stable, "
+    "smaller budgets keep prefixes of larger ones), token counts from "
+    "the proven whitespace-split recipe, one running-sum window per "
+    "group. Fully oracled.",
+    tier=2,
+)
+def dp_token_budget_cap(spark, sf_dir):
+    from gpssbzd_spark.dataprep.splits import token_budget_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _F.split(_F.trim(_F.col("text")), r"\s+")
+    n_tokens = (
+        _F.when(_F.length(_F.trim("text")) == 0, _F.lit(0))
+        .otherwise(_F.size(toks))
+        .cast("long")
+    )
+    tokenized = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    return token_budget_cap(
+        tokenized, ["source"], "doc_id", "n_tokens", 600
+    ).select("doc_id", "source", "n_tokens")
+
+
+def _decontaminate_semantic_oracle() -> str:
+    from gpssbzd_spark.dataprep.dedup import embedding_lsh_portable_sql
+
+    return f"""
+    WITH pairs AS ({embedding_lsh_portable_sql()}),
+    ev AS (SELECT vec_id FROM embeddings WHERE vec_id % 17 = 0),
+    cont AS (
+      SELECT id_a AS vec_id FROM pairs JOIN ev ON ev.vec_id = pairs.id_b
+      UNION
+      SELECT id_b AS vec_id FROM pairs JOIN ev ON ev.vec_id = pairs.id_a
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id % 17 <> 0
+      AND e.vec_id NOT IN (SELECT vec_id FROM cont)
+    """
+
+
+@query(
+    "dp_decontaminate_semantic",
+    oracle=_decontaminate_semantic_oracle(),
+    note="EMBEDDING-SPACE benchmark decontamination (dataprep/"
+    "decontam.py decontaminate_semantic): the semantic sibling of "
+    "dp_decontaminate_overlap — train vectors within quantized cosine "
+    "0.4 of ANY eval vector (eval = vec_id%17, a benchmark-suite-"
+    "sized 1/17th) are dropped, catching paraphrased leakage n-gram "
+    "overlap misses. Reuses the integer-exact portable LSH pair "
+    "pipeline over the union, keeps cross-side pairs via broadcast "
+    "semi joins, anti-joins train — FULL oracle by composition "
+    "(DuckDB nests embedding_lsh_portable_sql), and the scale shape "
+    "is the pair pipeline's banded join plus broadcasts of the tiny "
+    "eval id set. Binds on the fixture: 4 train vectors drop at "
+    "every sf. Fully oracled.",
+    tier=2,
+)
+def dp_decontaminate_semantic(spark, sf_dir):
+    from gpssbzd_spark.dataprep.decontam import decontaminate_semantic
+
+    em = load_table(spark, sf_dir, "embeddings")
+    eval_df = em.filter(_F.col("vec_id") % 17 == 0)
+    train = em.filter(_F.col("vec_id") % 17 != 0)
+    return decontaminate_semantic(train, eval_df).select("vec_id")
+
+
 from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
     neardup_clusters,
     neardup_clusters_sql,

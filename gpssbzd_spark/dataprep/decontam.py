@@ -116,6 +116,61 @@ def decontaminate(
     return train.join(F.broadcast(bad), id_col, "left_anti")
 
 
+def decontaminate_semantic(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """EMBEDDING-SPACE decontamination: drop every train vector whose
+    (quantized) cosine against ANY eval vector clears ``threshold`` —
+    the semantic sibling of :func:`decontaminate`, catching paraphrased
+    or lightly-rewritten benchmark leakage that n-gram overlap misses
+    (the eval answer reworded shares few exact 5-grams but stays
+    nearest-neighbor-close in embedding space).
+
+    Requires disjoint ``id_col`` values across the two sides (true for
+    any split of one corpus). Implementation reuses the fully-oracled
+    portable pair pipeline (:func:`~gpssbzd_spark.dataprep.dedup.
+    embedding_lsh_portable`) over the tagged union, keeps the pairs
+    that CROSS sides, and anti-joins the train side — so the DuckDB
+    oracle replays the entire path by composition and precision is
+    exact w.r.t. the quantized cosine. Scale shape: eval is a
+    benchmark suite (tiny) — its id set broadcasts into the semi
+    joins and the final anti join; the train side shuffles once on
+    the (table, bucket) banding keys, never all-pairs.
+    """
+    from gpssbzd_spark.dataprep.dedup import embedding_lsh_portable
+
+    union = train.select(id_col, vec_col).unionByName(
+        eval_df.select(id_col, vec_col)
+    )
+    pairs = embedding_lsh_portable(
+        union,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        scale=scale,
+    )
+    e_ids = eval_df.select(F.col(id_col).alias("_eval_id"))
+    cont_a = pairs.join(
+        F.broadcast(e_ids), pairs["id_b"] == F.col("_eval_id"), "left_semi"
+    ).select(F.col("id_a").alias(id_col))
+    cont_b = pairs.join(
+        F.broadcast(e_ids), pairs["id_a"] == F.col("_eval_id"), "left_semi"
+    ).select(F.col("id_b").alias(id_col))
+    contaminated = cont_a.unionByName(cont_b).distinct()
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
 def _grams_sql(text_col: str, n: int) -> str:
     """DuckDB expression: distinct word n-gram md5-prefix keys of
     ``text_col`` — the twin of :func:`_gram_keys` (same tokenizer as

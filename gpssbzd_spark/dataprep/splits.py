@@ -437,6 +437,71 @@ def cap_per_group(
     )
 
 
+def token_budget_cap(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    token_col: str,
+    budget: int,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Deterministic per-group TOKEN quota: keep the hash-ordered
+    prefix of each group whose RUNNING token total stays within
+    ``budget`` — the unit pretraining mixtures are actually budgeted
+    in (a source contributes tokens, not documents; one 500k-token doc
+    is not one tweet). The first document that would cross the budget
+    is dropped along with everything ranked after it, so the kept set
+    always fits.
+
+    Same determinism contract as :func:`cap_per_group` (and the same
+    salt default, so the two caps rank any group identically): the
+    order is a pure function of (id, salt), re-runs/retries keep the
+    same rows, a SMALLER budget keeps a prefix of a larger budget's
+    selection, and under-budget groups pass through whole. One
+    exchange on the group key (the running-sum window); nothing
+    driver-side at any scale.
+    """
+    assert budget >= 1, budget
+    bucket = _bucket_hex(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cap_cum", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("_cap_cum") <= budget)
+        .drop("_cap_cum")
+    )
+
+
+def token_budget_cap_sql(
+    table: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    token_col: str,
+    budget: int,
+    salt: str = "cap-v1",
+) -> str:
+    """DuckDB twin of :func:`token_budget_cap` (same md5 bucket, same
+    ranking, same running-sum frame)."""
+    k = ", ".join(group_cols)
+    bucket = (
+        f"substr(md5('{salt}' || '|' || "
+        f"COALESCE(CAST({id_col} AS VARCHAR), '')), 1, {_HEX_DIGITS})"
+    )
+    return f"""
+    SELECT * EXCLUDE (_cap_cum) FROM (
+      SELECT *, SUM({token_col}) OVER (
+        PARTITION BY {k} ORDER BY {bucket} ASC, {id_col} ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cap_cum
+      FROM {table}
+    ) WHERE _cap_cum <= {budget}
+    """
+
+
 def cap_per_group_sql(
     table: str,
     group_cols: Sequence[str],

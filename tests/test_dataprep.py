@@ -864,6 +864,80 @@ def test_simhash_portable_128_bits(spark):
     assert all(h <= 3 for h in got.values())
 
 
+def test_token_budget_cap_properties(spark):
+    """token_budget_cap: (a) every kept group's token total fits the
+    budget; (b) a smaller budget keeps a PREFIX of a larger budget's
+    selection (monotonicity — shrinking quotas never churns
+    survivors); (c) under-budget groups pass through whole; (d) the
+    selection is repartition-invariant (pure function of id+salt)."""
+    from gpssbzd_spark.dataprep.splits import token_budget_cap
+
+    d = (
+        load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    big = token_budget_cap(d, ["source"], "doc_id", "n_tokens", 600)
+    small = token_budget_cap(d, ["source"], "doc_id", "n_tokens", 300)
+    tot = {
+        r.source: r.s
+        for r in big.groupBy("source").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert tot and all(v <= 600 for v in tot.values())
+    big_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    small_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    assert small_ids and small_ids < big_ids  # strict: 300 binds harder
+    # under-budget groups pass whole (budget above any source's total)
+    huge = token_budget_cap(d, ["source"], "doc_id", "n_tokens", 10**9)
+    assert huge.count() == d.count()
+    # repartition invariance
+    rep = token_budget_cap(
+        d.repartition(7, "doc_id"), ["source"], "doc_id", "n_tokens", 600
+    )
+    assert {r.doc_id for r in rep.select("doc_id").collect()} == big_ids
+
+
+def test_decontaminate_semantic_drops_only_true_neighbors(spark):
+    """decontaminate_semantic: every DROPPED train vector has an eval
+    vector within the threshold by EXACT quantized cosine (precision
+    1.0 — the verify stage is exact), and at least one vector drops on
+    the fixture split (non-vacuous)."""
+    from gpssbzd_spark.dataprep.decontam import decontaminate_semantic
+
+    em = load_table(spark, SF, "embeddings")
+    eval_df = em.filter(F.col("vec_id") % 17 == 0)
+    train = em.filter(F.col("vec_id") % 17 != 0)
+    kept = {
+        r.vec_id
+        for r in decontaminate_semantic(train, eval_df)
+        .select("vec_id")
+        .collect()
+    }
+    train_ids = {r.vec_id for r in train.select("vec_id").collect()}
+    dropped = train_ids - kept
+    assert dropped, "fixture split should contaminate at least one vector"
+    # exact quantized-cosine check on the dropped set (small by design)
+    import numpy as np
+
+    vecs = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1000)
+        for r in em.collect()
+    }
+    eval_ids = [i for i in vecs if i % 17 == 0]
+    for d_id in dropped:
+        q = vecs[d_id]
+        best = max(
+            float(q @ vecs[e] / (np.linalg.norm(q) * np.linalg.norm(vecs[e])))
+            for e in eval_ids
+        )
+        assert best >= 0.4, (d_id, best)
+
+
 def test_ivf_seed_sample_filters_below_take_ordered(spark):
     """The k-means seed scan must hash-filter BELOW the TakeOrdered so
     seeding a 100 TB corpus moves ~64·n_centroids rows, not the corpus;
