@@ -1900,6 +1900,58 @@ def dp_token_budget_cap(spark, sf_dir):
     ).select("doc_id", "source", "n_tokens")
 
 
+_INCR_INDEX_SQL = (
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0"
+)
+_INCR_DELTA_SQL = (
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1"
+)
+
+
+def _incremental_neardup_oracle() -> str:
+    from gpssbzd_spark.dataprep.dedup import incremental_neardup_sql
+
+    return incremental_neardup_sql(_INCR_INDEX_SQL, _INCR_DELTA_SQL)
+
+
+@query(
+    "dd_incremental_neardup",
+    oracle=_incremental_neardup_oracle(),
+    note="INCREMENTAL near-dup check (dataprep/dedup.py "
+    "minhash_signatures_portable + incremental_neardup_matches): the "
+    "ingest-time pattern — the historical corpus is SIGNED ONCE (one "
+    "narrow signature row per doc, the persistable index; here 2/3 of "
+    "documents), and the daily delta (the other 1/3, plus seeded "
+    "exact copies of indexed docs so matches are guaranteed "
+    "non-vacuous) signs only itself, band-joins the stored bands, and "
+    "verifies candidates by signature AGREEMENT — the unbiased "
+    "Jaccard estimate a signature-only index can compute without "
+    "storing corpus-sized shingle sets. The sibling of the persisted-"
+    "IVF ANN path for dedup; never re-signs the corpus, never "
+    "all-pairs. md5-portable family, so the oracle replays sign-index "
+    "+ sign-delta + banding + agreement end-to-end. Estimator quality "
+    "vs exact Jaccard pytest-pinned. Fully oracled.",
+    tier=2,
+)
+def dd_incremental_neardup(spark, sf_dir):
+    from gpssbzd_spark.dataprep.dedup import (
+        incremental_neardup_matches,
+        minhash_signatures_portable,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(_F.col("doc_id") % 3 != 0)
+    delta = d.filter(_F.col("doc_id") % 3 == 0).unionByName(
+        d.filter((_F.col("doc_id") % 3 != 0) & (_F.col("doc_id") % 10 == 1))
+        .withColumn("doc_id", _F.col("doc_id") + 1000000)
+    )
+    index_sigs = minhash_signatures_portable(hist)
+    delta_sigs = minhash_signatures_portable(delta)
+    return incremental_neardup_matches(delta_sigs, index_sigs)
+
+
 def _decontaminate_semantic_oracle() -> str:
     from gpssbzd_spark.dataprep.dedup import embedding_lsh_portable_sql
 

@@ -985,6 +985,211 @@ def minhash_lsh_portable_sql(
     """
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document portable MinHash signature rows ``(id, h0..h{n-1})``
+    — the PERSISTABLE index unit for incremental dedup (write these to
+    parquet once; daily deltas band-join against them without
+    re-signing the corpus). Same md5-hex-prefix-under-min hash family
+    as :func:`minhash_lsh_portable`, same explode + min-aggregate plan
+    (codegen'd md5s, map-side partial mins, one signature row per doc
+    through the shuffle). Shingle-less docs drop out, as in the pair
+    pipeline."""
+    ex = (
+        df.select(
+            F.col(id_col),
+            _portable_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select(F.col(id_col), F.explode("sh").alias("s"))
+    )
+    sig = [
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"mh{i}|"), F.col("s")).cast("binary")),
+                1,
+                8,
+            )
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*sig)
+
+
+def _minhash_bands(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_val) rows from signature rows — band value =
+    the concatenated hex mins of the band's rows, exactly as the pair
+    pipeline concatenates them."""
+    assert num_hashes % bands == 0, (num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    band_vals = F.array(
+        *[
+            F.concat_ws(
+                "",
+                *[
+                    F.col(f"h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        id_col, F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+
+
+def incremental_neardup_matches(
+    delta_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_agree: int = 6,
+) -> DataFrame:
+    """Incremental near-dup check: match a DELTA's signature rows
+    against a persisted historical signature INDEX →
+    ``(delta_id, index_id, n_agree)`` for every candidate pair whose
+    signature agreement clears ``min_agree``.
+
+    This is the ingest-time sibling of the batch pair pipeline (and of
+    the persisted-IVF ANN path): the corpus is signed ONCE
+    (:func:`minhash_signatures_portable`, stored as one narrow parquet
+    row per doc), and each daily delta only signs itself, band-joins
+    against the stored bands, and verifies candidates by SIGNATURE
+    AGREEMENT — ``n_agree/num_hashes`` is the standard unbiased
+    estimate of Jaccard (E[agree_i] = J per permutation), the verify a
+    signature-only index can do without storing corpus-sized shingle
+    sets. Estimator quality vs exact Jaccard is pytest-pinned; at
+    ``num_hashes=8, min_agree=6`` the check targets J ≳ 0.75. Both
+    sides use the md5-portable family, so a DuckDB oracle replays the
+    whole path (:func:`incremental_neardup_sql`).
+
+    Scale shape: delta bands broadcast-or-shuffle-join the index bands
+    on (band_idx, band_val) — never all-pairs, the index never
+    re-signs; candidate pairs dedupe BEFORE the signature columns
+    re-attach (two hash joins by id)."""
+    db = _minhash_bands(delta_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("delta_id"), "band_idx", "band_val"
+    )
+    ib = _minhash_bands(index_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("index_id"), "band_idx", "band_val"
+    )
+    cand = db.join(ib, ["band_idx", "band_val"]).select(
+        "delta_id", "index_id"
+    ).distinct()
+    da = delta_sigs.select(
+        F.col(id_col).alias("delta_id"),
+        *[F.col(f"h{i}").alias(f"da{i}") for i in range(num_hashes)],
+    )
+    ia = index_sigs.select(
+        F.col(id_col).alias("index_id"),
+        *[F.col(f"h{i}").alias(f"ia{i}") for i in range(num_hashes)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"da{i}") == F.col(f"ia{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ).cast("bigint")
+    return (
+        cand.join(da, "delta_id")
+        .join(ia, "index_id")
+        .select("delta_id", "index_id", n_agree.alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
+    )
+
+
+def _minhash_sigs_sql(
+    source_sql: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> str:
+    """DuckDB CTE body: signature rows of ``source_sql`` (a relation
+    with ``id_col``/``text_col``), twin of
+    :func:`minhash_signatures_portable`."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(trim({text_col})), '\\s+'),"
+        f" x -> x <> '')"
+    )
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(shingle_n))
+    sh = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len(t) - {shingle_n - 1}), i -> {gram}))"
+    )
+    hashes = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> "
+        f"substr(md5('mh{i}|' || s), 1, 8)), 'min') AS h{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+      SELECT {id_col}, {hashes} FROM (
+        SELECT {id_col}, {sh} AS sh FROM (
+          SELECT {id_col}, {toks} AS t FROM ({source_sql})
+          WHERE {text_col} IS NOT NULL
+        ) WHERE len(t) >= {shingle_n}
+      ) WHERE len(sh) > 0
+    """
+
+
+def incremental_neardup_sql(
+    index_sql: str,
+    delta_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_agree: int = 6,
+) -> str:
+    """DuckDB twin of sign-index + sign-delta +
+    :func:`incremental_neardup_matches` — the identical banding and
+    agreement arithmetic over the identical md5 family."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    def bands_sql(src: str) -> str:
+        unions = " UNION ALL ".join(
+            f"SELECT {id_col}, {b} AS band_idx, "
+            + " || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + f" AS band_val FROM {src}"
+            for b in range(bands)
+        )
+        return unions
+
+    agree = " + ".join(
+        f"(CASE WHEN da.h{i} = ia.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH isigs AS ({_minhash_sigs_sql(index_sql, text_col, id_col,
+                                      num_hashes, shingle_n)}),
+    dsigs AS ({_minhash_sigs_sql(delta_sql, text_col, id_col,
+                                 num_hashes, shingle_n)}),
+    ibands AS ({bands_sql('isigs')}),
+    dbands AS ({bands_sql('dsigs')}),
+    cand AS (
+      SELECT DISTINCT d.{id_col} AS delta_id, i.{id_col} AS index_id
+      FROM dbands d JOIN ibands i USING (band_idx, band_val)
+    )
+    SELECT delta_id, index_id,
+           CAST({agree} AS BIGINT) AS n_agree
+    FROM cand
+    JOIN dsigs da ON da.{id_col} = cand.delta_id
+    JOIN isigs ia ON ia.{id_col} = cand.index_id
+    WHERE {agree} >= {min_agree}
+    """
+
+
 def _simhash_lane_params(bits: int, bands: int, max_hamming: int):
     """Shared parameter validation for the portable SimHash pair:
     ``bits`` must split into 32-bit md5 lanes, ``bands`` into equal

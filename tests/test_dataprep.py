@@ -938,6 +938,70 @@ def test_decontaminate_semantic_drops_only_true_neighbors(spark):
         assert best >= 0.4, (d_id, best)
 
 
+def test_incremental_neardup_index_contract(spark):
+    """Incremental dedup against a persisted signature index: (a) a
+    delta that contains EXACT copies of indexed docs matches every
+    copy to its original with full agreement (8/8 — identical shingle
+    sets give identical mins in every permutation); (b) the signature
+    index round-trips parquet byte-exactly, so matching against the
+    RE-READ index equals matching against the in-memory one; (c) the
+    agreement estimate tracks exact Jaccard: every reported match's
+    true shingle Jaccard clears a loose floor (estimator unbiasedness,
+    loose to stay flake-free at num_hashes=8)."""
+    import os
+    import tempfile
+
+    from gpssbzd_spark.dataprep.dedup import (
+        _portable_shingles,
+        incremental_neardup_matches,
+        minhash_signatures_portable,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    copies = (
+        hist.filter(F.col("doc_id") % 10 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    index_sigs = minhash_signatures_portable(hist)
+    delta_sigs = minhash_signatures_portable(copies)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "sig_index")
+        index_sigs.write.parquet(p)
+        reread = spark.read.parquet(p)
+        got = {
+            (r.delta_id, r.index_id): r.n_agree
+            for r in incremental_neardup_matches(delta_sigs, reread).collect()
+        }
+    twins = [r.doc_id for r in hist.filter(F.col("doc_id") % 10 == 1).collect()]
+    assert twins
+    for t in twins:
+        assert got.get((t + 1000000, t)) == 8, t
+    mem = {
+        (r.delta_id, r.index_id): r.n_agree
+        for r in incremental_neardup_matches(delta_sigs, index_sigs).collect()
+    }
+    assert got == mem  # parquet round-trip changes nothing
+
+    # estimator quality on the organic delta split
+    delta = d.filter(F.col("doc_id") % 3 == 0)
+    matches = incremental_neardup_matches(
+        minhash_signatures_portable(delta), index_sigs
+    ).collect()
+    if matches:
+        sh = {
+            r.doc_id: set(r.sh)
+            for r in d.select(
+                "doc_id", _portable_shingles(F.col("text"), 3).alias("sh")
+            ).collect()
+        }
+        for m in matches:
+            a, b = sh[m.delta_id], sh[m.index_id]
+            jac = len(a & b) / len(a | b)
+            assert jac >= 0.35, (m.delta_id, m.index_id, m.n_agree, jac)
+
+
 def test_ivf_seed_sample_filters_below_take_ordered(spark):
     """The k-means seed scan must hash-filter BELOW the TakeOrdered so
     seeding a 100 TB corpus moves ~64·n_centroids rows, not the corpus;
