@@ -167,6 +167,9 @@ HEADLINE = [
     # shape changed this round)
     "q12_shipmode_priority",
     "dd_simhash_portable128_pairs",
+    "dp_token_budget_cap",
+    "dp_decontaminate_semantic",
+    "dd_incremental_neardup",
 ]
 
 
