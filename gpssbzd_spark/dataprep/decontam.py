@@ -159,7 +159,12 @@ def decontaminate_semantic(
         n_planes=n_planes,
         n_tables=n_tables,
         scale=scale,
-    )
+        # consumed twice (the a-side and b-side semi joins) and bounded
+        # by actual near-duplication; without pinning the WHOLE pair
+        # pipeline — quantize, plane dots, banding, verify — replays
+        # per consumer (the repo's pin-iteratively-reused-inputs rule,
+        # GC-scoped via localCheckpoint)
+    ).localCheckpoint()
     e_ids = eval_df.select(F.col(id_col).alias("_eval_id"))
     cont_a = pairs.join(
         F.broadcast(e_ids), pairs["id_b"] == F.col("_eval_id"), "left_semi"

@@ -166,6 +166,31 @@ def test_blocked_embedding_pairs_never_cartesian(spark):
     assert "Join" in plan  # the banded equi-join exists
 
 
+def test_r9_new_ops_plan_shapes(spark):
+    """Round-9 operators keep the repo's plan contract: the incremental
+    dedup's delta-vs-index match and the semantic decontamination's
+    pair pipeline candidate-generate through equi-joins (no cartesian,
+    no nested-loop, no Python workers), and the token-budget cap is
+    one window exchange with zero joins."""
+    for name in ("dd_incremental_neardup", "dp_token_budget_cap"):
+        plan = final_plan(q(spark, name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "EvalPython" not in plan, name
+    # the semantic decontamination nests embedding_lsh_portable, whose
+    # ONE BroadcastNestedLoopJoin is the intended broadcast product
+    # with the tiny (n_tables*n_planes)-row literal planes table — the
+    # same exception class as q11/q15's one-row scalars; everything
+    # else must stay equi-join
+    plan = final_plan(q(spark, "dp_decontaminate_semantic"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "EvalPython" not in plan
+    cap = final_plan(q(spark, "dp_token_budget_cap"))
+    assert "Join" not in cap, cap
+    assert "Window" in cap, cap
+
+
 def test_minhash_candidates_equi_join_not_cartesian(spark):
     """MinHash banding must candidate-generate through the
     (band, band_hash) equi-join; any nested-loop/cartesian node means
