@@ -409,3 +409,48 @@ def st_drift_psi(spark, sf_dir):
         ev, "ts", "value", "1 hour", lo=0.0, hi=500.0, n_bins=10,
         ref_counts=[1.0] * 10,
     )
+
+
+def _st_incremental_dedup_oracle() -> str:
+    from gpssbzd_spark.corpus.dataprep import (
+        _INCR_DELTA_SQL,
+        _INCR_INDEX_SQL,
+    )
+    from gpssbzd_spark.dataprep.dedup import incremental_neardup_sql
+
+    return incremental_neardup_sql(_INCR_INDEX_SQL, _INCR_DELTA_SQL)
+
+
+@query(
+    "st_incremental_dedup",
+    oracle=_st_incremental_dedup_oracle(),
+    note="STREAMING ingest-time dedup against the persisted signature "
+    "index (dataprep/dedup.py incremental_neardup_flags_stateless): "
+    "the row-local signer (array_min(transform) per permutation — "
+    "aggregation-free, so an append-mode micro-batch can run it) "
+    "band-joins the static index stream-side; a pair matching k bands "
+    "emits k rows and the only stateful operator is the caller's "
+    "bounded dedup — dropDuplicates here on the batch twin, "
+    "dedup_within_watermark on a true stream (parity pinned in "
+    "tests/test_streaming.py). Same md5 family and split as "
+    "dd_incremental_neardup, so the identical DuckDB oracle replays "
+    "the whole path — proving the row-local signer emits "
+    "bit-identical signatures to the exploded batch signer. st "
+    "rotation alternate",
+    tier=2,
+)
+def st_incremental_dedup(spark, sf_dir):
+    from gpssbzd_spark.dataprep.dedup import (
+        incremental_neardup_flags_stateless,
+        minhash_signatures_portable,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    delta = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+        d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 10 == 1))
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    index_sigs = minhash_signatures_portable(hist)
+    flags = incremental_neardup_flags_stateless(delta, index_sigs)
+    return flags.dropDuplicates(["delta_id", "index_id"])

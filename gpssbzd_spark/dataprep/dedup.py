@@ -1105,6 +1105,115 @@ def incremental_neardup_matches(
     )
 
 
+def minhash_signatures_rowlocal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Row-local (aggregation-free) twin of
+    :func:`minhash_signatures_portable` — STREAMING-SAFE: each
+    permutation's min is ``array_min(transform(sh, ...))`` computed
+    inside the row, so signing runs stateless in an append-mode
+    micro-batch (the explode + groupBy form is a stateful aggregation
+    a stream cannot run without watermark gymnastics). Interpreted
+    higher-order lambdas cost ~8× the batch signer's codegen'd explode
+    (the measured trade documented in :func:`minhash_lsh_portable`) —
+    per-micro-batch delta volumes make that the right price; the batch
+    index is still built with the exploded signer. Signature VALUES
+    are identical (min over the array == min over its exploded rows),
+    so streams verify against the same persisted index. Keeps all
+    input columns and appends h0..h{n-1}; shingle-less docs drop."""
+    sh = _portable_shingles(F.col(text_col), shingle_n)
+    out = df.withColumn("_sh", sh).filter(F.size("_sh") > 0)
+
+    def perm_hash(i: int):
+        # a closure factory, NOT `lambda s, i=i`: pyspark dispatches
+        # higher-order lambdas on ARITY, so a two-arg lambda would
+        # receive the array INDEX as its second argument and silently
+        # shadow the permutation constant
+        prefix = f"mh{i}|"
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(prefix), s).cast("binary")), 1, 8
+        )
+
+    for i in range(num_hashes):
+        out = out.withColumn(
+            f"h{i}", F.array_min(F.transform(F.col("_sh"), perm_hash(i)))
+        )
+    return out.drop("_sh")
+
+
+def incremental_neardup_flags_stateless(
+    docs: DataFrame,
+    index_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_agree: int = 6,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming-safe incremental near-dup MATCH EVENTS: sign ``docs``
+    row-locally, band-explode, stream-static join the persisted index
+    bands and signature rows, and emit
+    ``(delta_id, [carry_cols...,] index_id, n_agree)`` for every
+    (doc, index doc, matching band) whose signature agreement clears
+    ``min_agree``. NO distinct and NO aggregation anywhere — a pair
+    matching k bands emits k rows, and callers collapse them with
+    ``dropDuplicates`` (batch) or
+    :func:`~gpssbzd_spark.streaming.windows.dedup_within_watermark`
+    (stream) — so the whole plan is append-mode legal: the only
+    stateful operator is the caller's bounded dedup. The index side is
+    static (signed once by :func:`minhash_signatures_portable`, read
+    from parquet) and broadcast-eligible per micro-batch."""
+    sigs = minhash_signatures_rowlocal(
+        docs, text_col, id_col, num_hashes, shingle_n=3
+    )
+    rows_per_band = num_hashes // bands
+    band_vals = F.array(
+        *[
+            F.concat_ws(
+                "",
+                *[
+                    F.col(f"h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    db = sigs.select(
+        F.col(id_col).alias("delta_id"),
+        *carry_cols,
+        *[F.col(f"h{i}").alias(f"da{i}") for i in range(num_hashes)],
+        F.posexplode(band_vals).alias("band_idx", "band_val"),
+    )
+    ib = _minhash_bands(index_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("index_id"), "band_idx", "band_val"
+    )
+    ia = index_sigs.select(
+        F.col(id_col).alias("index_id"),
+        *[F.col(f"h{i}").alias(f"ia{i}") for i in range(num_hashes)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"da{i}") == F.col(f"ia{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ).cast("bigint")
+    return (
+        db.join(ib, ["band_idx", "band_val"])
+        .join(ia, "index_id")
+        .select(
+            "delta_id",
+            *carry_cols,
+            "index_id",
+            n_agree.alias("n_agree"),
+        )
+        .filter(F.col("n_agree") >= min_agree)
+    )
+
+
 def _minhash_sigs_sql(
     source_sql: str,
     text_col: str,

@@ -553,3 +553,71 @@ def test_streaming_funnel_null_ts_and_string_key(spark):
         for r in streaming_funnel(ev, ["view", "click"]).collect()
     }
     assert out == {"alice": (t(0), t(10), 2)}
+
+
+def test_incremental_dedup_batch_stream_parity(spark, tmp_path):
+    """Ingest-time dedup against the persisted signature index must
+    agree between the batch twin (dropDuplicates) and a true 3-file
+    stream (dedup_within_watermark): the row-local signer and the
+    stream-static band join are stateless, so every match event a
+    batch run finds must surface from the stream exactly once."""
+    import os
+    import time as _time
+
+    from gpssbzd_spark.dataprep.dedup import (
+        incremental_neardup_flags_stateless,
+        minhash_signatures_portable,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    delta = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+        hist.filter(F.col("doc_id") % 10 == 1).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    # the delta needs an event-time column for the stream's bounded
+    # dedup; synthesize a deterministic one from the id
+    delta_ts = delta.withColumn(
+        "ts", F.timestamp_seconds(1700000000 + F.col("doc_id") % 1000)
+    )
+    index_sigs = minhash_signatures_portable(hist).localCheckpoint()
+
+    batch = (
+        incremental_neardup_flags_stateless(delta_ts, index_sigs)
+        .dropDuplicates(["delta_id", "index_id"])
+    )
+    expect = {
+        (r.delta_id, r.index_id, r.n_agree) for r in batch.collect()
+    }
+    assert expect  # seeded twins guarantee matches
+
+    out = str(tmp_path / "delta_stream")
+    os.makedirs(out)
+    pdf = delta_ts.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    now = _time.time()
+    for i in range(3):
+        p = os.path.join(out, f"part-{i}.parquet")
+        pdf.iloc[cuts[i]:cuts[i + 1]].to_parquet(
+            p, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(p, (now + i, now + i))
+
+    stream = read_parquet_stream(
+        spark, out, "doc_id long, text string, ts timestamp",
+        max_files_per_trigger=1,
+    )
+    flags = incremental_neardup_flags_stateless(
+        stream, index_sigs, carry_cols=("ts",)
+    )
+    deduped = dedup_within_watermark(
+        flags, ["delta_id", "index_id"], ts_col="ts", delay="10 minutes"
+    ).select("delta_id", "index_id", "n_agree")
+    got = {
+        (r.delta_id, r.index_id, r.n_agree)
+        for r in _drain(deduped, "incr_dedup_parity", "append").collect()
+    }
+    assert got == expect
