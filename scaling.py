@@ -304,8 +304,22 @@ def main() -> None:
             "exponent_pair": [lo, hi],
         }
 
-    merged = _merge_sidecar(sf_dir, mults, repeats, results)
-    _write_md(sf_dir, mults, repeats, merged)
+    if sf_dir.rstrip("/") == "/root/testdata/sf0.1":
+        merged = _merge_sidecar(sf_dir, mults, repeats, results)
+        _write_md(sf_dir, mults, repeats, merged)
+    else:
+        # smoke / off-scale runs must NOT clobber the committed sf0.1
+        # machine record (the merge keeps prior cells only on sf_dir
+        # match, so an sf0.001 smoke used to silently DISCARD the whole
+        # committed ladder — round-9 footgun); park them in a sidecar
+        merged = results
+        with open(os.path.join(REPO, "SCALING_smoke.json"), "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "mults": mults, "families": results},
+                fh,
+                indent=1,
+                default=str,
+            )
     print(
         json.dumps(
             {
