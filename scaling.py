@@ -157,6 +157,18 @@ def families():
             lambda d, K: _pretrain_e2e_op(d),
             16,
         ),
+        # Incremental dedup with the INDEX side grown K× and the delta
+        # fixed: signs the inflated corpus, signs the constant delta,
+        # band-joins, verifies agreement — the ingest-time pattern's
+        # cost must stay ~linear in index size (a fixed-band-space
+        # superlinearity would surface here exactly like the r8
+        # SimHash knee).
+        "incremental_neardup": (
+            "documents",
+            inflate_documents,
+            _incremental_neardup_op,
+            16,
+        ),
         # TPC-H Q9 (the widest star) with the fact side inflated K× and
         # the orderkey join FORCED to sort-merge via the merge hint —
         # the 100 TB plan shape (at fixture scale the default threshold
@@ -171,6 +183,30 @@ def families():
             16,
         ),
     }
+
+
+def _incremental_neardup_op(d, K=1):
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.dedup import (
+        incremental_neardup_matches,
+        minhash_signatures_portable,
+    )
+    from gpssbzd_spark.sources import load_table
+
+    spark = d.sparkSession
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    delta = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+    index_sigs = minhash_signatures_portable(
+        d.select("doc_id", "text").filter(F.col("doc_id") % 3 != 0)
+    )
+    return incremental_neardup_matches(
+        minhash_signatures_portable(delta), index_sigs
+    )
 
 
 def _pretrain_e2e_op(d):

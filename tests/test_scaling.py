@@ -102,7 +102,7 @@ def test_composite_families_scale_linearly(spark):
     SCALING.md: 0.487 / 0.415)."""
     import scaling as harness
 
-    for family in ("pretrain_e2e", "tpch_q9_smj"):
+    for family in ("pretrain_e2e", "tpch_q9_smj", "incremental_neardup"):
         table, inflate, fn = harness.families()[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
         assert exp < 1.3, (family, exp, times)
