@@ -938,6 +938,68 @@ def test_decontaminate_semantic_drops_only_true_neighbors(spark):
         assert best >= 0.4, (d_id, best)
 
 
+def test_minhash_signers_agree_with_python_reference(spark):
+    """Three independent implementations of the portable signature —
+    the exploded batch signer, the row-local streaming signer
+    (array_min over per-permutation transforms), and a pure-Python md5
+    reference — must produce byte-identical signatures on a corpus
+    covering unicode, repeated tokens, whitespace runs, punctuation,
+    and minimum-length docs. Guards the exact bug class found while
+    building the row-local signer: pyspark dispatches higher-order
+    lambdas on ARITY, so a carelessly-bound loop variable silently
+    turns the permutation constant into the array index."""
+    import hashlib
+
+    from gpssbzd_spark.dataprep.dedup import (
+        minhash_signatures_portable,
+        minhash_signatures_rowlocal,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the the the repeated token document here",
+        "  leading   and  trailing   whitespace   runs  ",
+        "exactly three word", "ünïcodé tökens ärë fïne everywhere",
+        "punct, heavy! doc? with; colons: and (parens) too yes",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    def py_reference(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        if len(toks) < 3:
+            return None
+        shingles = sorted({" ".join(toks[i:i + 3])
+                           for i in range(len(toks) - 2)})
+        return tuple(
+            min(
+                hashlib.md5(f"mh{i}|{s}".encode()).hexdigest()[:8]
+                for s in shingles
+            )
+            for i in range(8)
+        )
+
+    expect = {
+        i: py_reference(t)
+        for i, t in enumerate(texts)
+        if py_reference(t) is not None
+    }
+    batch = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(8))
+        for r in minhash_signatures_portable(df).collect()
+    }
+    rowlocal = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(8))
+        for r in minhash_signatures_rowlocal(df)
+        .select("doc_id", *[f"h{i}" for i in range(8)])
+        .collect()
+    }
+    assert batch == expect
+    assert rowlocal == expect
+
+
 def test_incremental_neardup_index_contract(spark):
     """Incremental dedup against a persisted signature index: (a) a
     delta that contains EXACT copies of indexed docs matches every
