@@ -2637,6 +2637,57 @@ def s_jsonl_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    """,
+    note="ORC source round-trip (§2.1 S-family, third format beside "
+    "CSV/JSONL — ORC ships in Spark core, no extra package): write "
+    "orders to ORC under the S7 target_files knob, read it back "
+    "through a DECLARED schema (spark.read.schema(...).orc — never "
+    "inferSchema, same contract as every other source), oracle vs the "
+    "parquet original. ORC stores doubles natively, so values survive "
+    "bit-exactly and the rounding happens after the round-trip on "
+    "both engines. Rotation alternate of s_csv_roundtrip",
+    tier=2,
+)
+def s_orc_roundtrip(spark, sf_dir):
+    import os
+
+    from pyspark.sql import types as T
+
+    from gpssbzd_spark.sources.writers import write_partitioned
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        "orc_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    write_partitioned(orders, out_dir, fmt="orc", target_files=2)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).orc(out_dir)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@query(
     "j9_salted_join",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
