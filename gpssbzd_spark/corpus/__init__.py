@@ -141,7 +141,8 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
      ["st_stream_stream_join", "st_dedup_within_watermark",
       "st_upsert_state", "st_funnel_stateful"]),
     ("j1_join_inner", ["j9_salted_join"]),
-    ("s_csv_roundtrip", ["s_jsonl_roundtrip", "s_orc_roundtrip"]),
+    ("s_csv_roundtrip",
+     ["s_jsonl_roundtrip", "s_orc_roundtrip", "s_partitioned_pruned_scan"]),
     ("mm_frame_sample",
      ["mm_video_pixel_roundtrip", "mm_frames_to_image_features"]),
 ]

@@ -2688,6 +2688,61 @@ def s_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s_partitioned_pruned_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+             AS sum_price
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+    note="S-family partition-layout round-trip with DIRECTORY PRUNING "
+    "(§2.1 S7): lineitem hive-partitioned by l_returnflag via "
+    "write_partitioned (one file per partition dir under the "
+    "target_files bound), read back and filtered to one flag — the "
+    "filter must land in PartitionFilters so the scan touches ONE "
+    "directory of the three (plan-gated in tests/test_plans.py; at "
+    "100 TB this is the difference between scanning a day and "
+    "scanning the lake). Aggregate oracled against the unpartitioned "
+    "original in exact integer cents. Rotation alternate of "
+    "s_csv_roundtrip",
+    tier=2,
+)
+def s_partitioned_pruned_scan(spark, sf_dir):
+    import os
+
+    from gpssbzd_spark.sources.writers import write_partitioned
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        "partitioned_lineitem",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    write_partitioned(
+        li, out_dir, partition_cols=("l_returnflag",), target_files=2
+    )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                )
+                / 100.0
+            ).alias("sum_price"),
+        )
+    )
+
+
+@query(
     "j9_salted_join",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_mktsegment AS segment

@@ -166,6 +166,16 @@ def test_blocked_embedding_pairs_never_cartesian(spark):
     assert "Join" in plan  # the banded equi-join exists
 
 
+def test_partitioned_scan_prunes_directories(spark):
+    """s_partitioned_pruned_scan's filter must land in PartitionFilters
+    (directory pruning — the scan reads one l_returnflag dir of three),
+    not as a post-scan data filter."""
+    plan = final_plan(q(spark, "s_partitioned_pruned_scan"))
+    assert "PartitionFilters: [" in plan, plan
+    tail = plan.split("PartitionFilters: [", 1)[1][:220]
+    assert "l_returnflag" in tail, tail
+
+
 def test_r9_new_ops_plan_shapes(spark):
     """Round-9 operators keep the repo's plan contract: the incremental
     dedup's delta-vs-index match and the semantic decontamination's
