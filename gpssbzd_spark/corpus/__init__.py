@@ -139,7 +139,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
       "st_drift_histogram", "st_drift_psi"]),
     ("st_enrich_dim",
      ["st_stream_stream_join", "st_dedup_within_watermark",
-      "st_upsert_state", "st_funnel_stateful"]),
+      "st_upsert_state", "st_funnel_stateful", "st_incremental_dedup"]),
     ("j1_join_inner", ["j9_salted_join"]),
     ("s_csv_roundtrip",
      ["s_jsonl_roundtrip", "s_orc_roundtrip", "s_partitioned_pruned_scan"]),

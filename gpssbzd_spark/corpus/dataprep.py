@@ -14,6 +14,29 @@ from gpssbzd_spark.corpus import query
 from gpssbzd_spark.sources.tables import load_table
 
 
+def _seeded_docs(d):
+    """``documents`` plus an exact copy of every 10th doc under id+1e6
+    — the ONE dup-seeding rule behind every guaranteed-recall oracle in
+    this module. Must stay byte-consistent with ``_SEEDED_DOCS_SQL``
+    and with each oracle's inline seeded CTE (%%10 == 0, +1000000):
+    drifting any copy silently changes that query's oracle obligation,
+    which is why the rule lives in exactly one place per language."""
+    return d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+
+
+def _seed_pairs(d):
+    """The (original, copy) id pairs :func:`_seeded_docs` plants — the
+    row set the guaranteed-recall oracles enumerate."""
+    return d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"),
+    )
+
+
 @query(
     "dd_exact_dup_groups",
     oracle="""
@@ -39,11 +62,7 @@ from gpssbzd_spark.sources.tables import load_table
 )
 def dd_exact_dup_groups(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    seeded = d.unionByName(
-        d.filter(F.col("doc_id") % 10 == 0).withColumn(
-            "doc_id", F.col("doc_id") + 1000000
-        )
-    )
+    seeded = _seeded_docs(d)
     return (
         seeded.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
@@ -332,19 +351,12 @@ from gpssbzd_spark.dataprep.text import (  # noqa: E402
 )
 def dd_minhash_lsh_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    seeded = d.unionByName(
-        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
-            "doc_id", _F.col("doc_id") + 1000000
-        )
-    )
+    seeded = _seeded_docs(d)
     pairs = minhash_dedup_pairs(
         seeded, id_col="doc_id", text_col="text", k=5, num_perm=64,
         bands=16, threshold=0.5,
     )
-    seed_pairs = d.filter(_F.col("doc_id") % 10 == 0).select(
-        _F.col("doc_id").alias("id_a"),
-        (_F.col("doc_id") + 1000000).alias("id_b"),
-    )
+    seed_pairs = _seed_pairs(d)
     return seed_pairs.join(pairs, ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
@@ -381,12 +393,13 @@ def dd_minhash_lsh_pairs(spark, sf_dir):
 )
 def dd_simhash_buckets(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    seeded = d.unionByName(
-        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
-            "doc_id", _F.col("doc_id") + 1000000
-        )
-    )
-    sh = seeded.withColumn("simhash", simhash64(_F.col("text")))
+    seeded = _seeded_docs(d)
+    # consumed twice (bucket agg + per-text agg); without pinning each
+    # consumer re-runs the Arrow simhash kernel over the whole seeded
+    # corpus (the repo's pin-iteratively-reused-inputs rule, GC-scoped)
+    sh = seeded.withColumn(
+        "simhash", simhash64(_F.col("text"))
+    ).localCheckpoint()
     buckets = sh.groupBy("simhash").agg(_F.count("*").alias("bucket_n"))
     per_text = sh.groupBy(
         _F.md5(_F.col("text").cast("binary")).alias("text_hash")
@@ -426,18 +439,11 @@ def dd_simhash_buckets(spark, sf_dir):
 )
 def dd_simhash_near_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    seeded = d.unionByName(
-        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
-            "doc_id", _F.col("doc_id") + 1000000
-        )
-    )
+    seeded = _seeded_docs(d)
     pairs = simhash_near_pairs(
         seeded, id_col="doc_id", text_col="text", max_hamming=3, bands=4
     )
-    seed_pairs = d.filter(_F.col("doc_id") % 10 == 0).select(
-        _F.col("doc_id").alias("id_a"),
-        (_F.col("doc_id") + 1000000).alias("id_b"),
-    )
+    seed_pairs = _seed_pairs(d)
     return seed_pairs.join(pairs, ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
@@ -567,12 +573,12 @@ def tx_language_id(spark, sf_dir):
 )
 def tx_fingerprint_groups(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    seeded = d.unionByName(
-        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
-            "doc_id", _F.col("doc_id") + 1000000
-        )
-    )
-    fp = seeded.withColumn("fp", doc_fingerprint(_F.col("text")))
+    seeded = _seeded_docs(d)
+    # consumed twice (group agg + per-text agg) — pinned for the same
+    # reason as dd_simhash_buckets' kernel column
+    fp = seeded.withColumn(
+        "fp", doc_fingerprint(_F.col("text"))
+    ).localCheckpoint()
     groups = fp.groupBy("fp").agg(_F.count("*").alias("fp_n"))
     per_text = fp.groupBy(
         _F.md5(_F.col("text").cast("binary")).alias("text_hash")
@@ -1789,11 +1795,7 @@ _SEEDED_DOCS_SQL = (
 )
 def dd_simhash_portable128_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    seeded = d.unionByName(
-        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
-            "doc_id", _F.col("doc_id") + 1000000
-        )
-    )
+    seeded = _seeded_docs(d)
     return simhash_portable(seeded, bits=128)
 
 
@@ -2178,20 +2180,13 @@ def dd_neardup_clusters(spark, sf_dir):
 )
 def dd_neardup_clusters_kernel(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    seeded = d.unionByName(
-        d.filter(_F.col("doc_id") % 10 == 0).withColumn(
-            "doc_id", _F.col("doc_id") + 1000000
-        )
-    )
+    seeded = _seeded_docs(d)
     pairs = minhash_dedup_pairs(
         seeded, id_col="doc_id", text_col="text", k=5, num_perm=64,
         bands=16, threshold=0.5,
     )
     clusters = neardup_clusters(pairs)
-    seed_pairs = d.filter(_F.col("doc_id") % 10 == 0).select(
-        _F.col("doc_id").alias("id_a"),
-        (_F.col("doc_id") + 1000000).alias("id_b"),
-    )
+    seed_pairs = _seed_pairs(d)
     ca = clusters.select(
         _F.col("doc_id").alias("id_a"), _F.col("cluster_rep").alias("_rep_a")
     )

@@ -56,13 +56,21 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def families():
+def families(sf_dir: str | None = None):
     """name → (table, inflate_fn, op_fn[, max_k]). Imported lazily so
-    the harness can print a clean error without a JVM. ``max_k`` caps
+    the harness can print a clean error without a JVM. ``sf_dir`` is
+    the fixture dir the multi-table ops (tpch_q9_smj's orders/dims,
+    incremental_neardup's fixed delta) load their SECOND input from —
+    callers that inflate from a non-default fixture (the pytest gates
+    run at the oracle scale) MUST pass the same dir or the op would
+    silently measure a cross-fixture hybrid. ``max_k`` caps
     the multiplier for a family: the dedup/CC families run the full
     ladder (the K=64 octave guards against a knee hiding just past
     16×, VERDICT r6 #7); the event families' curves are already flat
     sub-second affairs at K=16 and stop there."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
     from pyspark.sql import functions as F
 
     from gpssbzd_spark.dataprep.dedup import (
@@ -166,7 +174,7 @@ def families():
         "incremental_neardup": (
             "documents",
             inflate_documents,
-            _incremental_neardup_op,
+            lambda d, K: _incremental_neardup_op(d, sf_dir),
             16,
         ),
         # TPC-H Q9 (the widest star) with the fact side inflated K× and
@@ -179,13 +187,13 @@ def families():
         "tpch_q9_smj": (
             "lineitem",
             lambda df, K: inflate_lineitem(df, K),
-            _tpch_q9_smj_op,
+            lambda li, K: _tpch_q9_smj_op(li, sf_dir),
             16,
         ),
     }
 
 
-def _incremental_neardup_op(d, K=1):
+def _incremental_neardup_op(d, sf_dir):
     from pyspark.sql import functions as F
 
     from gpssbzd_spark.dataprep.dedup import (
@@ -195,7 +203,6 @@ def _incremental_neardup_op(d, K=1):
     from gpssbzd_spark.sources import load_table
 
     spark = d.sparkSession
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     delta = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -215,14 +222,13 @@ def _pretrain_e2e_op(d):
     return pretrain_e2e_plan(d)
 
 
-def _tpch_q9_smj_op(li, K):
+def _tpch_q9_smj_op(li, sf_dir):
     from pyspark.sql import functions as F
 
     from gpssbzd_spark.corpus.tpch import _rev_cents
     from gpssbzd_spark.sources import load_table
 
     spark = li.sparkSession
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_type") == "STANDARD"
     )
@@ -289,7 +295,7 @@ def main() -> None:
     ).save()
 
     results: dict[str, dict] = {}
-    for name, spec in families().items():
+    for name, spec in families(sf_dir).items():
         if wanted is not None and name not in wanted:
             continue
         table, inflate, op = spec[:3]

@@ -267,15 +267,29 @@ def test_steady_state_reproves_after_debt_drains(monkeypatch):
     back to the staggered round-robin: consecutive windows differ and
     a full cycle re-visits every choice of every rotation group."""
     corpus._load_all()
-    sampled = corpus._sampled_names()
-    real_debt = {
-        n for n, q in corpus.CORPUS.items()
-        if q.tier > 0 and n not in sampled
-    }
-    if not real_debt:  # binding from r10 per the committed drain plan
-        assert {
-            q.name for q in corpus.CORPUS.values() if q.tier > 0
-        } <= sampled
+    # layer (a) recomputes the clean-row set INDEPENDENTLY from the
+    # committed CORRECTNESS files (not via _sampled_names — asserting
+    # _sampled_names against itself would be a tautology): once the
+    # files show no tier>0 debt, _sampled_names must agree that every
+    # tier>0 name has a clean committed row
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    key = corpus._round_key()
+    clean: set[str] = set()
+    for f in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if m and int(m.group(1)) < key:
+            for n, row in _json.load(open(f)).items():
+                err = (row or {}).get("err")
+                if not err or err == "no_oracle":
+                    clean.add(n)
+    tier_pos = {q.name for q in corpus.CORPUS.values() if q.tier > 0}
+    if tier_pos <= clean:  # binding from r10 per the committed plan
+        assert tier_pos <= corpus._sampled_names()
 
     # post-drain simulation: every name has a row → pure round-robin
     drained = frozenset(corpus.CORPUS)

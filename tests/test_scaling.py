@@ -78,7 +78,7 @@ def test_banded_families_scale_linearly(spark, family):
     family — the empirical half of the 100 TB claim."""
     import scaling as harness
 
-    table, inflate, fn = harness.families()[family][:3]
+    table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
     exp, times = _exponent(spark, table, inflate, fn)
     assert exp < 1.3, (family, exp, times)
 
@@ -90,7 +90,7 @@ def test_cc_and_event_families_scale_linearly(spark):
     import scaling as harness
 
     for family in ("neardup_cc", "funnel"):
-        table, inflate, fn = harness.families()[family][:3]
+        table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
         assert exp < 1.3, (family, exp, times)
 
@@ -102,8 +102,11 @@ def test_composite_families_scale_linearly(spark):
     SCALING.md: 0.487 / 0.415)."""
     import scaling as harness
 
+    # pass the SAME fixture the inflation uses — the multi-table ops load
+    # their second input from it (a cross-fixture hybrid would gate a
+    # different family than the one SCALING.md records)
     for family in ("pretrain_e2e", "tpch_q9_smj", "incremental_neardup"):
-        table, inflate, fn = harness.families()[family][:3]
+        table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
         assert exp < 1.3, (family, exp, times)
 

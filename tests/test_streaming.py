@@ -577,9 +577,12 @@ def test_incremental_dedup_batch_stream_parity(spark, tmp_path):
         )
     )
     # the delta needs an event-time column for the stream's bounded
-    # dedup; synthesize a deterministic one from the id
+    # dedup; synthesize one MONOTONE in doc_id (the file-split key) so
+    # no row can fall behind the advancing watermark at ANY fixture
+    # size — a cyclic ts (doc_id % N) would start dropping file-2 rows
+    # as late the moment ids outgrow the watermark delay
     delta_ts = delta.withColumn(
-        "ts", F.timestamp_seconds(1700000000 + F.col("doc_id") % 1000)
+        "ts", F.timestamp_seconds(1700000000 + F.col("doc_id"))
     )
     index_sigs = minhash_signatures_portable(hist).localCheckpoint()
 
