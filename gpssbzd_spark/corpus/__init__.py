@@ -170,6 +170,20 @@ DRAIN_PRIORITY: list[str] = [
     "sim_topk_ivf",
 ]
 
+# Max non-grouped tier-0 window slots the debt-lending pass may borrow
+# per round (VERDICT r9 #1: 24+ debt names vs 23 rotation groups — the
+# group slots alone cannot drain the queue in one round). A loan
+# displaces one always-present family row for ONE round; the cap bounds
+# how much per-round family coverage a drain round gives up.
+LEND_CAP = 12
+
+# Steady-state re-proof cadence (VERDICT r9 #7): once the debt is zero,
+# every registered query must earn a fresh driver row at least every
+# STEADY_CADENCE rounds. The steady-state rotation guarantees it by
+# cycling a contiguous slice of ceil(N / STEADY_CADENCE) registry
+# positions through the window each round.
+STEADY_CADENCE = 4
+
 _STATE_CACHE: tuple[int, frozenset[str]] | None = None
 
 
@@ -211,14 +225,16 @@ def _window_state() -> tuple[int, frozenset[str]]:
     `git add` an in-flight CORRECTNESS/BENCH record from inside the
     round — that is the driver's round-end commit.
 
-    Sampled set: names that earned a NON-ERROR row (err empty or the
-    by-design ``no_oracle`` marker) in any round STRICTLY BELOW the
-    key. A genuine err row (e.g. r8's sim_topk_ivf_build return-shape
-    TypeError) is not evidence — the name stays in debt so the
-    rotation re-samples it until a clean row lands. Cached per
-    process."""
+    Sampled set: names that earned a NON-ERROR row in any round
+    STRICTLY BELOW the key, where a ``no_oracle`` rows-only marker
+    only counts while the query STILL has no oracle (VERDICT r9 #1:
+    ten r8-era rows-only rows predated their oracles — evidence that
+    predates the oracle is stale, so the name re-enters debt until a
+    hash row lands). A genuine err row (e.g. r8's sim_topk_ivf_build
+    return-shape TypeError) is never evidence. Cached per process."""
     global _STATE_CACHE
     if _STATE_CACHE is None:
+        _load_all()
         root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
@@ -240,7 +256,8 @@ def _window_state() -> tuple[int, frozenset[str]]:
                 key = 1 + max(committed, default=0)
             else:
                 key = 1 + max((i for i, _ in indexed), default=0)
-        names: set[str] = set()
+        clean: set[str] = set()
+        rows_only: set[str] = set()
         for i, f in indexed:
             if i >= key:
                 continue
@@ -251,8 +268,15 @@ def _window_state() -> tuple[int, frozenset[str]]:
                 continue
             for n, row in rows.items():
                 err = (row or {}).get("err")
-                if not err or err == "no_oracle":
-                    names.add(n)
+                if not err:
+                    clean.add(n)
+                elif err == "no_oracle":
+                    rows_only.add(n)
+        names = clean | {
+            n
+            for n in rows_only
+            if n not in CORPUS or CORPUS[n].oracle is None
+        }
         _STATE_CACHE = (key, frozenset(names))
     return _STATE_CACHE
 
@@ -267,16 +291,50 @@ def _sampled_names() -> frozenset[str]:
     return _window_state()[1]
 
 
+def _steady_swaps(key: int) -> dict[str, str]:
+    """Steady-state rotation once ALL debt has drained (VERDICT r9 #7):
+    a contiguous slice of ``ceil(N / STEADY_CADENCE)`` positions of the
+    seq-ordered registry is guaranteed in-window each round, the slice
+    advancing by its own length per round. Consecutive slices tile the
+    registry, so ANY ``STEADY_CADENCE`` consecutive rounds cover every
+    registered query — tier-0 family rows AND tier>0 evidence rows all
+    re-prove within 4 rounds, replacing the old per-group round-robin
+    whose largest group (TPC-H, 21 choices) implied a 21-round cadence.
+
+    Slice members that are tier-0 simply stay in the window (and are
+    exempt from vacating); tier>0 slice members displace tier-0 rows
+    NOT in the slice, chosen by a rotating offset so no single family
+    row is starved between its own slice appearances."""
+    pool = sorted(CORPUS.values(), key=lambda q: q.seq)
+    n = len(pool)
+    size = -(-n // STEADY_CADENCE)  # ceil
+    off = ((key - 1) * size) % n
+    slice_names = [pool[(off + j) % n].name for j in range(size)]
+    incoming = [m for m in slice_names if CORPUS[m].tier > 0]
+    in_slice = set(slice_names)
+    vacatable = [q.name for q in pool if q.tier == 0 and q.name not in in_slice]
+    k = len(incoming)
+    assert k <= len(vacatable), (
+        f"steady slice needs {k} vacancies but only {len(vacatable)} "
+        f"tier-0 rows are outside the slice — DRIVER_WINDOW too small "
+        f"for STEADY_CADENCE={STEADY_CADENCE} at N={n}"
+    )
+    voff = (key * max(k, 1)) % len(vacatable) if vacatable else 0
+    vacated = [vacatable[(voff + j) % len(vacatable)] for j in range(k)]
+    return dict(zip(vacated, incoming))
+
+
 def rotation_swaps(
     key: int | None = None, sampled: frozenset[str] | None = None
 ) -> dict[str, str]:
-    """anchor → this round's in-window pick, for groups whose pick is
-    not the anchor itself.
+    """slot name (a tier-0 row leaving the window this round) → pick
+    (the name taking its place), for slots whose pick is not the slot
+    itself.
 
     DEBT-AWARE (VERDICT r6 #5): a group whose choices include names
-    that never earned a driver CORRECTNESS row round-robins among THOSE
-    first, so each indebted group retires one never-sampled query per
-    round instead of re-proving sampled ones.
+    that never earned a (still-valid) driver CORRECTNESS row
+    round-robins among THOSE first, so each indebted group retires one
+    debt query per round instead of re-proving sampled ones.
 
     GLOBAL DEBT LENDING (VERDICT r7 #4): after the per-group pass, any
     group with NO debt of its own lends its window slot to the global
@@ -284,14 +342,23 @@ def rotation_swaps(
     first, then registration order) — so the drain rate is bounded by
     the number of groups, not by one-per-indebted-group, and group-less
     queries (the rows-only kernels, the flagship) earn driver rows too.
-    Once ALL debt drains, every group falls back to the plain staggered
-    round-robin over its own choices. ``sampled`` overrides the disk
-    state for tests."""
+
+    LOAN PASS (VERDICT r9 #1): if the queue outnumbers the free group
+    slots, up to LEND_CAP non-grouped tier-0 rows lend their slot for
+    the round (rotating which, so no family row is repeatedly the one
+    skipped) — the drain capacity is #groups + LEND_CAP per round.
+
+    Once ALL debt drains, the steady-state slice rotation takes over
+    (see _steady_swaps): every registered query re-proves within
+    STEADY_CADENCE rounds. ``sampled`` overrides the disk state for
+    tests."""
     if key is None:
         key = _round_key()
     if sampled is None:
         sampled = _sampled_names()
     _load_all()
+    if all(n in sampled for n in CORPUS):
+        return _steady_swaps(key)
     out: dict[str, str] = {}
     used: set[str] = set()
     free: list[tuple[int, str, list[str]]] = []
@@ -327,6 +394,19 @@ def rotation_swaps(
             pick = choices[(key + i) % len(choices)]
         if pick != anchor:
             out[anchor] = pick
+    # loan pass: the queue still holds names and every group slot is
+    # spent — borrow up to LEND_CAP non-grouped tier-0 slots
+    if qi < len(queue):
+        anchors = {a for a, _ in ROTATION_GROUPS}
+        lendable = [
+            q.name
+            for q in sorted(CORPUS.values(), key=lambda q: q.seq)
+            if q.tier == 0 and q.name not in anchors
+        ]
+        remaining = queue[qi:][:LEND_CAP]
+        loff = (key * len(remaining)) % len(lendable)
+        for j, pick in enumerate(remaining):
+            out[lendable[(loff + j) % len(lendable)]] = pick
     return out
 
 

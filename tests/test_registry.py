@@ -99,25 +99,41 @@ def test_rotation_groups_well_formed():
 
 
 @pytest.mark.parametrize("key", KEYS)
-@pytest.mark.parametrize("sampled", [None, frozenset()],
-                         ids=["disk-debt", "no-debt"])
+@pytest.mark.parametrize("sampled", [None, frozenset(), "drained"],
+                         ids=["disk-debt", "all-debt", "drained"])
 def test_driver_window_invariants_under_rotation(key, sampled):
-    """At every round key — under BOTH the committed sampled set and
-    the drained (no-debt) state: exactly DRIVER_WINDOW queries, every
-    fixed family row present, the window is exactly (tier-0 minus the
-    swapped-out anchors) plus the swapped-in picks, and no unexpected
-    rows-only entries. While debt exists a rows-only name may sit in
-    the window the one round it earns its rows-only driver row (VERDICT
-    r7 #4); once sampled it may never come back (oracle share is a
-    ratchet)."""
+    """At every round key — under the committed sampled set, the
+    everything-owes state, AND the fully-drained steady state: exactly
+    DRIVER_WINDOW queries, the window is exactly (tier-0 minus the
+    swapped-out slots) plus the swapped-in picks, every fixed family
+    row is either present or explicitly lent/vacated this round (its
+    name is a swap key — a bounded one-round loan, r9 #1 / #7), and no
+    unexpected rows-only entries. While debt exists a rows-only name
+    may sit in the window the one round it earns its rows-only driver
+    row (VERDICT r7 #4); once sampled it may never come back (oracle
+    share is a ratchet)."""
+    corpus._load_all()
+    if sampled == "drained":
+        sampled = frozenset(corpus.CORPUS)
     names = corpus.window_names(key, sampled)
     assert len(names) == corpus.DRIVER_WINDOW
     in_window = set(names)
 
-    missing = [n for n in FIXED if n not in in_window]
-    assert not missing, f"fixed family rows fell out at key {key}: {missing}"
-
     swaps = corpus.rotation_swaps(key, sampled)
+    missing = [n for n in FIXED if n not in in_window]
+    assert set(missing) <= set(swaps), (
+        f"fixed family rows fell out at key {key} without a recorded "
+        f"loan/vacancy: {sorted(set(missing) - set(swaps))}"
+    )
+    anchors = {a for a, _ in corpus.ROTATION_GROUPS}
+    loans = {a for a in swaps if a not in anchors}
+    assert len(loans) <= max(
+        corpus.LEND_CAP,
+        # steady state may vacate more: ceil(N/CADENCE) minus the
+        # tier-0 rows inside the slice, still bounded by the slice size
+        -(-len(corpus.CORPUS) // corpus.STEADY_CADENCE),
+    ), f"too many non-anchor tier-0 slots lent at key {key}: {sorted(loans)}"
+
     tier0 = {q.name for q in corpus.CORPUS.values() if q.tier == 0}
     expect = (tier0 - set(swaps)) | set(swaps.values())
     assert in_window == expect, (
@@ -144,7 +160,7 @@ def test_rotation_changes_window_between_rounds():
     """Consecutive round keys must produce different window compositions
     (the whole point: tier-2 oracles earn driver rows over rounds), and
     every rotation alternate must appear within a full cycle. Checked in
-    the drained (no-debt) state — the steady-state round-robin."""
+    the everything-owes state (empty sampled set) — maximal rotation."""
     comps = [set(corpus.window_names(k, frozenset())) for k in KEYS]
     assert all(a != b for a, b in zip(comps, comps[1:]))
     everyone = set().union(*comps)
@@ -238,13 +254,17 @@ def test_sampled_names_matches_committed_records():
     CORRECTNESS files of rounds STRICTLY BEFORE the current round key —
     the in-flight round's file (which the driver writes to disk
     mid-round) must not shift the window composition between processes
-    (ADVICE r7/r8), and a genuine err row (r8's sim_topk_ivf_build)
-    must keep its name in debt rather than count as evidence."""
+    (ADVICE r7/r8); a genuine err row (r8's sim_topk_ivf_build) must
+    keep its name in debt rather than count as evidence; and a
+    ``no_oracle`` rows-only row only counts while the query STILL has
+    no oracle (VERDICT r9 #1: evidence that predates the oracle is
+    stale — the name re-enters debt until a hash row lands)."""
     import glob as _glob
     import json as _json
     import os as _os
     import re as _re
 
+    corpus._load_all()
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     key = corpus._round_key()
     expect: set[str] = set()
@@ -253,7 +273,12 @@ def test_sampled_names_matches_committed_records():
         if m and int(m.group(1)) < key:
             for n, row in _json.load(open(f)).items():
                 err = (row or {}).get("err")
-                if not err or err == "no_oracle":
+                if not err:
+                    expect.add(n)
+                elif err == "no_oracle" and (
+                    n not in corpus.CORPUS
+                    or corpus.CORPUS[n].oracle is None
+                ):
                     expect.add(n)
     assert corpus._sampled_names() == expect
 
@@ -285,17 +310,22 @@ def test_steady_state_reproves_after_debt_drains(monkeypatch):
         if m and int(m.group(1)) < key:
             for n, row in _json.load(open(f)).items():
                 err = (row or {}).get("err")
-                if not err or err == "no_oracle":
+                if not err:
+                    clean.add(n)
+                elif err == "no_oracle" and (
+                    n not in corpus.CORPUS
+                    or corpus.CORPUS[n].oracle is None
+                ):
                     clean.add(n)
     tier_pos = {q.name for q in corpus.CORPUS.values() if q.tier > 0}
     if tier_pos <= clean:  # binding from r10 per the committed plan
         assert tier_pos <= corpus._sampled_names()
 
-    # post-drain simulation: every name has a row → pure round-robin
+    # post-drain simulation: every name has a row → the steady-state
+    # slice rotation (VERDICT r9 #7) — every REGISTERED query, tier-0
+    # family rows included, re-proves within STEADY_CADENCE rounds
     drained = frozenset(corpus.CORPUS)
-    cycle = max(
-        1 + len(alts) for _, alts in corpus.ROTATION_GROUPS
-    )
+    cycle = corpus.STEADY_CADENCE
     wins = [
         set(corpus.window_names(k, drained))
         for k in range(10, 10 + cycle)
@@ -304,16 +334,91 @@ def test_steady_state_reproves_after_debt_drains(monkeypatch):
         "steady-state windows must keep rotating after the debt drains"
     )
     union = set().union(*wins)
-    for anchor, alts in corpus.ROTATION_GROUPS:
-        for name in (anchor, *alts):
-            assert name in union, (
-                f"{name} never re-proves within a {cycle}-round cycle"
-            )
+    for name in corpus.CORPUS:
+        assert name in union, (
+            f"{name} never re-proves within a {cycle}-round cycle"
+        )
 
     # the env pin the driver/simulation uses takes precedence
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "10")
     monkeypatch.setattr(corpus, "_STATE_CACHE", None)
     assert corpus._round_key() == 10
+
+
+def test_steady_state_cadence_within_four_rounds():
+    """VERDICT r9 #7 — the re-proof cadence assertion. Two layers.
+
+    (a) MECHANISM, simulated over the post-drain rounds (r11–r13 and
+    every later start): in the drained steady state, ANY
+    ``STEADY_CADENCE`` consecutive round keys' windows jointly cover
+    EVERY registered query — so no driver row can ever go more than
+    STEADY_CADENCE committed rounds stale once the debt is zero. The
+    old per-group round-robin could not satisfy this (the TPC-H group
+    alone implied a 21-round cadence for its alternates).
+
+    (b) HISTORY, binding once the committed ledger is debt-free AND has
+    advanced a full cadence cycle past the drain round (so the
+    transition rounds don't fail it vacuously-early): every tier>0
+    query's newest committed driver row is at most STEADY_CADENCE
+    rounds old. Guarded on the ledger actually extending to key-1 so
+    an artificial SPARK_GRAFT_ROUND pin without the intervening files
+    stays vacuous rather than asserting about rounds that never ran."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    corpus._load_all()
+    drained = frozenset(corpus.CORPUS)
+    cadence = corpus.STEADY_CADENCE
+    wins = {
+        k: set(corpus.window_names(k, drained)) for k in range(11, 11 + 2 * cadence)
+    }
+    for start in range(11, 11 + cadence):
+        union = set().union(*(wins[start + j] for j in range(cadence)))
+        missing = set(corpus.CORPUS) - union
+        assert not missing, (
+            f"steady windows r{start}..r{start + cadence - 1} miss "
+            f"{sorted(missing)[:5]}…"
+        )
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    key = corpus._round_key()
+    committed = corpus._committed_round_indices(root)
+    if not committed or max(committed) != key - 1:
+        return  # ledger doesn't extend to the previous round: vacuous
+    latest: dict[str, int] = {}
+    valid_rounds: list[int] = []
+    for f in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m or int(m.group(1)) >= key:
+            continue
+        rnd = int(m.group(1))
+        valid_rounds.append(rnd)
+        for n, row in _json.load(open(f)).items():
+            err = (row or {}).get("err")
+            if not err or (
+                err == "no_oracle"
+                and (n not in corpus.CORPUS or corpus.CORPUS[n].oracle is None)
+            ):
+                latest[n] = max(latest.get(n, 0), rnd)
+    tier_pos = {q.name for q in corpus.CORPUS.values() if q.tier > 0}
+    if not (tier_pos <= set(latest)):
+        return  # debt still draining: layer (b) not yet binding
+    # drain round = the earliest round by which every tier>0 name had
+    # evidence; binding once a full cadence cycle has run past it
+    drain_round = max(latest[n] for n in tier_pos)
+    if key - 1 < drain_round + cadence:
+        return
+    stale = {
+        n: latest[n]
+        for n in tier_pos
+        if latest[n] < key - cadence
+    }
+    assert not stale, (
+        f"tier>0 driver rows older than {cadence} rounds at key {key}: "
+        f"{dict(sorted(stale.items())[:8])}"
+    )
 
 
 def test_round_key_ignores_inflight_disk_records(tmp_path, monkeypatch):
