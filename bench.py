@@ -170,6 +170,12 @@ HEADLINE = [
     "dp_token_budget_cap",
     "dp_decontaminate_semantic",
     "dd_incremental_neardup",
+    # r10 addition — the index-maintenance half of incremental dedup
+    # (VERDICT r9 #5). NOTE the measured shape: the first repeat builds
+    # the persisted index (two landings + two ingests), later repeats
+    # no-op the ingest and time the committed-batch read-back; the
+    # APPEND cost curve itself lives in SCALING.md (sigindex_append).
+    "dd_incremental_index_append",
 ]
 
 

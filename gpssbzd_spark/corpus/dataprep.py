@@ -2018,6 +2018,86 @@ def dd_incremental_neardup(spark, sf_dir):
     return incremental_neardup_matches(delta_sigs, index_sigs)
 
 
+def _sigindex_cache_dir(sf_dir: str) -> str:
+    """Per-fixture signature-index cache dir, keyed by the documents
+    parquet's (mtime, size) so a regenerated fixture invalidates the
+    persisted index (same contract as :func:`_ivf_cache_dir`)."""
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".cache",
+        "sigidx",
+    )
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+    )
+    return os.path.join(root, tag)
+
+
+def _index_append_oracle() -> str:
+    from gpssbzd_spark.dataprep.dedup import _minhash_sigs_sql
+
+    return (
+        "SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM ("
+        + _minhash_sigs_sql(
+            "SELECT doc_id, text FROM documents", "text", "doc_id", 8, 3
+        )
+        + ")"
+    )
+
+
+@query(
+    "dd_incremental_index_append",
+    oracle=_index_append_oracle(),
+    note="the INDEX-MAINTENANCE half of incremental dedup (VERDICT r9 "
+    "#5, dataprep/sigindex.py): two 'daily' landings (2/3 then 1/3 of "
+    "documents) are ingested exactly-once via the landing-file "
+    "manifest, each signing ONLY its own files and appending one "
+    "content-keyed batch dir + an atomic manifest part to the "
+    "PERSISTED index — the existing index is never read, re-signed, "
+    "or rewritten, so append cost is O(delta) not O(index) "
+    "(SCALING.md family sigindex_append). The returned rows are read "
+    "back FROM the persisted committed batches (artifact "
+    "verification), and the oracle re-signs the full corpus from "
+    "scratch in DuckDB over the identical md5 family: incremental "
+    "append must equal from-scratch signing row-for-row. Crash-safety "
+    "(idempotent retry dir, uncommitted batches invisible, "
+    "commit ordering) pytest-pinned in tests/test_sigindex.py.",
+    tier=2,
+)
+def dd_incremental_index_append(spark, sf_dir):
+    import os
+    import shutil
+
+    from gpssbzd_spark.dataprep.sigindex import (
+        sig_index_ingest,
+        sig_index_read,
+    )
+
+    cache = _sigindex_cache_dir(sf_dir)
+    root = os.path.dirname(cache)
+    if os.path.isdir(root):  # prune stale fixture generations
+        for old in os.listdir(root):
+            if os.path.join(root, old) != cache:
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = os.path.join(cache, "index")
+    for day, pred in (
+        ("day1", _F.col("doc_id") % 3 != 0),
+        ("day2", _F.col("doc_id") % 3 == 0),
+    ):
+        landing = os.path.join(cache, "landing", day)
+        if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+            d.filter(pred).write.mode("overwrite").parquet(landing)
+        sig_index_ingest(spark, landing, index_dir)
+    return sig_index_read(spark, index_dir)
+
+
 def _decontaminate_semantic_oracle() -> str:
     from gpssbzd_spark.dataprep.dedup import embedding_lsh_portable_sql
 

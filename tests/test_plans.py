@@ -201,6 +201,40 @@ def test_r9_new_ops_plan_shapes(spark):
     assert "Window" in cap, cap
 
 
+def test_sigindex_match_plan_shape(spark, tmp_path):
+    """The persisted-index daily loop (r10, dataprep/sigindex.py): the
+    delta-vs-index match must candidate-generate through the banded
+    equi-join with zero Python workers and zero nested loops — the same
+    contract as the in-memory incremental path — and the index side
+    must come from the persisted parquet (a FileScan node), proving the
+    corpus is never re-signed at match time."""
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.sigindex import (
+        sig_index_ingest,
+        sig_index_match,
+    )
+    from gpssbzd_spark.sources import load_table
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    land = str(tmp_path / "land")
+    d.filter(F.col("doc_id") % 3 != 0).write.parquet(land)
+    idx = str(tmp_path / "index")
+    sig_index_ingest(spark, land, idx)
+    matches = sig_index_match(
+        spark, idx, d.filter(F.col("doc_id") % 3 == 0)
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = final_plan(matches)
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "batch-" in plan, plan  # index side scans the persisted files
+
+
 def test_minhash_candidates_equi_join_not_cartesian(spark):
     """MinHash banding must candidate-generate through the
     (band, band_hash) equi-join; any nested-loop/cartesian node means

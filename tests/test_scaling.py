@@ -105,7 +105,12 @@ def test_composite_families_scale_linearly(spark):
     # pass the SAME fixture the inflation uses — the multi-table ops load
     # their second input from it (a cross-fixture hybrid would gate a
     # different family than the one SCALING.md records)
-    for family in ("pretrain_e2e", "tpch_q9_smj", "incremental_neardup"):
+    for family in (
+        "pretrain_e2e",
+        "tpch_q9_smj",
+        "incremental_neardup",
+        "sigindex_append",
+    ):
         table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
         assert exp < 1.3, (family, exp, times)
