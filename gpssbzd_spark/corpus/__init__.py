@@ -171,10 +171,11 @@ DRAIN_PRIORITY: list[str] = [
 ]
 
 # Max non-grouped tier-0 window slots the debt-lending pass may borrow
-# per round (VERDICT r9 #1: 24+ debt names vs 23 rotation groups — the
-# group slots alone cannot drain the queue in one round). A loan
-# displaces one always-present family row for ONE round; the cap bounds
-# how much per-round family coverage a drain round gives up.
+# per round (VERDICT r9 #1: 27 debt names vs 24 rotation groups at the
+# r10 drain — the group slots alone cannot drain the queue in one
+# round). A loan displaces one always-present family row for ONE
+# round; the cap bounds how much per-round family coverage a drain
+# round gives up.
 LEND_CAP = 12
 
 # Steady-state re-proof cadence (VERDICT r9 #7): once the debt is zero,
@@ -404,6 +405,12 @@ def rotation_swaps(
             if q.tier == 0 and q.name not in anchors
         ]
         remaining = queue[qi:][:LEND_CAP]
+        assert len(remaining) <= len(lendable), (
+            f"loan pass needs {len(remaining)} non-anchor tier-0 slots "
+            f"but only {len(lendable)} exist — lower LEND_CAP or free "
+            "tier-0 rows from rotation groups (a silent modulo collision "
+            "here would drop a debt pick from the round)"
+        )
         loff = (key * len(remaining)) % len(lendable)
         for j, pick in enumerate(remaining):
             out[lendable[(loff + j) % len(lendable)]] = pick

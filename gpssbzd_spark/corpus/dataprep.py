@@ -848,11 +848,14 @@ def _sim_topk_ivf_raw(spark, sf_dir):
     )
 
 
-def _ivf_cache_dir(sf_dir: str) -> str:
-    """Per-fixture IVF index cache dir, keyed by the embeddings parquet's
-    (mtime, size) so a regenerated fixture invalidates the index — the
-    round driver rewrites /root/testdata between rounds and a stale
-    index would silently serve wrong neighbors."""
+def _artifact_cache_dir(sf_dir: str, subdir: str, table: str) -> str:
+    """Per-fixture persisted-artifact cache dir under
+    ``<repo>/.cache/<subdir>/``, keyed by the source table parquet's
+    (mtime, size) so a regenerated fixture invalidates the artifact —
+    the round driver rewrites /root/testdata between rounds and a
+    stale index would silently serve wrong results. One recipe for
+    every persisted-index query (IVF, signature index) so a future
+    change to the tag scheme cannot drift between copies."""
     import os
 
     root = os.path.join(
@@ -860,14 +863,30 @@ def _ivf_cache_dir(sf_dir: str) -> str:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ),
         ".cache",
-        "ivf",
+        subdir,
     )
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"-{int(st.st_mtime)}-{st.st_size}"
     )
     return os.path.join(root, tag)
+
+
+def _prune_stale_cache_generations(cache: str) -> None:
+    """Drop sibling cache dirs from older fixture generations."""
+    import os
+    import shutil
+
+    root = os.path.dirname(cache)
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            if os.path.join(root, old) != cache:
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+
+
+def _ivf_cache_dir(sf_dir: str) -> str:
+    return _artifact_cache_dir(sf_dir, "ivf", "embeddings")
 
 
 @query(
@@ -909,11 +928,7 @@ def sim_topk_ivf_build(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     index, cents = build_ivf_index(em, dim=64, n_centroids=16, iters=2)
     cache = _ivf_cache_dir(sf_dir)
-    root = os.path.dirname(cache)
-    if os.path.isdir(root):  # prune stale fixture generations
-        for old in os.listdir(root):
-            if os.path.join(root, old) != cache:
-                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    _prune_stale_cache_generations(cache)
     index.write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(cache, "index")
     )
@@ -1255,7 +1270,8 @@ def mm_frames_to_image_features(spark, sf_dir):
            CAST(64 AS INT) AS width,
            CAST(64 AS INT) AS height,
            CAST(strlen(text) AS INT) AS n_bytes_before,
-           CAST(64 AS INT) AS n_bytes_after,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(64 AS INT) END AS n_bytes_after,
            CAST(8 AS INT) AS feat_dim,
            CAST(1 AS INT) AS thumb_ok
     FROM documents
@@ -1315,8 +1331,16 @@ def mm_resize_pipeline(spark, sf_dir):
             "n_bytes_before",
             "n_bytes_after",
             "feat_dim",
-            (_F.col("thumb") == _F.col("expect_thumb"))
-            .cast("int")
+            # null content passes through the fake kernel as null:
+            # correct behavior there is a null thumbnail, so the flag
+            # stays a constant 1 the oracle can predict for every row
+            _F.when(
+                _F.col("n_bytes_before").isNull(),
+                _F.col("thumb").isNull().cast("int"),
+            )
+            .otherwise(
+                (_F.col("thumb") == _F.col("expect_thumb")).cast("int")
+            )
             .alias("thumb_ok"),
         )
     )
@@ -2019,24 +2043,10 @@ def dd_incremental_neardup(spark, sf_dir):
 
 
 def _sigindex_cache_dir(sf_dir: str) -> str:
-    """Per-fixture signature-index cache dir, keyed by the documents
-    parquet's (mtime, size) so a regenerated fixture invalidates the
-    persisted index (same contract as :func:`_ivf_cache_dir`)."""
-    import os
-
-    root = os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        ".cache",
-        "sigidx",
-    )
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
-    )
-    return os.path.join(root, tag)
+    """Per-fixture signature-index cache dir (same contract as
+    :func:`_ivf_cache_dir` — one shared recipe, see
+    :func:`_artifact_cache_dir`)."""
+    return _artifact_cache_dir(sf_dir, "sigidx", "documents")
 
 
 def _index_append_oracle() -> str:
@@ -2072,7 +2082,6 @@ def _index_append_oracle() -> str:
 )
 def dd_incremental_index_append(spark, sf_dir):
     import os
-    import shutil
 
     from gpssbzd_spark.dataprep.sigindex import (
         sig_index_ingest,
@@ -2080,11 +2089,7 @@ def dd_incremental_index_append(spark, sf_dir):
     )
 
     cache = _sigindex_cache_dir(sf_dir)
-    root = os.path.dirname(cache)
-    if os.path.isdir(root):  # prune stale fixture generations
-        for old in os.listdir(root):
-            if os.path.join(root, old) != cache:
-                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    _prune_stale_cache_generations(cache)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     index_dir = os.path.join(cache, "index")
     for day, pred in (

@@ -388,13 +388,11 @@ def test_steady_state_cadence_within_four_rounds():
     if not committed or max(committed) != key - 1:
         return  # ledger doesn't extend to the previous round: vacuous
     latest: dict[str, int] = {}
-    valid_rounds: list[int] = []
     for f in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
         if not m or int(m.group(1)) >= key:
             continue
         rnd = int(m.group(1))
-        valid_rounds.append(rnd)
         for n, row in _json.load(open(f)).items():
             err = (row or {}).get("err")
             if not err or (

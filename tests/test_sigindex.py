@@ -89,31 +89,54 @@ def test_uncommitted_batch_dir_is_invisible(spark, tmp_path):
     assert sig_index_read(spark, idx).count() == n
 
 
-def test_retry_after_crash_before_landing_commit_is_idempotent(
-    spark, tmp_path
-):
-    """Crash AFTER the index manifest commit but BEFORE the landing
+def test_retry_after_crash_before_commit_is_idempotent(spark, tmp_path):
+    """Crash AFTER the batch parquet write but BEFORE the manifest
     commit: the retry re-selects the same files, recomputes the same
-    content-keyed cid, overwrites the same dir, and appends a duplicate
-    RECORD — reads must dedupe to the identical row set."""
+    content-keyed cid, overwrites the same dir, and commits once —
+    the read equals from-scratch signing with no duplicate rows."""
     d = _docs(spark).limit(80)
     land = str(tmp_path / "land")
     d.write.parquet(land)
     idx = str(tmp_path / "index")
     b1 = sig_index_ingest(spark, land, idx)
-    before = sig_index_read(spark, idx)
-    n, rows = before.count(), before.collect()
-    # simulate the crash: forget that the landing files were processed
-    for part in glob.glob(
-        os.path.join(idx, "landing_manifest", "*.jsonl")
-    ):
+    rows = sorted(map(tuple, sig_index_read(spark, idx).collect()))
+    # simulate the crash: un-commit the batch (manifest part removed,
+    # batch dir left behind as an orphan)
+    for part in glob.glob(os.path.join(idx, "manifest", "*.jsonl")):
         os.remove(part)
+    assert sig_index_read(spark, idx) is None  # orphan invisible
     b2 = sig_index_ingest(spark, land, idx)
     assert b2 == b1, "retry must overwrite the SAME content-keyed dir"
-    # duplicate manifest records of one dir exist now; reads dedupe
     after = sig_index_read(spark, idx)
-    assert after.count() == n
-    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, rows))
+    assert sorted(map(tuple, after.collect())) == rows
+
+
+def test_crash_then_new_arrival_cannot_duplicate_rows(spark, tmp_path):
+    """The r10 review's race: crash before the commit, then MORE files
+    land before the retry. The retry's remainder (and cid) grows to
+    cover old + new in ONE batch; the stale orphan can never be
+    committed and is swept — append must still equal from-scratch
+    signing of everything, with zero duplicate ids."""
+    d = _docs(spark)
+    land = str(tmp_path / "land")
+    a = d.filter(F.col("doc_id") % 3 == 1)
+    a.write.parquet(os.path.join(land, "a.parquet"))
+    idx = str(tmp_path / "index")
+    b1 = sig_index_ingest(spark, land, idx)
+    # crash before commit …
+    for part in glob.glob(os.path.join(idx, "manifest", "*.jsonl")):
+        os.remove(part)
+    # … and a NEW file lands before the retry
+    b = d.filter(F.col("doc_id") % 3 == 2)
+    b.write.parquet(os.path.join(land, "b.parquet"))
+    b2 = sig_index_ingest(spark, land, idx)
+    assert b2 is not None and b2 != b1
+    assert not os.path.exists(b1), "stale orphan batch must be swept"
+    got = sig_index_read(spark, idx)
+    both = d.filter(F.col("doc_id") % 3 != 0)
+    assert _frames_equal(got, minhash_signatures_portable(both))
+    ids = got.groupBy("doc_id").count().filter(F.col("count") > 1)
+    assert ids.count() == 0, "duplicate signature rows entered the index"
 
 
 def test_match_against_persisted_index(spark, tmp_path):
