@@ -116,6 +116,22 @@ def test_composite_families_scale_linearly(spark):
         assert exp < 1.3, (family, exp, times)
 
 
+def test_query_side_families_scale_gently(spark):
+    """r10 additions: decontamination with the train side grown K× (the
+    eval suite is fixed and broadcast twice, so only the train-side
+    gram scan grows) and the ANN steady-state probe of a persisted
+    cid-partitioned IVF index grown K× with the codebook grown in step
+    (constant list size, fixed n_probe). Both must hold the same
+    ~linear ceiling — the probe should in fact be near-FLAT, but the
+    gate only pins the 100 TB disqualifier (superlinearity)."""
+    import scaling as harness
+
+    for family in ("decontam_ngram", "ivf_query_persisted"):
+        table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
+        exp, times = _exponent(spark, table, inflate, fn)
+        assert exp < 1.3, (family, exp, times)
+
+
 def test_inflate_embeddings_is_per_replica_isometry(spark):
     """The scaling exponents for the embedding families are only
     meaningful if the inflation preserves within-replica geometry
