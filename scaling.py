@@ -201,6 +201,30 @@ def families(sf_dir: str | None = None):
             inflate_documents,
             lambda d, K: _decontam_op(d, sf_dir),
         ),
+        # Per-(doc, term) TF-IDF over the corpus's own statistics — the
+        # shuffle-heavy text-analysis representative: explode →
+        # (doc,term) partial-agg, df-per-term over a SECOND shuffle
+        # dimension, N broadcast from a one-row agg. The ciphered
+        # replicas mint replica-local vocabularies, so the term
+        # dimension grows ∝ K too — the honest regime (real corpora
+        # grow vocabulary with size); both shuffles must stay ~linear
+        # in rows.
+        "tfidf_terms": (
+            "documents",
+            inflate_documents,
+            lambda d, K: _tfidf_scale_op(d),
+        ),
+        # The token-budget quota window (dataprep/splits.py
+        # token_budget_cap): ONE exchange on the group key, per-group
+        # hash-ordered sort + running sum. `source` survives inflation,
+        # so the group COUNT stays fixed while every group grows K× —
+        # exactly the skewed per-host-cap regime (few heavy sources);
+        # the curve is the n log n of the per-group sorts.
+        "token_budget_cap": (
+            "documents",
+            inflate_documents,
+            lambda d, K: _quota_scale_op(d),
+        ),
         # ANN steady-state QUERY against a PERSISTED IVF index grown K×
         # with the codebook grown in step (n_centroids ∝ K ⇒ constant
         # per-centroid list size, n_probe fixed ⇒ the probed fraction
@@ -318,6 +342,29 @@ def _decontam_op(train, sf_dir):
     )
     return decontaminate(
         train.select("doc_id", "text"), ev, n=4, min_coverage=0.2
+    )
+
+
+def _tfidf_scale_op(d):
+    from gpssbzd_spark.dataprep.text import tfidf_terms
+
+    return tfidf_terms(d.select("doc_id", "text"))
+
+
+def _quota_scale_op(d):
+    """token_budget_cap over the K× corpus: group by the inflation-
+    preserved `source`, weight by the fixture's n_chars column (the
+    budget unit is caller-defined; chars stand in for tokens here),
+    budget fixed — the kept prefix stays fixture-sized while the
+    window still sorts and running-sums every row of every group."""
+    from gpssbzd_spark.dataprep.splits import token_budget_cap
+
+    return token_budget_cap(
+        d.select("doc_id", "source", "n_chars"),
+        group_cols=["source"],
+        id_col="doc_id",
+        token_col="n_chars",
+        budget=50_000,
     )
 
 
@@ -648,6 +695,14 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "only growing cost is the train-side gram explode + probe — one",
         "linear scan, zero corpus shuffles; ciphered replicas keep the",
         "contaminated population fixture-sized.",
+        "",
+        "`tfidf_terms` (r10) is the shuffle-heavy text representative:",
+        "both shuffle dimensions grow with K — (doc,term) pairs AND the",
+        "term vocabulary (ciphered replicas mint replica-local vocab,",
+        "as real corpora do). `token_budget_cap` (r10) is the quota",
+        "window: group count fixed (`source` survives inflation), every",
+        "group K× heavier, budget fixed — the curve is the n log n of",
+        "the per-group hash-ordered sorts behind one exchange.",
         "",
         "`ivf_query_persisted` (r10) times the ANN steady-state QUERY",
         "against a persisted cid-partitioned IVF index grown K× with",

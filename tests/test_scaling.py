@@ -126,7 +126,12 @@ def test_query_side_families_scale_gently(spark):
     gate only pins the 100 TB disqualifier (superlinearity)."""
     import scaling as harness
 
-    for family in ("decontam_ngram", "ivf_query_persisted"):
+    for family in (
+        "decontam_ngram",
+        "ivf_query_persisted",
+        "tfidf_terms",
+        "token_budget_cap",
+    ):
         table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
         assert exp < 1.3, (family, exp, times)
