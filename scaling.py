@@ -241,6 +241,18 @@ def families(sf_dir: str | None = None):
             _ivf_scale_inflate,
             lambda d, K: _ivf_query_op(d, K, sf_dir),
         ),
+        # The multimodal seam: mapInPandas feature extraction over K×
+        # binary blobs with the deterministic sha256 kernel — the Arrow
+        # plumbing (batching, binary transfer, schema) the real
+        # decoders share, measured without the decode constant. Linear
+        # here = the Python-worker path itself adds no superlinear
+        # term; blobs never transit the driver (single-stage, no
+        # shuffle at all).
+        "multimodal_features": (
+            "documents",
+            inflate_documents,
+            lambda d, K: _multimodal_scale_op(d),
+        ),
         # TPC-H Q9 (the widest star) with the fact side inflated K× and
         # the orderkey join FORCED to sort-merge via the merge hint —
         # the 100 TB plan shape (at fixture scale the default threshold
@@ -366,6 +378,24 @@ def _quota_scale_op(d):
         token_col="n_chars",
         budget=50_000,
     )
+
+
+def _multimodal_scale_op(d):
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.multimodal import (
+        extract_features,
+        media_from_binary,
+    )
+
+    media = media_from_binary(
+        d.withColumn("blob", F.col("text").cast("binary")),
+        id_col="doc_id",
+        content_col="blob",
+        kind="image",
+        mime="application/octet-stream",
+    )
+    return extract_features(media, decode="fake")
 
 
 _IVF_SCALE: dict = {"root": None, "built": {}}
@@ -703,6 +733,13 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "window: group count fixed (`source` survives inflation), every",
         "group K× heavier, budget fixed — the curve is the n log n of",
         "the per-group hash-ordered sorts behind one exchange.",
+        "",
+        "`multimodal_features` (r10) is the mapInPandas seam: feature",
+        "extraction over K× binary blobs with the deterministic sha256",
+        "kernel — the Arrow plumbing the real decoders share, without",
+        "the decode constant. Single stage, zero shuffles, blobs never",
+        "transit the driver; linear = the Python-worker batching adds",
+        "no superlinear term.",
         "",
         "`ivf_query_persisted` (r10) times the ANN steady-state QUERY",
         "against a persisted cid-partitioned IVF index grown K× with",

@@ -131,6 +131,7 @@ def test_query_side_families_scale_gently(spark):
         "ivf_query_persisted",
         "tfidf_terms",
         "token_budget_cap",
+        "multimodal_features",
     ):
         table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
