@@ -116,26 +116,33 @@ def test_composite_families_scale_linearly(spark):
         assert exp < 1.3, (family, exp, times)
 
 
-def test_query_side_families_scale_gently(spark):
-    """r10 additions: decontamination with the train side grown K× (the
-    eval suite is fixed and broadcast twice, so only the train-side
-    gram scan grows) and the ANN steady-state probe of a persisted
-    cid-partitioned IVF index grown K× with the codebook grown in step
-    (constant list size, fixed n_probe). Both must hold the same
-    ~linear ceiling — the probe should in fact be near-FLAT, but the
-    gate only pins the 100 TB disqualifier (superlinearity)."""
-    import scaling as harness
-
-    for family in (
+@pytest.mark.parametrize(
+    "family",
+    [
         "decontam_ngram",
         "ivf_query_persisted",
         "tfidf_terms",
         "token_budget_cap",
         "multimodal_features",
-    ):
-        table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
-        exp, times = _exponent(spark, table, inflate, fn)
-        assert exp < 1.3, (family, exp, times)
+    ],
+)
+def test_query_side_families_scale_gently(spark, family):
+    """r10 additions, one gate per family so a failure names its own
+    family instead of aborting the rest: decontamination (train side
+    K×, eval fixed and broadcast — only the gram scan grows), the ANN
+    steady-state probe of a persisted cid-partitioned IVF index
+    (codebook grown in step: constant list size, fixed n_probe —
+    should be near-flat), the TF-IDF double shuffle ((doc,term) pairs
+    AND vocabulary both grow), the token-budget quota window (one
+    exchange; cells sit inside fixed per-job overhead, so this pins
+    'no visible superlinear term'), and the mapInPandas multimodal
+    seam (single stage, zero shuffles). The gate pins only the 100 TB
+    disqualifier (superlinearity), same ceiling as the others."""
+    import scaling as harness
+
+    table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
+    exp, times = _exponent(spark, table, inflate, fn)
+    assert exp < 1.3, (family, exp, times)
 
 
 def test_inflate_embeddings_is_per_replica_isometry(spark):
