@@ -249,6 +249,30 @@ def test_rotation_debt_drains_within_two_rounds():
         }
 
 
+def test_current_debt_fits_current_window_when_under_capacity():
+    """Single-round drain pin (r10): whenever the CURRENT debt (tier>0
+    names with no still-valid driver row) is within one round's drain
+    capacity (#groups + LEND_CAP), every debt name must appear in the
+    CURRENT window — the drain must not stretch to two rounds when one
+    suffices. Vacuous once the debt is zero (the steady-state cadence
+    test takes over) or if the registry ever outgrows capacity in one
+    round (the multi-round drain test bounds that case)."""
+    corpus._load_all()
+    sampled = corpus._sampled_names()
+    debt = {
+        n
+        for n, q in corpus.CORPUS.items()
+        if q.tier > 0 and n not in sampled
+    }
+    capacity = len(corpus.ROTATION_GROUPS) + corpus.LEND_CAP
+    if debt and len(debt) <= capacity:
+        missing = debt - set(corpus.window_names())
+        assert not missing, (
+            f"{len(debt)} debt names fit capacity {capacity} but "
+            f"{sorted(missing)} are outside this round's window"
+        )
+
+
 def test_sampled_names_matches_committed_records():
     """_sampled_names unions exactly the NON-ERROR rows of committed
     CORRECTNESS files of rounds STRICTLY BEFORE the current round key —
