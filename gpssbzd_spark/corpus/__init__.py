@@ -399,19 +399,22 @@ def rotation_swaps(
     # spent — borrow up to LEND_CAP non-grouped tier-0 slots
     if qi < len(queue):
         anchors = {a for a, _ in ROTATION_GROUPS}
+        # only SAMPLED rows may lend: an unsampled tier-0 row is itself
+        # the evidence the window exists to collect — lending its slot
+        # would silently drop it while still unproven
         lendable = [
             q.name
             for q in sorted(CORPUS.values(), key=lambda q: q.seq)
-            if q.tier == 0 and q.name not in anchors
+            if q.tier == 0 and q.name not in anchors and q.name in sampled
         ]
-        remaining = queue[qi:][:LEND_CAP]
-        assert len(remaining) <= len(lendable), (
-            f"loan pass needs {len(remaining)} non-anchor tier-0 slots "
-            f"but only {len(lendable)} exist — lower LEND_CAP or free "
-            "tier-0 rows from rotation groups (a silent modulo collision "
-            "here would drop a debt pick from the round)"
-        )
-        loff = (key * len(remaining)) % len(lendable)
+        # lend at most as many slots as sampled lenders exist: with the
+        # cap, the rotating offsets below are distinct by construction
+        # (no silent modulo collision can drop a debt pick), and when
+        # every tier-0 row is itself unsampled nothing lends — the
+        # excess debt waits for the next round (the multi-round drain
+        # bound covers that case)
+        remaining = queue[qi:][: min(LEND_CAP, len(lendable))]
+        loff = (key * max(len(remaining), 1)) % max(len(lendable), 1)
         for j, pick in enumerate(remaining):
             out[lendable[(loff + j) % len(lendable)]] = pick
     return out

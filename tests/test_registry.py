@@ -249,6 +249,37 @@ def test_rotation_debt_drains_within_two_rounds():
         }
 
 
+def test_loan_pass_never_borrows_from_unsampled_tier0():
+    """An unsampled tier-0 row must keep its window slot even when the
+    global debt queue is hungry enough to trigger the loan pass —
+    lending it away would silently trade one piece of missing evidence
+    for another. Simulated: mark one non-anchor tier-0 row unsampled
+    alongside a debt queue larger than the free group slots."""
+    corpus._load_all()
+    anchors = {a for a, _ in corpus.ROTATION_GROUPS}
+    victim = next(
+        q.name
+        for q in sorted(corpus.CORPUS.values(), key=lambda q: q.seq)
+        if q.tier == 0 and q.name not in anchors
+    )
+    sampled = frozenset(set(corpus.CORPUS) - {victim})
+    # every tier>0 name sampled, one tier-0 not: no group debt, so the
+    # steady path would normally run — force the lending shape instead
+    # by ALSO marking a dozen tier>0 names unsampled
+    extra_debt = [
+        q.name
+        for q in sorted(corpus.CORPUS.values(), key=lambda q: q.seq)
+        if q.tier > 0
+    ][: len(corpus.ROTATION_GROUPS) + 5]
+    sampled = frozenset(sampled - set(extra_debt))
+    for key in range(1, 9):
+        window = corpus.window_names(key, sampled)
+        assert victim in window, (
+            f"round {key}: unsampled tier-0 row {victim} lent its slot "
+            "away while still unproven"
+        )
+
+
 def test_current_debt_fits_current_window_when_under_capacity():
     """Single-round drain pin (r10): whenever the CURRENT debt (tier>0
     names with no still-valid driver row) is within one round's drain

@@ -162,3 +162,39 @@ def test_match_against_persisted_index(spark, tmp_path):
     # a seeded doc can miss only if it produced no shingles; the
     # fixture's min text length makes that impossible
     assert expect <= hits
+
+
+def test_ingest_touches_only_delta_data(spark, tmp_path):
+    """Behavioral O(delta) pin beside the measured ladder
+    (SCALING.md `sigindex_append`): before day 2's ingest, overwrite
+    every byte of day 1's landed parquet AND of the committed batch's
+    parquet with same-size garbage. The ingest must still succeed and
+    its batch must equal signing day 2 alone — proof that it reads
+    neither prior landings nor the existing index (metadata listing
+    only), i.e. the append really is O(delta), not O(index)."""
+    d = _docs(spark)
+    land = str(tmp_path / "land")
+    day1 = d.filter(F.col("doc_id") % 3 != 0)
+    day1.write.parquet(land)
+    idx = str(tmp_path / "index")
+    b1 = sig_index_ingest(spark, land, idx)
+    assert b1 is not None
+
+    day1_parts = set(glob.glob(os.path.join(land, "part-*.parquet")))
+    day2 = d.filter(F.col("doc_id") % 3 == 0)
+    day2.write.mode("append").parquet(land)
+
+    def clobber(path):
+        size = os.path.getsize(path)
+        with open(path, "wb") as fh:  # same size: the immutability
+            fh.write(b"\x00" * size)  # check must still pass
+
+    for p in day1_parts:
+        clobber(p)
+    for p in glob.glob(os.path.join(b1.replace("file:", ""), "part-*.parquet")):
+        clobber(p)
+
+    b2 = sig_index_ingest(spark, land, idx)
+    assert b2 is not None and b2 != b1
+    got = spark.read.parquet(b2)
+    assert _frames_equal(got, minhash_signatures_portable(day2))
