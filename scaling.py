@@ -64,10 +64,12 @@ def families(sf_dir: str | None = None):
     callers that inflate from a non-default fixture (the pytest gates
     run at the oracle scale) MUST pass the same dir or the op would
     silently measure a cross-fixture hybrid. ``max_k`` caps
-    the multiplier for a family: the dedup/CC families run the full
-    ladder (the K=64 octave guards against a knee hiding just past
-    16×, VERDICT r6 #7); the event families' curves are already flat
-    sub-second affairs at K=16 and stop there."""
+    the multiplier for a family: every family now runs the full K=64
+    octave (the event families were capped at 16 through r9 as "flat
+    sub-second affairs", but sub-second cells sit inside the fixed
+    per-job overhead — the K=64 octave is what resolves their curves
+    ABOVE it, the same reasoning that lifted the composite caps in
+    r10)."""
     if sf_dir is None:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -139,7 +141,6 @@ def families(sf_dir: str | None = None):
             lambda d, K: funnel_times(
                 d, ("view", "click", "purchase"), within=604800.0
             ),
-            16,
         ),
         "gapfill_per_user": (
             "events",
@@ -152,7 +153,6 @@ def families(sf_dir: str | None = None):
                 {"sum_value": F.round(F.sum("value"), 2)},
                 fill="prev",
             ),
-            16,
         ),
         # VERDICT r8 #6: scale octaves for the NON-dedup heavy hitters.
         # The flagship pipeline over K× documents (quality gate ->
@@ -219,10 +219,9 @@ def families(sf_dir: str | None = None):
         # hash-ordered sort + running sum. `source` survives inflation,
         # so the group COUNT stays fixed while every group grows K× —
         # exactly the skewed per-host-cap regime (few heavy sources).
-        # All four cells sit inside the fixed per-job overhead (the
-        # same flat sub-second class as funnel/gapfill), so the slope
-        # shows the window adds no VISIBLE superlinear term — it does
-        # not resolve the sort's own n log n.
+        # All four cells sit inside the fixed per-job overhead, so the
+        # slope shows the window adds no VISIBLE superlinear term — it
+        # does not resolve the sort's own n log n.
         "token_budget_cap": (
             "documents",
             inflate_documents,
@@ -692,9 +691,9 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "the small-K cells, which biases slopes DOWN at small K — the",
         "largest-pair slope is the honest one and is what",
         "`tests/test_scaling.py` gates (< 1.3 on the banded families).",
-        "The dedup/CC families run one octave further (K=64) than the",
-        "flat sub-second event families (capped at 16) so a knee past",
-        "16x would show.",
+        "Every family runs the full K=64 octave (since r10 — the event",
+        "families' old K=16 cap left their cells inside that fixed",
+        "overhead) so a knee past 16x would show.",
         "",
         "`embedding_blocked` holds expected bucket occupancy constant",
         "(n_planes = 6 + log2 K) — the fixture vectors are iid, so at any",
@@ -747,8 +746,7 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "as real corpora do). `token_budget_cap` (r10) is the quota",
         "window: group count fixed (`source` survives inflation), every",
         "group K× heavier, budget fixed, one exchange. Its cells all",
-        "sit inside the fixed per-job overhead (the same flat",
-        "sub-second class as funnel/gapfill), so the slope shows the",
+        "sit inside the fixed per-job overhead, so the slope shows the",
         "window adds no VISIBLE superlinear term — it does not resolve",
         "the per-group sort's own n log n.",
         "",
