@@ -286,6 +286,47 @@ def _round_key() -> int:
     return _window_state()[0]
 
 
+_LATEST_CACHE: dict[str, int] | None = None
+
+
+def _latest_evidence_rounds() -> dict[str, int]:
+    """name → NEWEST round (strictly below the current round key) whose
+    committed CORRECTNESS row still counts as evidence — the same
+    validity rule as _window_state (clean rows always; a ``no_oracle``
+    rows-only row only while the query STILL has no oracle). Feeds the
+    stale-backfill pass in :func:`rotation_swaps` (VERDICT r10 #3: 13
+    queries' newest driver row was r01-vintage because debt rounds
+    suspend the steady-state slice — staleness must drain through the
+    debt queue too, not wait for the next fully-drained round)."""
+    global _LATEST_CACHE
+    if _LATEST_CACHE is None:
+        key = _round_key()
+        _load_all()
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        latest: dict[str, int] = {}
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+            if not m or int(m.group(1)) >= key:
+                continue
+            rnd = int(m.group(1))
+            try:
+                with open(f) as fh:
+                    rows = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for n, row in rows.items():
+                err = (row or {}).get("err")
+                if not err or (
+                    err == "no_oracle"
+                    and (n not in CORPUS or CORPUS[n].oracle is None)
+                ):
+                    latest[n] = max(latest.get(n, 0), rnd)
+        _LATEST_CACHE = latest
+    return _LATEST_CACHE
+
+
 def _sampled_names() -> frozenset[str]:
     """Names that earned a driver CORRECTNESS row in any round BEFORE
     the current one (see _window_state for the coherence contract)."""
@@ -347,12 +388,25 @@ def rotation_swaps(
     LOAN PASS (VERDICT r9 #1): if the queue outnumbers the free group
     slots, up to LEND_CAP non-grouped tier-0 rows lend their slot for
     the round (rotating which, so no family row is repeatedly the one
-    skipped) — the drain capacity is #groups + LEND_CAP per round.
+    skipped) — the drain capacity per round is #groups +
+    min(LEND_CAP, sampled non-anchor tier-0 count): only SAMPLED rows
+    may lend, so with several unsampled tier-0 rows the effective loan
+    capacity is smaller than the nominal cap (ADVICE r10).
+
+    STALE BACKFILL (VERDICT r10 #3): debt rounds suspend the
+    steady-state slice, so evidence can silently age while new
+    queries drain (13 rows were r01-vintage by r10). After genuine
+    debt, the queue continues with SAMPLED tier>0 names whose newest
+    committed row is ≥ STEADY_CADENCE rounds old, oldest evidence
+    first — spare drain capacity re-proves the stalest rows instead
+    of idling on the group round-robin. Disk-state-only (skipped when
+    tests inject a synthetic ``sampled``).
 
     Once ALL debt drains, the steady-state slice rotation takes over
     (see _steady_swaps): every registered query re-proves within
     STEADY_CADENCE rounds. ``sampled`` overrides the disk state for
     tests."""
+    use_disk_staleness = sampled is None
     if key is None:
         key = _round_key()
     if sampled is None:
@@ -386,13 +440,34 @@ def rotation_swaps(
         (n for n in debt if n not in DRAIN_PRIORITY),
         key=lambda n: CORPUS[n].seq,
     )
+    if use_disk_staleness:
+        latest = _latest_evidence_rounds()
+        queue += sorted(
+            (
+                n
+                for n, q in CORPUS.items()
+                if q.tier > 0
+                and n in sampled
+                and n not in used
+                and latest.get(n, 0) <= key - STEADY_CADENCE
+            ),
+            key=lambda n: (latest.get(n, 0), CORPUS[n].seq),
+        )
     qi = 0
     for i, anchor, choices in free:
         if qi < len(queue):
             pick = queue[qi]
             qi += 1
         else:
-            pick = choices[(key + i) % len(choices)]
+            # round-robin fallback must skip names already assigned
+            # this round: a stale-backfill queue pick may be another
+            # free group's alternate, and a duplicate pick would break
+            # the one-slot-per-name swap algebra (window ≠ 50)
+            options = [c for c in choices if c not in used]
+            pick = (
+                options[(key + i) % len(options)] if options else anchor
+            )
+        used.add(pick)
         if pick != anchor:
             out[anchor] = pick
     # loan pass: the queue still holds names and every group slot is

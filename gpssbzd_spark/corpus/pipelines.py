@@ -667,32 +667,57 @@ def _tc_components_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tc_pipeline_dbscan",
-    oracle=None,
-    note="stage-2 trajectory clustering end-to-end (ordered collect_list "
-    "→ pair theta-join → pandas-UDF TRACLUS distance → applyInPandas "
-    "DBSCAN). Rows-only BY NECESSITY (VERDICT r8 #4 exemption): "
-    "iterative density clustering over a UDF distance is non-SQL-"
-    "expressible — structural checks live in pytest, and "
-    "tc_pipeline_components carries the family's hash-green driver "
-    "evidence via its recursive-CTE oracle",
+    oracle=_TC_COMPONENTS_SQL,
+    note="stage-2 trajectory clustering end-to-end through the "
+    "applyInPandas KERNEL path (ordered collect_list → pair theta-join "
+    "→ pandas-UDF TRACLUS distance → grouped-map DBSCAN — the U6 "
+    "surface). Hash-oracled since r11 (VERDICT r10 missing #2) via "
+    "MIN-MEMBER CANONICAL LABELING, the dd_neardup_clusters recipe: "
+    "the kernel's DBSCAN numbering is visit-order-dependent, but with "
+    "min_samples=2 the cluster PARTITION is exactly the eps-graph's "
+    "connected components (Ester et al. Lemma 1/2), so re-numbering "
+    "each cluster by dense_rank over its lexicographic-min member key "
+    "makes the labels deterministic and equal to the recursive-CTE "
+    "oracle's. Same well-separated geometry as tc_pipeline_components "
+    "(~100 km between groups, eps=5 km — the numpy kernel and the "
+    "SQL distance cannot disagree on an edge); the two rows now pin "
+    "the SAME answer through the two physical paths (matrix kernel "
+    "vs distributed eps-graph). Bench series resets at r11 (geometry "
+    "+ projection change; PERF_NOTES r11)",
 )
 def tc_pipeline_dbscan(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    patterns = ev.select(
-        (F.col("user_id") % 20).cast("string").alias("id"),
-        (F.col("user_id") % 5).cast("string").alias("linenumber"),
-        (F.lit(114.0) + (F.col("value") % 1.0) / 100).alias("lng"),
-        (F.lit(22.6) + (F.col("event_id") % 100) / 10000.0).alias("lat"),
-        (F.col("event_id") % 5).cast("string").alias("patternID"),
-        F.col("ts"),
-    )
+    patterns = _tc_components_patterns(spark, sf_dir)
     params = spark.createDataFrame(
         [(str(i), 5.0, 2) for i in range(5)],
         "linenumber string, eps float, min_samples int",
     )
-    out = cluster_trajectories(patterns, params, mode="pairs")
-    return out.groupBy("linenumber", "cluster").agg(
-        F.countDistinct("id", "patternID").alias("n_trajectories")
+    out = cluster_trajectories(patterns, params, mode="pairs").select(
+        "linenumber", "id", "patternID", "cluster"
+    ).distinct()
+    # canonicalize the kernel's order-dependent numbering: cluster →
+    # its lexicographic-min member node key (the oracle's comp_label),
+    # then dense_rank per line over the DISTINCT non-noise keys (the
+    # oracle ranks comp_labels, never noise); noise (−1) passes through
+    member_key = F.concat_ws(
+        "\x1f", F.col("linenumber"), F.col("id"), F.col("patternID")
+    )
+    w_min = Window.partitionBy("linenumber", "cluster")
+    labeled = out.withColumn("_minkey", F.min(member_key).over(w_min))
+    w_rank = Window.partitionBy("linenumber").orderBy("_minkey")
+    mapping = (
+        labeled.filter(F.col("cluster") != -1)
+        .select("linenumber", "cluster", "_minkey")
+        .distinct()
+        .withColumn("_canon", (F.dense_rank().over(w_rank) - 1).cast("int"))
+        .drop("_minkey")
+    )
+    return labeled.join(
+        F.broadcast(mapping), ["linenumber", "cluster"], "left"
+    ).select(
+        "linenumber",
+        "id",
+        "patternID",
+        F.coalesce(F.col("_canon"), F.lit(-1)).cast("int").alias("cluster"),
     )
 
 

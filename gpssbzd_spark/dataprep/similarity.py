@@ -340,6 +340,95 @@ def ivf_query(
     )
 
 
+def probe_centroid_ids(
+    cents: np.ndarray, query_vecs: np.ndarray, n_probe: int
+) -> np.ndarray:
+    """Driver-side codebook consult: per-query ``n_probe`` nearest
+    centroid ids, computed with the SAME float64
+    normalize → matmul → ``argsort(-sims)`` sequence as the executor
+    kernel (:func:`_nearest_centroids_udf`), so the directories a
+    pruned read selects are exactly the partitions the in-plan probe
+    join touches (parity pinned in
+    ``tests/test_dataprep.py::test_ivf_query_pruned_matches_full_read``).
+    Shapes: ``cents`` (C × D), ``query_vecs`` (Q × D) → (Q × n_probe)
+    int32."""
+    q = np.asarray(query_vecs, dtype=np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    c = cents.astype(np.float64)
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    sims = q @ c.T  # (Q, C)
+    return np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+
+
+def ivf_query_pruned(
+    index_path: str,
+    cents: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """:func:`ivf_query` against a PERSISTED cid-partitioned index,
+    reading ONLY the probed centroids' partition directories — the
+    serving pattern a 100 TB deployment runs.
+
+    The generic path (`spark.read.parquet(index_path)` + DPP) still
+    LISTS every partition directory and plans the full index scan
+    before dynamic pruning kicks in; at 10⁴–10⁵ centroids that
+    listing/planning cost dominates query latency (measured on the
+    scale ladder: exponent 0.376 full-listing vs 0.088 pruned —
+    SCALING.md ``ivf_query_persisted``). Here the probe set is resolved
+    DRIVER-side against the in-memory codebook (the lookup a serving
+    deployment does against its manifest/metastore before touching
+    storage — ``cents`` is C×D floats, KBs), and only those
+    ``≤ Q·n_probe`` directories are handed to the reader. ``basePath``
+    keeps ``cid`` a real column so downstream semantics are identical.
+
+    The query batch is collected driver-side (bounded: it is the batch
+    a serving process holds in memory anyway). A probed centroid with
+    an EMPTY inverted list writes no partition directory — it is
+    skipped, which is semantically identical (no candidates to
+    contribute); if NO probed directory exists the index is
+    empty/corrupt and we fail loudly rather than return 0 neighbors.
+    Local-filesystem directory checks stand in for the manifest
+    lookup; a cloud deployment swaps in its catalog listing.
+    """
+    import os
+
+    spark = queries.sparkSession
+    rows = queries.select(query_vec_col).collect()
+    qv = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    probed = probe_centroid_ids(cents, qv, n_probe)
+    cids = sorted({int(c) for row in probed for c in row})
+    exist = [
+        c
+        for c in cids
+        if os.path.isdir(os.path.join(index_path, f"cid={c}"))
+    ]
+    assert exist, (
+        f"ivf_query_pruned: none of the probed centroids {cids} has a "
+        f"partition directory under {index_path} — empty or mismatched "
+        "index (wrong codebook for this index?)"
+    )
+    index = spark.read.option("basePath", index_path).parquet(
+        *[f"{index_path}/cid={c}" for c in exist]
+    )
+    return ivf_query(
+        index,
+        cents,
+        queries,
+        k,
+        n_probe,
+        id_col,
+        vec_col,
+        query_id_col,
+        query_vec_col,
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

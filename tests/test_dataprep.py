@@ -134,7 +134,7 @@ def test_embedding_blocked_recall_vs_unblocked_oracle(spark):
     6-plane blocking should retain the large majority of >= 0.4 pairs
     on the fixture embeddings."""
     from gpssbzd_spark.corpus.dataprep import (
-        dd_embedding_cosine_blocked,
+        _dd_embedding_cosine_blocked_raw,
         dd_embedding_cosine_pairs,
     )
 
@@ -144,7 +144,7 @@ def test_embedding_blocked_recall_vs_unblocked_oracle(spark):
     }
     blocked = {
         (r.id_a, r.id_b): r.cos_sim
-        for r in dd_embedding_cosine_blocked(spark, SF).collect()
+        for r in _dd_embedding_cosine_blocked_raw(spark, SF).collect()
     }
     assert blocked, "blocked variant found no pairs at all"
     assert set(blocked) <= set(exact), "blocked emitted a pair the oracle lacks"
@@ -353,6 +353,135 @@ def test_ivf_persisted_index_query_matches_combined(spark):
     split = sorted(map(tuple, cdp._sim_topk_ivf_query_raw(spark, SF).collect()))
     combined = sorted(map(tuple, cdp._sim_topk_ivf_raw(spark, SF).collect()))
     assert split == combined
+
+
+def test_ivf_query_pruned_matches_full_read(spark):
+    """ADVICE r10: the probed-directory serving path must return the
+    same (query_id, vec_id, cos_sim, rank) rows as ivf_query over the
+    FULL-listing read of the same persisted index — coverage rests on
+    the driver-side codebook consult (probe_centroid_ids) selecting
+    bit-identically to the executor kernel, which this pins end to
+    end. rows_out alone cannot witness it (any probed partition with
+    ≥k candidates keeps the count)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from gpssbzd_spark.corpus import dataprep as cdp
+    from gpssbzd_spark.dataprep.similarity import ivf_query, ivf_query_pruned
+
+    cdp.sim_topk_ivf_build(spark, SF)  # fresh index for this generation
+    cache = cdp._ivf_cache_dir(SF)
+    with open(os.path.join(cache, "codebook.json")) as f:
+        cents = np.array(json.load(f), dtype=np.float64)
+    em = load_table(spark, SF, "embeddings")
+    q = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = os.path.join(cache, "index")
+    pruned = sorted(
+        map(tuple, ivf_query_pruned(path, cents, q, k=5, n_probe=4).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            ivf_query(spark.read.parquet(path), cents, q, k=5, n_probe=4).collect(),
+        )
+    )
+    assert pruned == full
+
+
+def test_ivf_query_pruned_scans_only_probed_directories(spark):
+    """The pruned read's input files must all live under probed cid
+    directories, and at least one NON-probed directory must exist on
+    disk (otherwise the pruning claim is vacuous at this fixture)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from gpssbzd_spark.corpus import dataprep as cdp
+    from gpssbzd_spark.dataprep.similarity import (
+        ivf_query_pruned,
+        probe_centroid_ids,
+    )
+
+    cdp.sim_topk_ivf_build(spark, SF)
+    cache = cdp._ivf_cache_dir(SF)
+    with open(os.path.join(cache, "codebook.json")) as f:
+        cents = np.array(json.load(f), dtype=np.float64)
+    em = load_table(spark, SF, "embeddings")
+    q = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qv = np.stack(
+        [np.asarray(r.query_vec, dtype=np.float64) for r in q.collect()]
+    )
+    probed = {int(c) for row in probe_centroid_ids(cents, qv, 2) for c in row}
+    path = os.path.join(cache, "index")
+    on_disk = {
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("cid=")
+    }
+    assert on_disk - probed, "fixture probes every directory — gate vacuous"
+    out = ivf_query_pruned(path, cents, q, k=5, n_probe=2)
+    # inputFiles spans the whole plan (index scan + the query-side
+    # embeddings scan) — only the index files carry a cid= segment
+    index_files = [f for f in out.inputFiles() if "cid=" in f]
+    assert index_files
+    for f in index_files:
+        cid = int(f.split("cid=")[1].split("/")[0])
+        assert cid in probed, f"scanned unprobed partition: {f}"
+
+
+def test_ivf_query_pruned_skips_empty_centroid_directories(spark, tmp_path):
+    """ADVICE r10 (medium): a k-means centroid with zero assigned
+    vectors writes NO partition directory; if it lands in a query's
+    probe set the pruned read must skip it (an empty inverted list
+    contributes no candidates) instead of throwing PATH_NOT_FOUND.
+    Forced here by deleting a probed directory from a copied index —
+    the query must still return k neighbors from the remaining lists,
+    exactly the rows the surviving partitions contribute."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+
+    from gpssbzd_spark.corpus import dataprep as cdp
+    from gpssbzd_spark.dataprep.similarity import (
+        ivf_query_pruned,
+        probe_centroid_ids,
+    )
+
+    cdp.sim_topk_ivf_build(spark, SF)
+    cache = cdp._ivf_cache_dir(SF)
+    with open(os.path.join(cache, "codebook.json")) as f:
+        cents = np.array(json.load(f), dtype=np.float64)
+    em = load_table(spark, SF, "embeddings")
+    q = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qv = np.stack(
+        [np.asarray(r.query_vec, dtype=np.float64) for r in q.collect()]
+    )
+    probed = sorted(
+        {int(c) for row in probe_centroid_ids(cents, qv, 4) for c in row}
+    )
+    assert len(probed) >= 2
+    victim = probed[-1]  # drop the least-preferred probed list
+    path = str(tmp_path / "index")
+    shutil.copytree(os.path.join(cache, "index"), path)
+    shutil.rmtree(os.path.join(path, f"cid={victim}"))
+    out = ivf_query_pruned(path, cents, q, k=5, n_probe=4).collect()
+    assert {r.query_id for r in out} == {0, 1, 2}
+    assert all(1 <= r.rank <= 5 for r in out)
+    # and none of the returned neighbors came from the deleted list
+    surviving = spark.read.option("basePath", path).parquet(path)
+    alive = {r.vec_id for r in surviving.select("vec_id").collect()}
+    assert all(r.vec_id in alive for r in out)
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,7 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         "sim_topk_ivf",            # centroid-assignment matmul kernel
         "sim_topk_ivf_build",      # same kernel (index assignment)
         "sim_topk_ivf_query",      # same kernel (query-side probe)
+        "sim_topk_ivf_query_pruned",  # same kernel, pruned-read serving
     }
     for name in sorted(corpus.CORPUS):
         if name in pandas_backed:
@@ -159,8 +160,12 @@ def test_blocked_embedding_pairs_never_cartesian(spark):
     (table, bucket) equi-join — a CartesianProduct/BroadcastNestedLoop
     node would mean the blocking silently degraded to all-pairs. The
     unblocked oracle twin IS allowed its nested-loop (that's the point
-    of keeping both)."""
-    plan = final_plan(q(spark, "dd_embedding_cosine_blocked"))
+    of keeping both). Gated on the RAW kernel path — the corpus row
+    wraps it in seeded-recall scaffolding whose 1-row containment
+    cross-join is a benign BroadcastNestedLoopJoin."""
+    from gpssbzd_spark.corpus.dataprep import _dd_embedding_cosine_blocked_raw
+
+    plan = final_plan(_dd_embedding_cosine_blocked_raw(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Join" in plan  # the banded equi-join exists

@@ -55,17 +55,15 @@ FIXED = [
     "tx_token_jaccard_pairs",
 ]
 
-# rows-only (no oracle) rows allowed in the window: the genuinely
-# non-SQL-expressible ops (each note carries its VERDICT r8 #4
-# exemption justification). Shrunk in r9 — the dedup kernels, approx
-# sketches, fingerprint groups and IVF paths now carry invariant
-# oracles (guaranteed-recall over seeded dups, within-bound vs exact
-# twins, rank grids).
-ALLOWED_NO_ORACLE = {
-    "dd_embedding_cosine_blocked",
-    "sim_topk_lsh",
-    "tc_pipeline_dbscan",
-}
+# rows-only (no oracle) rows allowed in the window: EMPTY since r11 —
+# the last three exemptions (dd_embedding_cosine_blocked, sim_topk_lsh,
+# tc_pipeline_dbscan) earned invariant oracles (VERDICT r10 missing
+# #2): guaranteed-recall over seeded exact-dup vectors, per-query
+# self-hit/subset-of-exact flags, and min-member canonical DBSCAN
+# labels against the recursive-CTE components oracle. Every registered
+# query now carries an oracle; a future genuinely-non-SQL op must add
+# itself here WITH its justification.
+ALLOWED_NO_ORACLE: set[str] = set()
 
 
 def test_tier0_exactly_fills_driver_window():
@@ -283,11 +281,15 @@ def test_loan_pass_never_borrows_from_unsampled_tier0():
 def test_current_debt_fits_current_window_when_under_capacity():
     """Single-round drain pin (r10): whenever the CURRENT debt (tier>0
     names with no still-valid driver row) is within one round's drain
-    capacity (#groups + LEND_CAP), every debt name must appear in the
-    CURRENT window — the drain must not stretch to two rounds when one
-    suffices. Vacuous once the debt is zero (the steady-state cadence
-    test takes over) or if the registry ever outgrows capacity in one
-    round (the multi-round drain test bounds that case)."""
+    capacity, every debt name must appear in the CURRENT window — the
+    drain must not stretch to two rounds when one suffices. The
+    effective capacity is #groups + min(LEND_CAP, sampled non-anchor
+    tier-0 count): only sampled tier-0 rows may lend their slot
+    (ADVICE r10 — the nominal #groups + LEND_CAP overstates it when
+    several tier-0 rows are themselves unsampled). Vacuous once the
+    debt is zero (the steady-state cadence test takes over) or if the
+    registry ever outgrows capacity in one round (the multi-round
+    drain test bounds that case)."""
     corpus._load_all()
     sampled = corpus._sampled_names()
     debt = {
@@ -295,13 +297,68 @@ def test_current_debt_fits_current_window_when_under_capacity():
         for n, q in corpus.CORPUS.items()
         if q.tier > 0 and n not in sampled
     }
-    capacity = len(corpus.ROTATION_GROUPS) + corpus.LEND_CAP
+    anchors = {a for a, _ in corpus.ROTATION_GROUPS}
+    lendable = sum(
+        1
+        for q in corpus.CORPUS.values()
+        if q.tier == 0 and q.name not in anchors and q.name in sampled
+    )
+    capacity = len(corpus.ROTATION_GROUPS) + min(corpus.LEND_CAP, lendable)
     if debt and len(debt) <= capacity:
         missing = debt - set(corpus.window_names())
         assert not missing, (
             f"{len(debt)} debt names fit capacity {capacity} but "
             f"{sorted(missing)} are outside this round's window"
         )
+
+
+def test_stale_backfill_drains_oldest_evidence_first(monkeypatch):
+    """VERDICT r10 #3: debt rounds suspend the steady-state slice, so
+    a query's driver evidence could age indefinitely while new queries
+    drained (13 rows were r01-vintage by r10). The stale-backfill pass
+    must spend spare drain capacity on the OLDEST-evidence tier>0 rows:
+    with one synthetic debt name and a synthetic staleness ledger, the
+    window must contain (a) the debt name first, (b) the entire oldest
+    stale cohort, and (c) no fresh tier>0 name pulled in as backfill."""
+    corpus._load_all()
+    key = 30
+    cadence = corpus.STEADY_CADENCE
+    tier_pos = [
+        q.name
+        for q in sorted(corpus.CORPUS.values(), key=lambda q: q.seq)
+        if q.tier > 0
+    ]
+    debt_name = tier_pos[0]
+    oldest = tier_pos[1:6]          # latest = 1 — must all backfill
+    mid = tier_pos[6:12]            # latest = key - cadence — eligible
+    fresh = tier_pos[12:]           # latest = key - 1 — never backfill
+    latest = {n: key - 1 for n in corpus.CORPUS}
+    latest.update({n: 1 for n in oldest})
+    latest.update({n: key - cadence for n in mid})
+    latest.pop(debt_name)
+    sampled = frozenset(set(corpus.CORPUS) - {debt_name})
+    monkeypatch.setattr(corpus, "_round_key", lambda: key)
+    monkeypatch.setattr(corpus, "_sampled_names", lambda: sampled)
+    monkeypatch.setattr(corpus, "_latest_evidence_rounds", lambda: latest)
+    window = set(corpus.window_names())
+    assert len(window) == corpus.DRIVER_WINDOW
+    assert debt_name in window, "genuine debt must still drain first"
+    missing_oldest = [n for n in oldest if n not in window]
+    assert not missing_oldest, (
+        f"oldest-evidence rows not backfilled: {missing_oldest}"
+    )
+    # fresh GROUP-LESS tier>0 rows can only enter via the backfill
+    # queue (group members also enter via the legitimate round-robin
+    # fallback once the queue exhausts, so they're excluded here)
+    grouped = {n for a, alts in corpus.ROTATION_GROUPS for n in (a, *alts)}
+    backfilled_fresh = [n for n in fresh if n in window and n not in grouped]
+    assert not backfilled_fresh, (
+        f"fresh rows (latest = key-1) consumed backfill capacity: "
+        f"{backfilled_fresh}"
+    )
+    # synthetic-state injection must not leak into other tests
+    monkeypatch.setattr(corpus, "_STATE_CACHE", None)
+    monkeypatch.setattr(corpus, "_LATEST_CACHE", None)
 
 
 def test_sampled_names_matches_committed_records():
