@@ -395,37 +395,70 @@ def ivf_query_pruned(
     empty/corrupt and we fail loudly rather than return 0 neighbors.
     Local-filesystem directory checks stand in for the manifest
     lookup; a cloud deployment swaps in its catalog listing.
+
+    Because the probe set is already resolved driver-side, it is
+    injected as a LITERAL broadcast side instead of re-running the
+    centroid pandas UDF in-plan — the serving job is pure JVM (scan +
+    broadcast join + window, no Python worker round-trip; that round
+    trip alone was ~0.3 s of the generic path's sub-second latency at
+    bench scale, PERF_NOTES r11). Scores are bit-identical to
+    :func:`ivf_query`: the collected float32 vectors round-trip
+    exactly into the double-typed literal rows, and the norm/dot folds
+    run the same JVM expressions (parity pinned in
+    ``test_ivf_query_pruned_matches_full_read``).
     """
     import os
 
     spark = queries.sparkSession
-    rows = queries.select(query_vec_col).collect()
-    qv = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rows = queries.select(query_id_col, query_vec_col).collect()
+    qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     probed = probe_centroid_ids(cents, qv, n_probe)
     cids = sorted({int(c) for row in probed for c in row})
-    exist = [
+    exist = {
         c
         for c in cids
         if os.path.isdir(os.path.join(index_path, f"cid={c}"))
-    ]
+    }
     assert exist, (
         f"ivf_query_pruned: none of the probed centroids {cids} has a "
         f"partition directory under {index_path} — empty or mismatched "
         "index (wrong codebook for this index?)"
     )
     index = spark.read.option("basePath", index_path).parquet(
-        *[f"{index_path}/cid={c}" for c in exist]
+        *[f"{index_path}/cid={c}" for c in sorted(exist)]
     )
-    return ivf_query(
-        index,
-        cents,
-        queries,
-        k,
-        n_probe,
-        id_col,
-        vec_col,
-        query_id_col,
-        query_vec_col,
+    probe_rows = [
+        (r[0], [float(x) for x in r[1]], [int(c) for c in probed[i]])
+        for i, r in enumerate(rows)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(query_vec_col, T.ArrayType(T.DoubleType())),
+            T.StructField("_cids", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    q_probe = spark.createDataFrame(probe_rows, schema).select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        _norm(F.col(query_vec_col)).alias("_norm_q"),
+        F.explode("_cids").alias("cid"),
+    )
+    cands = index.join(F.broadcast(q_probe), "cid").select(
+        query_id_col, id_col, vec_col, query_vec_col, "_norm_e", "_norm_q"
+    )
+    sim = cosine_from_parts(
+        _dot(F.col(vec_col), F.col(query_vec_col)),
+        F.col("_norm_e"),
+        F.col("_norm_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        cands.select(query_id_col, id_col, sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

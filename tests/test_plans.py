@@ -97,7 +97,10 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         "sim_topk_ivf",            # centroid-assignment matmul kernel
         "sim_topk_ivf_build",      # same kernel (index assignment)
         "sim_topk_ivf_query",      # same kernel (query-side probe)
-        "sim_topk_ivf_query_pruned",  # same kernel, pruned-read serving
+        # sim_topk_ivf_query_pruned is deliberately ABSENT: the pruned
+        # serving path resolves the probe driver-side and injects it as
+        # a literal broadcast side, so its plan is pure JVM (the
+        # no-EvalPython gate below covers it)
     }
     for name in sorted(corpus.CORPUS):
         if name in pandas_backed:
