@@ -88,3 +88,44 @@ def test_chain_is_partitioning_invariant(spark, sample_inputs):
     ra = sorted(map(tuple, a.select(cols).collect()))
     rb = sorted(map(tuple, b.select(cols).collect()))
     assert ra == rb
+
+
+def test_ingest_e2e_repeats_deterministic_and_rejects_matches(spark, tmp_path, monkeypatch):
+    """dp_pipeline_ingest_e2e (VERDICT r10 #5): a SECOND run over the
+    same fixture generation must no-op the pickup and return the
+    identical post-state; the day-2 seeded exact copies (+1e6 ids of
+    indexed docs) must be REJECTED (their originals are in the day-1
+    index), and every returned doc carries its persisted signature
+    exactly when it is signable."""
+    import gpssbzd_spark.corpus.dataprep as cdp
+
+    # isolate the artifact cache so this test never races the corpus
+    # row's own cache generation
+    monkeypatch.setattr(
+        cdp,
+        "_artifact_cache_dir",
+        lambda sf_dir, subdir, table: str(tmp_path / subdir),
+    )
+    sf = "/root/testdata/sf0.001"
+    first = sorted(map(tuple, cdp.dp_pipeline_ingest_e2e(spark, sf).collect()))
+    second = sorted(map(tuple, cdp.dp_pipeline_ingest_e2e(spark, sf).collect()))
+    assert first == second
+    ids = {r[0] for r in first}
+    # the seeded exact copies were all rejected
+    assert not any(i >= 1000000 for i in ids)
+    # day-1 docs all accepted (the index was empty when they arrived)
+    from gpssbzd_spark.sources.tables import load_table
+
+    day1 = {
+        r.doc_id
+        for r in load_table(spark, sf, "documents")
+        .filter("doc_id % 3 <> 0")
+        .select("doc_id")
+        .collect()
+    }
+    assert day1 <= ids
+    # has_sig is exactly "this doc produced a signature row"
+    for row in first:
+        has_sig = row[-1]
+        assert has_sig in (0, 1)
+        assert (row[1] is not None) == bool(has_sig)

@@ -97,6 +97,7 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         "sim_topk_ivf",            # centroid-assignment matmul kernel
         "sim_topk_ivf_build",      # same kernel (index assignment)
         "sim_topk_ivf_query",      # same kernel (query-side probe)
+        "sim_topk_ivf_append",     # same kernel (append assignment)
         # sim_topk_ivf_query_pruned is deliberately ABSENT: the pruned
         # serving path resolves the probe driver-side and injects it as
         # a literal broadcast side, so its plan is pure JVM (the

@@ -110,6 +110,11 @@ def test_composite_families_scale_linearly(spark):
         "tpch_q9_smj",
         "incremental_neardup",
         "sigindex_append",
+        # r11 maintenance composites: the full day-cycle ingest loop
+        # and the growable IVF index's append path — both must stay
+        # linear in DELTA size while their persisted index grows
+        "ingest_day_cycle",
+        "ivf_append",
     ):
         table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
