@@ -286,6 +286,11 @@ def main() -> None:
     summary = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        # sum of per-row BEST runs — the load-robust floor (VERDICT r10
+        # #8: the driver's capture can land under co-tenant load; the
+        # min series is the statistic that survives it). Full per-row
+        # mins stay in BENCH_DETAIL.json.
+        "value_min": round(sum(mins.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in medians.items()},
         "repeats": repeats,

@@ -453,9 +453,15 @@ def cluster_trajectories(
       ``plans/components.py``) for every line. No size limit.
 
     ``max_group_pairs`` is the per-line matrix budget: in auto mode a
-    line whose pair count exceeds it routes to the components path
-    (r2 raised here — the wall is gone); in forced pairs mode the
-    in-UDF fail-fast remains as the backstop.
+    line whose pair count exceeds it routes to the components path —
+    one huge line degrades to the eps-graph's extra shuffles instead
+    of an exception or a single-task OOM (r2 raised here — the wall is
+    gone; past-the-budget label parity vs local mode is pinned by
+    test_auto_routes_oversized_line_past_the_wall and the 80-
+    trajectory test_auto_fallback_matches_local_on_a_big_skewed_line,
+    and the fallback's cost curve by SCALING.md ``dbscan_skewed_line``,
+    VERDICT r10 #6). Only in FORCED pairs mode does the in-UDF
+    fail-fast remain, as the explicit-override backstop.
     """
     assert mode in ("auto", "pairs", "local", "components")
     params = _params_lookup(line_params)

@@ -212,6 +212,21 @@ def families(sf_dir: str | None = None):
             inflate_embeddings,
             lambda d, K: _ivf_append_op(d, sf_dir),
         ),
+        # ONE skewed line holding every trajectory, forced past the
+        # pair-matrix budget at every K (VERDICT r10 #6): auto mode
+        # routes it to the distributed eps-graph fallback, where the
+        # pair work is a NATIVE self-join — extra shuffles instead of
+        # one atomic Arrow group (no OOM, no exception). Trajectory
+        # count grows ~√K so the line's PAIR COUNT — the real work
+        # unit of a skewed group — grows K×; linear here means the
+        # fallback's cost tracks the pair work it cannot avoid
+        # (TRACLUS distance is all-pairs by definition) with no
+        # superlinear term on top.
+        "dbscan_skewed_line": (
+            "events",
+            inflate_events,
+            lambda d, K: _dbscan_skew_op(d, K),
+        ),
         # Benchmark decontamination with the TRAIN side grown K× and
         # the eval suite fixed — exactly the production regime (the
         # benchmark suite is a constant; the corpus is what grows). The
@@ -315,6 +330,51 @@ def _incremental_neardup_op(d, sf_dir):
     )
     return incremental_neardup_matches(
         minhash_signatures_portable(delta), index_sigs
+    )
+
+
+def _dbscan_skew_op(d, K):
+    """Cluster ONE line that holds every trajectory, past the matrix
+    budget (max_group_pairs=1000 < every cell's pair count), so auto
+    mode routes it through the eps-graph fallback at every K. The
+    trajectory count grows ~√K (ids fold modulo 60·√K), so the skewed
+    line's pair count grows ~K×; geometry is the 2 km chain the
+    components tests use (sites ≪ eps apart within a site, adjacent
+    sites ~4 km < eps=5, far sites ≫ eps), giving km-wide label
+    margins while keeping per-site degree bounded."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.plans.trajectory_clustering import (
+        cluster_trajectories,
+    )
+
+    spark = d.sparkSession
+    n_traj = 60 * math.isqrt(K)
+    tid = F.col("user_id") % n_traj
+    site = tid % 32
+    patterns = d.select(
+        tid.cast("string").alias("id"),
+        F.lit("0").alias("linenumber"),
+        F.lit("1").alias("patternID"),
+        (
+            F.lit(114.0)
+            + site * F.lit(0.0195)
+            + ((F.col("event_id") % 97) / 97.0) * 1e-6
+        ).alias("lng"),
+        (F.lit(22.6) + ((F.col("event_id") % 89) / 89.0) * 1e-6).alias("lat"),
+        F.col("ts"),
+    )
+    params = spark.createDataFrame(
+        [("0", 5.0, 2)], "linenumber string, eps float, min_samples int"
+    )
+    out = cluster_trajectories(
+        patterns, params, mode="auto", local_threshold=50,
+        max_group_pairs=1000,
+    )
+    return out.groupBy("cluster").agg(
+        F.countDistinct("id", "patternID").alias("n_trajectories")
     )
 
 
@@ -944,6 +1004,30 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "full-listing read measured 0.376 on the same index (the gap is",
         "pure partition-dir metadata); an all-pairs/brute design would",
         "show 1.0 by construction.",
+        "",
+        "`ingest_day_cycle` (r11) is the COMPOSED daily-ingest loop",
+        "(dp_pipeline_ingest_e2e's body) per K× delta: land → manifest",
+        "pickup → incremental match vs the persisted signature index →",
+        "accept anti-join → O(delta) index append → pickup commit →",
+        "accepted-batch compaction. The index strictly grows across",
+        "cells; linear-in-delta = the composition adds no superlinear",
+        "coupling beyond its separately-measured pieces.",
+        "",
+        "`ivf_append` (r11) is the ANN sibling of sigindex_append:",
+        "frozen-codebook assignment of ONLY the K× vector delta, one",
+        "cid-partitioned batch dir + manifest commit, drift stats,",
+        "committed-batch read-back — the existing batches are never",
+        "read, so the curve must track delta size with the index",
+        "strictly larger at every later cell.",
+        "",
+        "`dbscan_skewed_line` (r11) forces ONE line past the pair-",
+        "matrix budget at every K (max_group_pairs=1000): auto mode",
+        "routes it through the distributed eps-graph fallback — extra",
+        "shuffles instead of one atomic Arrow group. Trajectory count",
+        "grows ~√K so the line's PAIR COUNT (the irreducible work of",
+        "an all-pairs trajectory distance) grows K×; linear here means",
+        "the fallback adds nothing on top of that work, i.e. one huge",
+        "line degrades gracefully instead of OOMing a single task.",
         "",
         "| family | "
         + " | ".join(f"K={K} s (rows out)" for K in mults)

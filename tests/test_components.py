@@ -267,3 +267,38 @@ def test_general_dbscan_corpus_point_classes(spark):
         assert second != chain, line
         noise = {by_r[r] for r in range(12, 20) if r in by_r}
         assert noise <= {-1}, (line, noise)
+
+
+def test_auto_fallback_matches_local_on_a_big_skewed_line(spark):
+    """VERDICT r10 #6 at real size: ONE line with 80 trajectories
+    (3,160 pairs, far past a 500-pair budget) must cluster through the
+    auto-mode eps-graph fallback — extra shuffles, no exception — with
+    labels IDENTICAL to the local (single-group matrix) mode. Chain
+    geometry: 8 sites 2 km apart (within-site ≪ eps, adjacent sites
+    ~4 km < eps=5, so the chain is one cluster) plus 8 isolated
+    singletons ≫ eps (noise at min_samples=2)."""
+    rows = []
+    for t in range(72):
+        site = t % 8
+        _add_traj(
+            rows, "L", f"v{t:03d}", 1,
+            114.0 + site * 0.0195, 22.6, 0.002, 0.0, n=2,
+        )
+    for t in range(8):
+        _add_traj(
+            rows, "L", f"iso{t}", 1,
+            130.0 + t * 1.0, 22.6, 0.002, 0.0, n=2,
+        )
+    patterns = _patterns(spark, rows)
+    params = spark.createDataFrame(
+        [("L", 5.0, 2)], "linenumber string, eps float, min_samples int"
+    )
+    routed = cluster_trajectories(
+        patterns, params, mode="auto", local_threshold=10, max_group_pairs=500
+    )
+    local = cluster_trajectories(patterns, params, mode="local")
+    got, ref = _labels(routed), _labels(local)
+    assert got == ref and len(got) == 80
+    # the chain really is one cluster and the singletons really noise
+    assert {got[("L", f"v{t:03d}", "1")] for t in range(72)} == {0}
+    assert all(got[("L", f"iso{t}", "1")] == -1 for t in range(8))

@@ -115,6 +115,11 @@ def test_composite_families_scale_linearly(spark):
         # linear in DELTA size while their persisted index grows
         "ingest_day_cycle",
         "ivf_append",
+        # r11 skew fallback: one line past the matrix budget, routed
+        # through the eps-graph path; trajectory count grows ~sqrt(K)
+        # so the line's pair count (its work unit) grows ~Kx — the
+        # gate pins that the fallback adds nothing on top of it
+        "dbscan_skewed_line",
     ):
         table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
