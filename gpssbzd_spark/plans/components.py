@@ -278,6 +278,7 @@ def dbscan_distributed(
     params: dict[str, tuple[float, int]],
     corrected: bool = False,
     driver_max_rows: int = 500_000,
+    blocked: bool = False,
 ) -> DataFrame:
     """DBSCAN labels for every trajectory, never materializing a matrix.
 
@@ -334,8 +335,19 @@ def dbscan_distributed(
 
     # eps-edges: inf/NaN distances (degenerate trajectories) fail the
     # <= eps predicate — Spark orders NaN above every double — so bad
-    # trajectories isolate into noise exactly as the matrix cap-fill does
-    dist = pair_distances(traj, corrected)
+    # trajectories isolate into noise exactly as the matrix cap-fill
+    # does. ``blocked`` swaps the all-pairs join for the eps-banded
+    # candidate generator (same edge set by the soundness argument in
+    # blocked_pair_distances; parity pytest-pinned) — the subquadratic
+    # path one huge skewed line needs.
+    if blocked:
+        from gpssbzd_spark.plans.trajectory_clustering import (
+            blocked_pair_distances,
+        )
+
+        dist = blocked_pair_distances(traj, params_df, corrected)
+    else:
+        dist = pair_distances(traj, corrected)
     edges = (
         dist.join(params_df.select("linenumber", "eps"), "linenumber")
         .filter(F.col("distance") <= F.col("eps"))

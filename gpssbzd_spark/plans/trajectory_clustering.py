@@ -512,7 +512,14 @@ def cluster_trajectories(
         if huge.limit(1).count() > 0:
             from gpssbzd_spark.plans.components import dbscan_distributed
 
-            labels = labels.unionByName(dbscan_distributed(huge, params, corrected))
+            # past-the-budget lines take the eps-BANDED candidate
+            # generator: the line is huge precisely because its pair
+            # count exploded, and the band turns that O(n²) into
+            # near-linear for bounded spatial density (same edges —
+            # blocked_pair_distances' soundness argument)
+            labels = labels.unionByName(
+                dbscan_distributed(huge, params, corrected, blocked=True)
+            )
 
     # all three keys: joining on (id, patternID) alone — the reference's
     # PTC:326 shape — duplicates rows when two lines share a vehicle+counter
@@ -547,6 +554,177 @@ def pair_distances(traj: DataFrame, corrected: bool = False) -> DataFrame:
     )
     pairs = left.join(right, "linenumber").filter(F.col("traj_id_1") < F.col("traj_id_2"))
 
+    dist_col = native_pair_distance(
+        tuple(F.col(f"{c}_1") for c in ("x0", "y0", "x1", "y1", "len_km")),
+        tuple(F.col(f"{c}_2") for c in ("x0", "y0", "x1", "y1", "len_km")),
+        corrected=corrected,
+        extra_bad=F.col("bad_pts_1") | F.col("bad_pts_2"),
+    )
+    return pairs.select(
+        "linenumber",
+        "id_1",
+        "patternID_1",
+        "id_2",
+        "patternID_2",
+        dist_col.alias("distance"),
+    )
+
+
+def blocked_pair_distances(
+    traj: DataFrame,
+    params_df: DataFrame,
+    corrected: bool = False,
+    slack: float = 1.05,
+) -> DataFrame:
+    """Eps-banded candidate pairs + distance — the subquadratic twin of
+    :func:`pair_distances` for the eps-graph consumer.
+
+    :func:`pair_distances` evaluates every per-line pair; distributed,
+    but still O(n²) work on one huge line. This generates candidates
+    through a SOUND spatial band first, so only near pairs ever reach
+    the distance expression. Soundness: in both distance modes
+    ``D(t1,t2) ≥ d1`` (uncorrected ``d_hv = d1+d2``; corrected
+    ``d_hv = (d1+d2)/2 + (d1²+d2²)/(d1+d2) ≥ d1+d2``), where ``d1`` is
+    the great-circle km from t1's START endpoint to its clamped
+    projection on t2's chord segment — so ``D ≤ eps`` implies t1.start
+    lies within eps km of segment(t2), and a grid cover of
+    segment(t2) dilated by eps MUST contain t1.start's cell. Blocking
+    therefore yields a candidate SUPERSET of the true eps-edges; the
+    exact distance verify keeps the edge set identical (parity pinned
+    by tests/test_trajectory_clustering.py). Rows this function does
+    not emit are guaranteed ``D > eps`` — downstream (eps-edge
+    filtering) sees exactly :func:`pair_distances`' edges.
+
+    Grid: one cell size per LINE (the equi-join key must be grid-
+    consistent within a line): ``s_deg = slack · eps_km /
+    (KM_PER_DEG · cos(φ_line))`` where ``φ_line`` is the line's max
+    |lat| plus an eps margin — the largest degree-extent eps km can
+    have on either axis inside the line's bounding band, so "within
+    eps km" always means "within one cell index" per axis.
+    ``F.assert_true`` fails the job loudly past |lat| 85° (polar grids
+    degenerate; GPS-domain data never gets there). Index side: cells
+    sampled along t2's chord at ≤ s steps, dilated ±2 (one cell for
+    the eps dilation + one for sampling discretization); probe side:
+    t1.start's cell; join per (line, cell), dedup, verify. Cost per
+    trajectory: O(chord_len/eps + 25) candidate cells instead of
+    O(n) partners.
+    """
+    km_per_deg = math.pi * EARTH_RADIUS_KM / 180.0
+    t = traj.withColumn(
+        "traj_id", F.concat_ws("_", "id", "patternID")
+    ).join(params_df.select("linenumber", "eps"), "linenumber")
+    # per-line grid constants (tiny agg over the scalar table)
+    line_lat = (
+        t.groupBy("linenumber")
+        .agg(
+            # coalesce: a line whose every trajectory has null coords
+            # has no latitudes at all — grid placement is moot (its
+            # rows produce null cells and no candidates, isolating to
+            # noise exactly like pair_distances' inf), but the polar
+            # guard below must not trip on the null
+            F.coalesce(
+                F.max(F.greatest(F.abs(F.col("y0")), F.abs(F.col("y1")))),
+                F.lit(0.0),
+            ).alias("_maxlat"),
+            F.first("eps").alias("_eps"),
+        )
+        .withColumn(
+            "_phi",
+            F.least(
+                F.lit(85.0),
+                F.col("_maxlat") + F.col("_eps") / F.lit(km_per_deg),
+            ),
+        )
+        .withColumn(
+            "_s",
+            # assert_true returns NULL on success, so folding it into
+            # the when() keeps the polar-latitude guard in the
+            # EVALUATED expression tree (a free-standing dropped column
+            # would be pruned by Catalyst and never run)
+            F.when(
+                F.assert_true(
+                    F.col("_maxlat") <= 85.0,
+                    F.lit(
+                        "blocked_pair_distances: |lat| beyond 85° — the "
+                        "planar degree grid is unsound there; use "
+                        "pair_distances"
+                    ),
+                ).isNull(),
+                F.lit(slack)
+                * F.col("_eps")
+                / (F.lit(km_per_deg) * F.cos(F.radians(F.col("_phi")))),
+            ),
+        )
+        .select("linenumber", "_s")
+    )
+    t = t.join(F.broadcast(line_lat), "linenumber")
+    scalars = ["x0", "y0", "x1", "y1", "len_km", "bad_pts"]
+
+    # probe side: t1's start-endpoint cell
+    probe = t.select(
+        "linenumber",
+        F.col("traj_id").alias("traj_id_1"),
+        F.col("id").alias("id_1"),
+        F.col("patternID").alias("patternID_1"),
+        *[F.col(c).alias(f"{c}_1") for c in scalars],
+        F.floor(F.col("x0") / F.col("_s")).alias("_cx"),
+        F.floor(F.col("y0") / F.col("_s")).alias("_cy"),
+    )
+
+    # index side: cells sampled along t2's chord, dilated ±2 cells
+    dx, dy = F.col("x1") - F.col("x0"), F.col("y1") - F.col("y0")
+    n_steps = F.greatest(
+        F.lit(1),
+        F.ceil(F.greatest(F.abs(dx), F.abs(dy)) / F.col("_s")).cast("int"),
+    )
+    k = F.sequence(F.lit(0), n_steps)
+    frac = lambda kk: kk.cast("double") / n_steps.cast("double")  # noqa: E731
+    samples = F.transform(
+        k,
+        lambda kk: F.struct(
+            F.floor((F.col("x0") + dx * frac(kk)) / F.col("_s")).alias("cx"),
+            F.floor((F.col("y0") + dy * frac(kk)) / F.col("_s")).alias("cy"),
+        ),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(i).alias("oi"), F.lit(j).alias("oj"))
+            for i in range(-2, 3)
+            for j in range(-2, 3)
+        ]
+    )
+    dilated = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.array_distinct(samples),
+                lambda c: F.transform(
+                    offsets,
+                    lambda o: F.struct(
+                        (c["cx"] + o["oi"]).alias("cx"),
+                        (c["cy"] + o["oj"]).alias("cy"),
+                    ),
+                ),
+            )
+        )
+    )
+    index = t.select(
+        "linenumber",
+        F.col("traj_id").alias("traj_id_2"),
+        F.col("id").alias("id_2"),
+        F.col("patternID").alias("patternID_2"),
+        *[F.col(c).alias(f"{c}_2") for c in scalars],
+        F.explode(dilated).alias("_cell"),
+    ).select(
+        "*",
+        F.col("_cell.cx").alias("_cx"),
+        F.col("_cell.cy").alias("_cy"),
+    ).drop("_cell")
+
+    pairs = (
+        probe.join(index, ["linenumber", "_cx", "_cy"])
+        .filter(F.col("traj_id_1") < F.col("traj_id_2"))
+        .dropDuplicates(["linenumber", "traj_id_1", "traj_id_2"])
+    )
     dist_col = native_pair_distance(
         tuple(F.col(f"{c}_1") for c in ("x0", "y0", "x1", "y1", "len_km")),
         tuple(F.col(f"{c}_2") for c in ("x0", "y0", "x1", "y1", "len_km")),

@@ -1023,11 +1023,15 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "`dbscan_skewed_line` (r11) forces ONE line past the pair-",
         "matrix budget at every K (max_group_pairs=1000): auto mode",
         "routes it through the distributed eps-graph fallback — extra",
-        "shuffles instead of one atomic Arrow group. Trajectory count",
-        "grows ~√K so the line's PAIR COUNT (the irreducible work of",
-        "an all-pairs trajectory distance) grows K×; linear here means",
-        "the fallback adds nothing on top of that work, i.e. one huge",
-        "line degrades gracefully instead of OOMing a single task.",
+        "shuffles instead of one atomic Arrow group — which for huge",
+        "lines generates candidates through the eps-BANDED spatial",
+        "grid (blocked_pair_distances: sound cover of each chord",
+        "dilated by eps, exact verify, identical edges), so the",
+        "quadratic all-pairs join never materializes. Trajectory count",
+        "grows ~√K so the line's candidate work grows ~K× at this",
+        "geometry's density; linear here means the fallback adds",
+        "nothing on top, i.e. one huge line degrades gracefully",
+        "instead of OOMing a single task.",
         "",
         "| family | "
         + " | ".join(f"K={K} s (rows out)" for K in mults)

@@ -318,3 +318,106 @@ def test_auto_mode_mixed_routing_matches_forced_modes(spark, patterns, line_para
         return {frozenset(g) for g in groups.values()}, noise
 
     assert partition(pm) == partition(pf)
+
+
+def test_blocked_pair_distances_edge_parity_random(spark):
+    """blocked_pair_distances is a sound eps-band: on random geometry
+    (several lines, different eps, degenerate rows) its emitted pairs,
+    filtered at eps, must be EXACTLY pair_distances' eps-edge set, with
+    identical distances (same native expression)."""
+    from gpssbzd_spark.plans.trajectory_clustering import (
+        blocked_pair_distances,
+        pair_distances,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for line, n_traj, spread in (("L1", 40, 0.05), ("L2", 25, 0.02)):
+        for t in range(n_traj):
+            lng0 = 114.0 + rng.rand() * spread
+            lat0 = 22.6 + rng.rand() * spread
+            for i in range(4):
+                rows.append(
+                    (f"v{t:02d}", lng0 + i * 0.001, lat0 + rng.rand() * 1e-4,
+                     f"2019-02-01 08:{i:02d}:00", "1", line)
+                )
+    # degenerate: null coordinates on L1 — must isolate in both paths
+    for i in range(3):
+        rows.append(("vnull", None, None, f"2019-02-01 09:{i:02d}:00", "1", "L1"))
+    patterns = spark.createDataFrame(
+        rows,
+        "id string, lng double, lat double, t string, patternID string, "
+        "linenumber string",
+    ).withColumn("ts", F.to_timestamp("t"))
+    traj = assemble_trajectories(patterns).drop("points").persist()
+    params_df = spark.createDataFrame(
+        [("L1", 1.0, 2), ("L2", 0.5, 2)],
+        "linenumber string, eps float, min_samples int",
+    )
+
+    def edges(df):
+        joined = df.join(
+            params_df.select("linenumber", "eps"), "linenumber"
+        ).filter(F.col("distance") <= F.col("eps"))
+        return {
+            (r.linenumber, r.id_1, r.patternID_1, r.id_2, r.patternID_2):
+                round(r.distance, 9)
+            for r in joined.collect()
+        }
+
+    full = edges(pair_distances(traj))
+    blocked = edges(blocked_pair_distances(traj, params_df))
+    assert blocked == full and len(full) > 10
+    traj.unpersist()
+
+
+def test_blocked_dbscan_labels_match_local(spark, patterns, line_params):
+    """dbscan_distributed(blocked=True) — the huge-line route — must
+    label the standard fixture identically to the local matrix mode."""
+    from gpssbzd_spark.plans.components import dbscan_distributed
+    from gpssbzd_spark.plans.trajectory_clustering import _params_lookup
+
+    traj = assemble_trajectories(patterns).drop("points").persist()
+    got = sorted(
+        map(
+            tuple,
+            dbscan_distributed(
+                traj, _params_lookup(line_params), blocked=True
+            ).collect(),
+        )
+    )
+    ref = sorted(
+        map(
+            tuple,
+            dbscan_distributed(traj, _params_lookup(line_params)).collect(),
+        )
+    )
+    assert got == ref and len(got) > 0
+    traj.unpersist()
+
+
+def test_blocked_pair_distances_rejects_polar_latitudes(spark):
+    """Past |lat| 85° the planar degree grid is unsound — the guard
+    must fail the job loudly instead of silently missing edges."""
+    from gpssbzd_spark.plans.trajectory_clustering import (
+        blocked_pair_distances,
+    )
+
+    rows = [
+        ("v1", 10.0 + i * 0.001, 87.0, f"2019-02-01 08:{i:02d}:00", "1", "P")
+        for i in range(3)
+    ] + [
+        ("v2", 10.0 + i * 0.001, 87.0005, f"2019-02-01 08:{i:02d}:00", "1", "P")
+        for i in range(3)
+    ]
+    patterns = spark.createDataFrame(
+        rows,
+        "id string, lng double, lat double, t string, patternID string, "
+        "linenumber string",
+    ).withColumn("ts", F.to_timestamp("t"))
+    traj = assemble_trajectories(patterns).drop("points")
+    params_df = spark.createDataFrame(
+        [("P", 1.0, 2)], "linenumber string, eps float, min_samples int"
+    )
+    with pytest.raises(Exception, match="85|assert"):
+        blocked_pair_distances(traj, params_df).collect()
