@@ -1231,6 +1231,42 @@ def sim_topk_ivf_append(spark, sf_dir):
 
 
 @query(
+    "sim_topk_ivf_grown_query",
+    oracle=_ANN_GRID_ORACLE,
+    note="pruned serving over the GROWN index (the query half of "
+    "sim_topk_ivf_append): ivfindex.ivf_index_query consults the "
+    "frozen codebook driver-side and reads only the probed cid "
+    "directories of EACH committed batch (init + append), so a "
+    "deployment that appends daily keeps the probed-directory "
+    "latency profile without ever rewriting old batches. Same "
+    "RANK-GRID oracle as the other ANN rows; grown-vs-monolithic "
+    "neighbor parity and the probed-dirs-only scan are pinned in "
+    "tests/test_ivfindex.py",
+    tier=2,
+)
+def sim_topk_ivf_grown_query(spark, sf_dir):
+    import os
+
+    from gpssbzd_spark.dataprep.ivfindex import ivf_index_query
+
+    # ensure the grown index exists for this fixture generation (the
+    # append row builds init + delta-1; idempotent on repeats)
+    sim_topk_ivf_append(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    cache = _artifact_cache_dir(sf_dir, "ivf_append", "embeddings")
+    em = load_table(spark, sf_dir, "embeddings")
+    queries_df = em.filter(_F.col("vec_id") < 10).select(
+        _F.col("vec_id").alias("query_id"),
+        _F.col("embedding").alias("query_vec"),
+    )
+    raw = ivf_index_query(
+        spark, os.path.join(cache, "index"), queries_df, k=5, n_probe=4
+    )
+    return _ann_rank_grid(raw, em)
+
+
+@query(
     "mm_feature_extract",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -69,7 +69,6 @@ from gpssbzd_spark.dataprep.similarity import (
     _norm,
     build_ivf_index,
     cosine_from_parts,
-    ivf_query,
     probe_centroid_ids,
 )
 
@@ -306,11 +305,14 @@ def ivf_index_query(
     """Pruned serving over the GROWABLE index: driver-side codebook
     consult (:func:`probe_centroid_ids`), then read only the probed
     cid directories of each committed batch (missing = empty inverted
-    list in that batch, skipped). Falls through to the shared
-    :func:`ivf_query` scoring over the pruned union."""
+    list in that batch, skipped), scored through the shared pure-JVM
+    literal-probe tail (:func:`~gpssbzd_spark.dataprep.similarity.
+    literal_probe_topk` — no pandas UDF in the serving plan)."""
+    from gpssbzd_spark.dataprep.similarity import literal_probe_topk
+
     cents = ivf_index_codebook(index_dir)
-    rows = queries.select(query_vec_col).collect()
-    qv = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rows = queries.select(query_id_col, query_vec_col).collect()
+    qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     probed = probe_centroid_ids(cents, qv, n_probe)
     cids = sorted({int(c) for row in probed for c in row})
     parts = []
@@ -331,12 +333,12 @@ def ivf_index_query(
     index = parts[0]
     for p in parts[1:]:
         index = index.unionByName(p)
-    return ivf_query(
+    return literal_probe_topk(
         index,
-        cents,
-        queries,
+        rows,
+        probed,
+        queries.schema[query_id_col].dataType,
         k,
-        n_probe,
         id_col,
         vec_col,
         query_id_col,

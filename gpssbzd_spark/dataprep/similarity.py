@@ -427,13 +427,45 @@ def ivf_query_pruned(
     index = spark.read.option("basePath", index_path).parquet(
         *[f"{index_path}/cid={c}" for c in sorted(exist)]
     )
+    return literal_probe_topk(
+        index,
+        rows,
+        probed,
+        queries.schema[query_id_col].dataType,
+        k,
+        id_col,
+        vec_col,
+        query_id_col,
+        query_vec_col,
+    )
+
+
+def literal_probe_topk(
+    index: DataFrame,
+    query_rows,
+    probed: np.ndarray,
+    qid_type,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The pure-JVM scoring tail shared by :func:`ivf_query_pruned`
+    and the growable index's ``ivfindex.ivf_index_query``: the
+    driver-resolved (query, probe-set) batch becomes a literal
+    broadcast side — no pandas UDF anywhere in the serving plan —
+    joined per probed cid, scored with the same fold expressions as
+    :func:`ivf_query` (bit-identical results; collected float32
+    vectors round-trip exactly into the double-typed literals)."""
+    spark = index.sparkSession
     probe_rows = [
         (r[0], [float(x) for x in r[1]], [int(c) for c in probed[i]])
-        for i, r in enumerate(rows)
+        for i, r in enumerate(query_rows)
     ]
     schema = T.StructType(
         [
-            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(query_id_col, qid_type),
             T.StructField(query_vec_col, T.ArrayType(T.DoubleType())),
             T.StructField("_cids", T.ArrayType(T.IntegerType())),
         ]
