@@ -998,9 +998,11 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "tests/test_plans.py); pruned-vs-full neighbor-set parity on",
         "the same index is pinned in tests/test_dataprep.py (rows_out",
         "alone would not witness coverage — any probed partition with",
-        "≥5 candidates per query keeps it at 50). Measured",
-        "0.088: a 64× corpus costs 1.13× per query batch — query",
-        "latency is governed by list size, not corpus size. A generic",
+        "≥5 candidates per query keeps it at 50). Measured through the",
+        "library path (r11): exponent −0.08, i.e. FLAT — a 64× corpus",
+        "costs the same ~0.6–0.8 s query batch (r10's harness-op",
+        "measurement was 0.088; the pure-JVM literal-probe serving",
+        "plan removed the remaining pandas round-trip). A generic",
         "full-listing read measured 0.376 on the same index (the gap is",
         "pure partition-dir metadata); an all-pairs/brute design would",
         "show 1.0 by construction.",
@@ -1010,8 +1012,13 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "pickup → incremental match vs the persisted signature index →",
         "accept anti-join → O(delta) index append → pickup commit →",
         "accepted-batch compaction. The index strictly grows across",
-        "cells; linear-in-delta = the composition adds no superlinear",
-        "coupling beyond its separately-measured pieces.",
+        "cells; linear-in-delta (measured 1.02) = the composition adds",
+        "no superlinear coupling beyond its separately-measured",
+        "pieces. (The K=1 cell's rows_out=0 is a real scenario, not a",
+        "bug: that delta is replica 0 — texts identical to the seeded",
+        "index — so the match stage rejects ALL of it and the cycle",
+        "ingests an empty accepted batch; higher-K cells accept the",
+        "mutated replicas.)",
         "",
         "`ivf_append` (r11) is the ANN sibling of sigindex_append:",
         "frozen-codebook assignment of ONLY the K× vector delta, one",
