@@ -197,6 +197,10 @@ HEADLINE = [
     "sim_topk_ivf_query_pruned",
     "sim_topk_ivf_append",
     "dp_pipeline_ingest_e2e",
+    # r11 late addition — the LSH half of persisted serving: first
+    # repeat builds the (tbl, bucket)-partitioned index for the
+    # fixture generation, later repeats time the pruned pure-JVM probe
+    "sim_topk_lsh_persisted_query",
 ]
 
 

@@ -841,6 +841,14 @@ def sim_topk_lsh(spark, sf_dir):
         _F.col("vec_id").alias("query_id"), _F.col("embedding").alias("query_vec")
     )
     raw = lsh_topk(em, queries, dim=64, k=5, n_planes=8, n_tables=8, probes=1)
+    return _lsh_invariant_rows(raw, em, queries)
+
+
+def _lsh_invariant_rows(raw, em, queries):
+    """The per-query invariant aggregation behind sim_topk_lsh's
+    oracle (self-hit / top-is-one / contiguous ranks / monotone /
+    distinct / subset-of-exact) — shared with the persisted-index
+    serving row so both paths carry the same hash obligations."""
     from pyspark.sql import Window as _W
 
     from gpssbzd_spark.dataprep.similarity import cosine_similarity_col
@@ -881,6 +889,52 @@ def sim_topk_lsh(spark, sf_dir):
             .cast("int")
         ).alias("score_exact_ok"),
     )
+
+
+@query(
+    "sim_topk_lsh_persisted_query",
+    oracle="""
+    SELECT vec_id AS query_id, 1 AS self_hit, 1 AS top_is_one,
+           1 AS ranks_ok, 1 AS monotone_ok, 1 AS distinct_ok,
+           1 AS score_exact_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    note="hyperplane-LSH steady-state QUERY against a PERSISTED "
+    "(tbl, bucket)-partitioned index (dataprep/lshindex.py — the LSH "
+    "half of the persisted-serving story beside sim_topk_ivf_query_"
+    "pruned): the corpus is bucketed ONCE and written partitioned by "
+    "(table, bucket); each query's probe set (base buckets + 1-bit "
+    "multi-probe) is computed DRIVER-side with the identical seeded-"
+    "plane kernel and only those directories are read, the probe "
+    "batch joining as a literal broadcast side — pure-JVM serving "
+    "plan, bit-identical results to the in-plan lsh_topk "
+    "(parity pytest-pinned). Same per-query invariant oracle as "
+    "sim_topk_lsh (self-hit guaranteed recall, contiguous ranks, "
+    "monotone/distinct, subset-of-exact rescoring)",
+    tier=2,
+)
+def sim_topk_lsh_persisted_query(spark, sf_dir):
+    import os
+
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_build,
+        lsh_index_query,
+    )
+
+    cache = _artifact_cache_dir(sf_dir, "lshidx", "embeddings")
+    _prune_stale_cache_generations(cache)
+    em = load_table(spark, sf_dir, "embeddings")
+    index_dir = os.path.join(cache, "index")
+    if not os.path.exists(os.path.join(index_dir, "params.json")):
+        lsh_index_build(
+            spark, index_dir, em, dim=64, n_planes=8, n_tables=8
+        )
+    queries = em.filter(_F.col("vec_id") < 10).select(
+        _F.col("vec_id").alias("query_id"),
+        _F.col("embedding").alias("query_vec"),
+    )
+    raw = lsh_index_query(spark, index_dir, queries, k=5, probes=1)
+    return _lsh_invariant_rows(raw, em, queries)
 
 
 _ANN_GRID_ORACLE = """
