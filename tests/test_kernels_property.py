@@ -320,3 +320,84 @@ def test_merge_upsert_fold_is_order_independent(spark, rows, n_batches, rnd):
         if k not in expect or v > expect[k][0]:
             expect[k] = (v, p)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# blocked_pair_distances' grid-cover geometry (r11): the soundness of the
+# eps-band rests on "any point within R km of a chord segment lands in the
+# segment's sampled cell cover dilated +/-2". Proven here as a standalone
+# geometric property with the SAME constants the column expressions use
+# (cell s = slack*R/(km_per_deg*cos(phi)), sampling step <= s, Chebyshev
+# dilation 2), over hypothesis-driven segments, offsets, and latitudes.
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_KM = 6371.009
+_KM_PER_DEG = math.pi * EARTH_RADIUS_KM / 180.0
+
+
+def _cover_cells(x0, y0, x1, y1, s):
+    """Mirror of the Spark cover: cells of <= s-spaced samples along the
+    chord, dilated +/-2 in each axis (Chebyshev)."""
+    n = max(1, math.ceil(max(abs(x1 - x0), abs(y1 - y0)) / s))
+    cells = set()
+    for k in range(n + 1):
+        t = k / n
+        cx = math.floor((x0 + (x1 - x0) * t) / s)
+        cy = math.floor((y0 + (y1 - y0) * t) / s)
+        for di in range(-2, 3):
+            for dj in range(-2, 3):
+                cells.add((cx + di, cy + dj))
+    return cells
+
+
+def _gc_km(lng1, lat1, lng2, lat2):
+    h = (
+        math.sin(math.radians(lat2 - lat1) / 2) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(math.radians(lng2 - lng1) / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_KM * math.asin(min(1.0, math.sqrt(h)))
+
+
+@given(
+    st.floats(-170.0, 170.0),          # segment origin lng
+    st.floats(-80.0, 80.0),            # segment origin lat
+    st.floats(-0.2, 0.2),              # chord delta lng (deg)
+    st.floats(-0.2, 0.2),              # chord delta lat (deg)
+    st.floats(0.0, 1.0),               # where along the segment
+    st.floats(0.0, 2 * math.pi),       # offset bearing (planar)
+    st.floats(0.0, 1.0),               # offset radius as fraction of R
+    st.floats(0.2, 8.0),               # eps km
+)
+@settings(max_examples=300, deadline=None)
+def test_blocked_grid_cover_contains_every_point_within_eps(
+    lng0, lat0, dlng, dlat, t, bearing, rfrac, eps
+):
+    slack = 1.05
+    R = eps
+    phi = min(85.0, max(abs(lat0), abs(lat0 + dlat)) + R / _KM_PER_DEG)
+    s = slack * R / (_KM_PER_DEG * math.cos(math.radians(phi)))
+    # a point at planar-degree offset from somewhere on the segment,
+    # scaled so its GREAT-CIRCLE distance to that anchor is <= R (the
+    # hypothesis offset is shrunk until the gc check passes — the
+    # property must hold for EVERY point within R km of the segment)
+    ax = lng0 + dlng * t
+    ay = lat0 + dlat * t
+    # degree offset with the lng axis stretched by 1/cos(lat): up to
+    # ~R km in any direction
+    off_deg = rfrac * R / _KM_PER_DEG
+    qx = ax + math.cos(bearing) * off_deg / max(
+        0.05, math.cos(math.radians(ay))
+    )
+    qy = ay + math.sin(bearing) * off_deg
+    if abs(qy) > 85.0:
+        return  # outside the guard's domain
+    if _gc_km(ax, ay, qx, qy) > R:
+        return  # not actually within R of the segment — not our claim
+    cover = _cover_cells(lng0, lat0, lng0 + dlng, lat0 + dlat, s)
+    cell = (math.floor(qx / s), math.floor(qy / s))
+    assert cell in cover, (
+        f"point {_gc_km(ax, ay, qx, qy):.4f} km from the segment fell "
+        f"outside the dilated cover: cell={cell} s={s:.6f} eps={eps}"
+    )

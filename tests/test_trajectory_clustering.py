@@ -320,7 +320,8 @@ def test_auto_mode_mixed_routing_matches_forced_modes(spark, patterns, line_para
     assert partition(pm) == partition(pf)
 
 
-def test_blocked_pair_distances_edge_parity_random(spark):
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_blocked_pair_distances_edge_parity_random(spark, seed):
     """blocked_pair_distances is a sound eps-band: on random geometry
     (several lines, different eps, degenerate rows) its emitted pairs,
     filtered at eps, must be EXACTLY pair_distances' eps-edge set, with
@@ -330,7 +331,7 @@ def test_blocked_pair_distances_edge_parity_random(spark):
         pair_distances,
     )
 
-    rng = np.random.RandomState(11)
+    rng = np.random.RandomState(seed)
     rows = []
     for line, n_traj, spread in (("L1", 40, 0.05), ("L2", 25, 0.02)):
         for t in range(n_traj):
