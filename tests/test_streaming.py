@@ -624,3 +624,101 @@ def test_incremental_dedup_batch_stream_parity(spark, tmp_path):
         for r in _drain(deduped, "incr_dedup_parity", "append").collect()
     }
     assert got == expect
+
+
+def test_streaming_ingest_loop_matches_batch_post_state(spark, tmp_path):
+    """The r11 composed ingest loop, driven by a TRUE file stream: a
+    foreachBatch sink runs match → accept → land-accepted →
+    sig_index_ingest per microbatch (one landed file per trigger, so
+    'days' arrive in order), with the stream's checkpoint playing the
+    pickup-manifest role. The post-state — accepted ids + persisted
+    index signatures — must equal the batch loop's
+    (dp_pipeline_ingest_e2e semantics): day-1 all accepted into the
+    index, day-2's seeded copies rejected against it."""
+    import os
+
+    from gpssbzd_spark.dataprep.dedup import (
+        incremental_neardup_matches,
+        minhash_signatures_portable,
+    )
+    from gpssbzd_spark.dataprep.sigindex import (
+        sig_index_ingest,
+        sig_index_read,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    day1 = d.filter(F.col("doc_id") % 3 != 0)
+    day2 = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+        day1.filter(F.col("doc_id") % 10 == 1).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+
+    # batch reference post-state
+    idx1 = minhash_signatures_portable(day1).localCheckpoint()
+    matched = (
+        incremental_neardup_matches(
+            minhash_signatures_portable(day2), idx1
+        )
+        .select(F.col("delta_id").alias("doc_id"))
+        .distinct()
+    )
+    accepted_ref = day1.unionByName(day2.join(matched, "doc_id", "left_anti"))
+    expect_ids = {r.doc_id for r in accepted_ref.select("doc_id").collect()}
+    expect_sigs = {
+        tuple(r)
+        for r in minhash_signatures_portable(accepted_ref).collect()
+    }
+
+    # stream: land day1 and day2 as one file each, drain with
+    # maxFilesPerTrigger=1 so the microbatches arrive day-by-day
+    import time as _time
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    now = _time.time()
+    for i, ddf in enumerate((day1, day2)):
+        p = os.path.join(landing, f"day-{i}.parquet")
+        ddf.toPandas().to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+    index_dir = str(tmp_path / "sigidx")
+    accepted_root = str(tmp_path / "accepted")
+
+    def ingest_batch(batch_df, batch_id):
+        index_sigs = sig_index_read(spark, index_dir)
+        accepted = batch_df
+        if index_sigs is not None:
+            hits = (
+                incremental_neardup_matches(
+                    minhash_signatures_portable(batch_df), index_sigs
+                )
+                .select(F.col("delta_id").alias("doc_id"))
+                .distinct()
+            )
+            accepted = batch_df.join(hits, "doc_id", "left_anti")
+        adir = os.path.join(accepted_root, f"batch-{batch_id}")
+        accepted.write.mode("overwrite").parquet(adir)
+        sig_index_ingest(spark, adir, index_dir)
+
+    stream = read_parquet_stream(
+        spark, landing, "doc_id long, text string", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_ids = {
+        r.doc_id
+        for r in spark.read.parquet(accepted_root + "/batch-*")
+        .select("doc_id")
+        .collect()
+    }
+    got_sigs = {tuple(r) for r in sig_index_read(spark, index_dir).collect()}
+    assert got_ids == expect_ids
+    assert got_sigs == expect_sigs
+    # the seeded copies really were rejected by the streamed loop
+    assert not any(i >= 1000000 for i in got_ids)
