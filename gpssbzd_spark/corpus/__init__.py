@@ -286,21 +286,25 @@ def _round_key() -> int:
     return _window_state()[0]
 
 
-_LATEST_CACHE: dict[str, int] | None = None
+_LATEST_CACHE: dict[int, dict[str, int]] = {}
 
 
-def _latest_evidence_rounds() -> dict[str, int]:
-    """name → NEWEST round (strictly below the current round key) whose
-    committed CORRECTNESS row still counts as evidence — the same
-    validity rule as _window_state (clean rows always; a ``no_oracle``
-    rows-only row only while the query STILL has no oracle). Feeds the
-    stale-backfill pass in :func:`rotation_swaps` (VERDICT r10 #3: 13
-    queries' newest driver row was r01-vintage because debt rounds
-    suspend the steady-state slice — staleness must drain through the
-    debt queue too, not wait for the next fully-drained round)."""
-    global _LATEST_CACHE
-    if _LATEST_CACHE is None:
+def _latest_evidence_rounds(key: int | None = None) -> dict[str, int]:
+    """name → NEWEST round STRICTLY BELOW ``key`` (default: the current
+    round key) whose committed CORRECTNESS row still counts as
+    evidence — the same validity rule as _window_state (clean rows
+    always; a ``no_oracle`` rows-only row only while the query STILL
+    has no oracle). Feeds the stale-backfill pass in
+    :func:`rotation_swaps` (VERDICT r10 #3: 13 queries' newest driver
+    row was r01-vintage because debt rounds suspend the steady-state
+    slice — staleness must drain through the debt queue too, not wait
+    for the next fully-drained round). Cached PER KEY (ADVICE-style
+    r11 review fix: the unkeyed version computed every explicit-key
+    window reconstruction against the process-global cutoff, making
+    past-round windows non-reproducible)."""
+    if key is None:
         key = _round_key()
+    if key not in _LATEST_CACHE:
         _load_all()
         root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -323,8 +327,8 @@ def _latest_evidence_rounds() -> dict[str, int]:
                     and (n not in CORPUS or CORPUS[n].oracle is None)
                 ):
                     latest[n] = max(latest.get(n, 0), rnd)
-        _LATEST_CACHE = latest
-    return _LATEST_CACHE
+        _LATEST_CACHE[key] = latest
+    return _LATEST_CACHE[key]
 
 
 def _sampled_names() -> frozenset[str]:
@@ -441,7 +445,7 @@ def rotation_swaps(
         key=lambda n: CORPUS[n].seq,
     )
     if use_disk_staleness:
-        latest = _latest_evidence_rounds()
+        latest = _latest_evidence_rounds(key)
         queue += sorted(
             (
                 n

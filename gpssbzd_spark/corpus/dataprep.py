@@ -1301,14 +1301,20 @@ def sim_topk_ivf_append(spark, sf_dir):
 def sim_topk_ivf_grown_query(spark, sf_dir):
     import os
 
-    from gpssbzd_spark.dataprep.ivfindex import ivf_index_query
+    from gpssbzd_spark.dataprep.ivfindex import (
+        ivf_index_batches,
+        ivf_index_query,
+    )
 
-    # ensure the grown index exists for this fixture generation (the
-    # append row builds init + delta-1; idempotent on repeats)
-    sim_topk_ivf_append(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
     cache = _artifact_cache_dir(sf_dir, "ivf_append", "embeddings")
+    # ensure the grown index (init + delta-1) exists for this fixture
+    # generation — a cheap manifest check, NOT a rerun of the append
+    # row's full verification projection (r11 review: that re-read the
+    # whole index through the assignment UDF on every call)
+    if len(ivf_index_batches(os.path.join(cache, "index"))) < 2:
+        sim_topk_ivf_append(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
     em = load_table(spark, sf_dir, "embeddings")
     queries_df = em.filter(_F.col("vec_id") < 10).select(
         _F.col("vec_id").alias("query_id"),
@@ -2555,6 +2561,15 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
         _append_manifest_part(
             spark, accepted_manifest, list_landed(spark, adir, "*.parquet")
         )
+        compact_landing(spark, adir, accepted_manifest)
+    # recovery sweep (r11 review): a crash inside the FINAL day's
+    # compaction between output-publish and victim-delete would
+    # otherwise never heal — the pickup commit already landed, so
+    # retries skip the day body and compact_landing (whose intent
+    # recovery lives inside it) would not run again. One idempotent
+    # pass per accepted dir completes any pending intent and no-ops
+    # on clean state (victims < min_files).
+    for adir in accepted_dirs:
         compact_landing(spark, adir, accepted_manifest)
     acc = spark.read.parquet(*accepted_dirs).select("doc_id")
     sigs = sig_index_read(spark, index_dir)

@@ -241,6 +241,13 @@ def ivf_index_append(
             f"IVF index at {index_dir} has no init batch — run "
             "ivf_index_init first"
         )
+    if batch_id == "init":
+        # the build's reserved id (its record has no drift_fraction) —
+        # a collision would otherwise die with a bare KeyError on the
+        # idempotent-retry path (r11 review)
+        raise ValueError(
+            "ivf_index_append: batch_id 'init' is reserved for the build"
+        )
     for b in batches:
         if b["batch_id"] == batch_id:
             return {**b, "stale": b["drift_fraction"] > stale_threshold}
@@ -308,10 +315,21 @@ def ivf_index_query(
     list in that batch, skipped), scored through the shared pure-JVM
     literal-probe tail (:func:`~gpssbzd_spark.dataprep.similarity.
     literal_probe_topk` — no pandas UDF in the serving plan)."""
-    from gpssbzd_spark.dataprep.similarity import literal_probe_topk
+    from gpssbzd_spark.dataprep.similarity import (
+        empty_topk,
+        literal_probe_topk,
+    )
 
     cents = ivf_index_codebook(index_dir)
     rows = queries.select(query_id_col, query_vec_col).collect()
+    if not rows:
+        return empty_topk(
+            spark,
+            queries.schema[query_id_col].dataType,
+            ivf_index_read(spark, index_dir).schema[id_col].dataType,
+            query_id_col,
+            id_col,
+        )
     qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     probed = probe_centroid_ids(cents, qv, n_probe)
     cids = sorted({int(c) for row in probed for c in row})

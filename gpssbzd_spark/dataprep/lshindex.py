@@ -49,23 +49,9 @@ from pyspark.sql import types as T
 
 from gpssbzd_spark.dataprep.similarity import (
     _norm,
-    cosine_from_parts,
     hyperplane_buckets_all,
+    hyperplane_family,
 )
-
-
-def _plane_family(dim: int, n_planes: int, n_tables: int, seed: int):
-    """(n_tables·n_planes × dim) projection + per-table weights —
-    byte-identical to hyperplane_buckets_all's closure constants."""
-    planes = np.stack(
-        [
-            np.random.RandomState(seed + t).standard_normal((n_planes, dim))
-            for t in range(n_tables)
-        ]
-    )
-    proj = planes.reshape(n_tables * n_planes, dim).T
-    weights = 1 << np.arange(n_planes, dtype=np.int64)
-    return proj, weights
 
 
 def query_buckets(
@@ -74,7 +60,7 @@ def query_buckets(
     """Driver-side bucket consult: per query, the (table, bucket)
     probe set — base bucket per table plus every ``probes``-bit flip,
     matching lsh_topk's multi-probe fan-out exactly."""
-    proj, weights = _plane_family(
+    proj, weights = hyperplane_family(
         params["dim"], params["n_planes"], params["n_tables"], params["seed"]
     )
     v = np.asarray(query_vecs, dtype=np.float64)
@@ -161,9 +147,22 @@ def lsh_index_query(
     corpus, with zero Python in the plan."""
     params = lsh_index_params(index_dir)
     rows = queries.select(query_id_col, query_vec_col).collect()
+    root = os.path.join(index_dir, "index")
+    if not rows:
+        from gpssbzd_spark.dataprep.similarity import empty_topk
+
+        return empty_topk(
+            spark,
+            queries.schema[query_id_col].dataType,
+            spark.read.option("basePath", root)
+            .parquet(root)
+            .schema[id_col]
+            .dataType,
+            query_id_col,
+            id_col,
+        )
     qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     probe_sets = query_buckets(params, qv, probes)
-    root = os.path.join(index_dir, "index")
     wanted = sorted({cell for cells in probe_sets for cell in cells})
     dirs = [
         os.path.join(root, f"tbl={t}", f"bucket={b}")
@@ -208,9 +207,7 @@ def lsh_index_query(
             F.col("_cell")[1].alias("bucket"),
         )
     )
-    from pyspark.sql import Window
-
-    from gpssbzd_spark.dataprep.similarity import _dot
+    from gpssbzd_spark.dataprep.similarity import _score_and_topk
 
     cands = (
         index.join(F.broadcast(q_probe), ["tbl", "bucket"])
@@ -219,16 +216,6 @@ def lsh_index_query(
         )
         .dropDuplicates([query_id_col, id_col])
     )
-    sim = cosine_from_parts(
-        _dot(F.col(vec_col), F.col(query_vec_col)),
-        F.col("_norm_e"),
-        F.col("_norm_q"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        cands.select(query_id_col, id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _score_and_topk(
+        cands, k, id_col, vec_col, query_id_col, query_vec_col
     )

@@ -98,18 +98,8 @@ def brute_force_topk(
     emb = embeddings.withColumn("_norm_e", _norm(F.col(vec_col)))
     qrs = queries.withColumn("_norm_q", _norm(F.col(query_vec_col)))
     joined = emb.crossJoin(F.broadcast(qrs))
-    sim = cosine_from_parts(
-        _dot(F.col(vec_col), F.col(query_vec_col)),
-        F.col("_norm_e"),
-        F.col("_norm_q"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        joined.select(query_id_col, id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _score_and_topk(
+        joined, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 
@@ -128,6 +118,26 @@ def hyperplane_bucket(
     return bucket
 
 
+def hyperplane_family(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """THE plane family: (projection (dim × T·P), per-table bit weights
+    (P,)). Single-sourced (r11 review) so the executor bucket UDF
+    (:func:`hyperplane_buckets_all`) and the persisted-index driver
+    probe (``lshindex.query_buckets``) agree by construction — a
+    seed-scheme or bit-order change in one place cannot silently
+    desync the other and send queries to the wrong directories."""
+    planes = np.stack(
+        [
+            np.random.RandomState(seed + t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+    )  # (T, P, D)
+    proj = planes.reshape(n_tables * n_planes, dim).T  # (D, T·P)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)  # bit i = plane i
+    return proj, weights
+
+
 def hyperplane_buckets_all(
     dim: int, n_planes: int, n_tables: int, seed: int = 42
 ):
@@ -144,14 +154,7 @@ def hyperplane_buckets_all(
     same bit order), so the two paths differ only on dot products within
     float rounding of zero.
     """
-    planes = np.stack(
-        [
-            np.random.RandomState(seed + t).standard_normal((n_planes, dim))
-            for t in range(n_tables)
-        ]
-    )  # (T, P, D)
-    proj = planes.reshape(n_tables * n_planes, dim).T  # (D, T·P)
-    weights = 1 << np.arange(n_planes, dtype=np.int64)  # bit i = plane i
+    proj, weights = hyperplane_family(dim, n_planes, n_tables, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
@@ -325,18 +328,8 @@ def ivf_query(
     cands = index.join(F.broadcast(q_probe), "cid").select(
         query_id_col, id_col, vec_col, query_vec_col, "_norm_e", "_norm_q"
     )
-    sim = cosine_from_parts(
-        _dot(F.col(vec_col), F.col(query_vec_col)),
-        F.col("_norm_e"),
-        F.col("_norm_q"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        cands.select(query_id_col, id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _score_and_topk(
+        cands, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 
@@ -411,6 +404,18 @@ def ivf_query_pruned(
 
     spark = queries.sparkSession
     rows = queries.select(query_id_col, query_vec_col).collect()
+    if not rows:
+        # parity with ivf_query/lsh_topk, whose pandas kernels handle
+        # the len==0 batch: an empty serving batch returns an empty
+        # top-k frame, never an np.stack crash (r11 review)
+        index = spark.read.option("basePath", index_path).parquet(index_path)
+        return empty_topk(
+            spark,
+            queries.schema[query_id_col].dataType,
+            index.schema[id_col].dataType,
+            query_id_col,
+            id_col,
+        )
     qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     probed = probe_centroid_ids(cents, qv, n_probe)
     cids = sorted({int(c) for row in probed for c in row})
@@ -437,6 +442,53 @@ def ivf_query_pruned(
         vec_col,
         query_id_col,
         query_vec_col,
+    )
+
+
+def _score_and_topk(
+    cands: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """The one scoring tail every top-k path shares (r11 review: three
+    hand-copies had to stay bit-identical for the parity pins): cosine
+    from the precomputed per-side norms + one dot fold, then
+    row_number ≤ k per query with the (cos desc, id) tie-break.
+    ``cands`` carries (query_id, id, vec, query_vec, _norm_e,
+    _norm_q); callers own candidate generation and dedup."""
+    sim = cosine_from_parts(
+        _dot(F.col(vec_col), F.col(query_vec_col)),
+        F.col("_norm_e"),
+        F.col("_norm_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        cands.select(query_id_col, id_col, sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def empty_topk(
+    spark, qid_type, id_type, query_id_col: str, id_col: str
+) -> DataFrame:
+    """An empty result with the exact schema the top-k tails produce —
+    the empty-query-batch contract of every persisted serving path."""
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField(query_id_col, qid_type),
+                T.StructField(id_col, id_type),
+                T.StructField("cos_sim", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        ),
     )
 
 
@@ -479,18 +531,8 @@ def literal_probe_topk(
     cands = index.join(F.broadcast(q_probe), "cid").select(
         query_id_col, id_col, vec_col, query_vec_col, "_norm_e", "_norm_q"
     )
-    sim = cosine_from_parts(
-        _dot(F.col(vec_col), F.col(query_vec_col)),
-        F.col("_norm_e"),
-        F.col("_norm_q"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        cands.select(query_id_col, id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _score_and_topk(
+        cands, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 
@@ -607,18 +649,8 @@ def lsh_topk(
         )
         .dropDuplicates([query_id_col, id_col])
     )
-    sim = cosine_from_parts(
-        _dot(F.col(vec_col), F.col(query_vec_col)),
-        F.col("_norm_e"),
-        F.col("_norm_q"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        cands.select(query_id_col, id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _score_and_topk(
+        cands, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 

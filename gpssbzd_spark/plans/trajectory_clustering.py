@@ -593,40 +593,61 @@ def blocked_pair_distances(
     exact distance verify keeps the edge set identical (parity pinned
     by tests/test_trajectory_clustering.py). Rows this function does
     not emit are guaranteed ``D > eps`` — downstream (eps-edge
-    filtering) sees exactly :func:`pair_distances`' edges.
+    filtering) sees exactly :func:`pair_distances`\' edges.
 
     Grid: one cell size per LINE (the equi-join key must be grid-
     consistent within a line): ``s_deg = slack · eps_km /
-    (KM_PER_DEG · cos(φ_line))`` where ``φ_line`` is the line's max
+    (KM_PER_DEG · cos(φ_line))`` where ``φ_line`` is the line\'s max
     |lat| plus an eps margin — the largest degree-extent eps km can
-    have on either axis inside the line's bounding band, so "within
-    eps km" always means "within one cell index" per axis.
-    ``F.assert_true`` fails the job loudly past |lat| 85° (polar grids
-    degenerate; GPS-domain data never gets there). Index side: cells
-    sampled along t2's chord at ≤ s steps, dilated ±2 (one cell for
-    the eps dilation + one for sampling discretization); probe side:
-    t1.start's cell; join per (line, cell), dedup, verify. Cost per
-    trajectory: O(chord_len/eps + 25) candidate cells instead of
-    O(n) partners.
+    have on either axis inside the line\'s bounding band, so "within
+    eps km" always means "within one cell index" per axis. Index
+    side: cells sampled along t2\'s chord at ≤ s steps, dilated ±2
+    (one cell for the eps dilation + one for sampling
+    discretization); probe side: t1.start\'s cell; join per
+    (line, cell), dedup, verify. Cost per trajectory:
+    O(chord_len/eps + 25) candidate cells instead of O(n) partners.
+
+    The planar degree grid is unsound in exactly two regimes, and
+    lines in them are ROUTED to :func:`pair_distances` instead of
+    guessing (r11 review: the original loud-assert handled only the
+    polar case and silently DROPPED cross-dateline eps-edges):
+
+    - |lat| beyond 85° — a fixed per-line cell size no longer bounds
+      the lng extent of eps km;
+    - longitude span beyond 180° — the line straddles the
+      antimeridian (a pair at lng ±179.99° is ~2 km apart on the
+      sphere but ~7000 grid cells apart in ``floor(lng/s)`` space).
+
+    The routed lines pay the all-pairs join they would have paid
+    before blocking existed; edge parity holds for EVERY line either
+    way (pinned by the polar/dateline routing test).
     """
     km_per_deg = math.pi * EARTH_RADIUS_KM / 180.0
     t = traj.withColumn(
         "traj_id", F.concat_ws("_", "id", "patternID")
     ).join(params_df.select("linenumber", "eps"), "linenumber")
-    # per-line grid constants (tiny agg over the scalar table)
-    line_lat = (
+    # per-line grid constants + safety classification (tiny agg over
+    # the scalar table). coalesce: a line whose every trajectory has
+    # null coords has no extent at all — grid placement is moot (its
+    # rows produce null cells and no candidates, isolating to noise
+    # exactly like pair_distances\' inf), and it must not misroute
+    line_stats = (
         t.groupBy("linenumber")
         .agg(
-            # coalesce: a line whose every trajectory has null coords
-            # has no latitudes at all — grid placement is moot (its
-            # rows produce null cells and no candidates, isolating to
-            # noise exactly like pair_distances' inf), but the polar
-            # guard below must not trip on the null
             F.coalesce(
                 F.max(F.greatest(F.abs(F.col("y0")), F.abs(F.col("y1")))),
                 F.lit(0.0),
             ).alias("_maxlat"),
+            F.coalesce(
+                F.max(F.greatest(F.col("x0"), F.col("x1")))
+                - F.min(F.least(F.col("x0"), F.col("x1"))),
+                F.lit(0.0),
+            ).alias("_lngspan"),
             F.first("eps").alias("_eps"),
+        )
+        .withColumn(
+            "_unsafe",
+            (F.col("_maxlat") > 85.0) | (F.col("_lngspan") > 180.0),
         )
         .withColumn(
             "_phi",
@@ -637,30 +658,20 @@ def blocked_pair_distances(
         )
         .withColumn(
             "_s",
-            # assert_true returns NULL on success, so folding it into
-            # the when() keeps the polar-latitude guard in the
-            # EVALUATED expression tree (a free-standing dropped column
-            # would be pruned by Catalyst and never run)
-            F.when(
-                F.assert_true(
-                    F.col("_maxlat") <= 85.0,
-                    F.lit(
-                        "blocked_pair_distances: |lat| beyond 85° — the "
-                        "planar degree grid is unsound there; use "
-                        "pair_distances"
-                    ),
-                ).isNull(),
-                F.lit(slack)
-                * F.col("_eps")
-                / (F.lit(km_per_deg) * F.cos(F.radians(F.col("_phi")))),
-            ),
+            F.lit(slack)
+            * F.col("_eps")
+            / (F.lit(km_per_deg) * F.cos(F.radians(F.col("_phi")))),
         )
-        .select("linenumber", "_s")
+        .select("linenumber", "_s", "_unsafe")
+    ).localCheckpoint()  # consumed by three branches below; tiny
+
+    unsafe_lines = line_stats.filter(F.col("_unsafe")).select("linenumber")
+    t = t.join(
+        F.broadcast(line_stats.filter(~F.col("_unsafe"))), "linenumber"
     )
-    t = t.join(F.broadcast(line_lat), "linenumber")
     scalars = ["x0", "y0", "x1", "y1", "len_km", "bad_pts"]
 
-    # probe side: t1's start-endpoint cell
+    # probe side: t1\'s start-endpoint cell
     probe = t.select(
         "linenumber",
         F.col("traj_id").alias("traj_id_1"),
@@ -671,7 +682,7 @@ def blocked_pair_distances(
         F.floor(F.col("y0") / F.col("_s")).alias("_cy"),
     )
 
-    # index side: cells sampled along t2's chord, dilated ±2 cells
+    # index side: cells sampled along t2\'s chord, dilated ±2 cells
     dx, dy = F.col("x1") - F.col("x0"), F.col("y1") - F.col("y0")
     n_steps = F.greatest(
         F.lit(1),
@@ -731,7 +742,7 @@ def blocked_pair_distances(
         corrected=corrected,
         extra_bad=F.col("bad_pts_1") | F.col("bad_pts_2"),
     )
-    return pairs.select(
+    banded = pairs.select(
         "linenumber",
         "id_1",
         "patternID_1",
@@ -739,6 +750,11 @@ def blocked_pair_distances(
         "patternID_2",
         dist_col.alias("distance"),
     )
+    routed = pair_distances(
+        traj.join(F.broadcast(unsafe_lines), "linenumber", "left_semi"),
+        corrected,
+    )
+    return banded.unionByName(routed)
 
 
 def _cluster_via_pairs(

@@ -138,3 +138,46 @@ def test_query_against_missing_index_fails_loudly(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         lsh_index_query(spark, str(tmp_path / "nope"), q, k=5)
+
+
+def test_empty_query_batch_returns_empty_topk(spark, tmp_path):
+    """r11 review: an empty serving batch must return an empty frame
+    with the standard top-k schema on ALL THREE persisted paths —
+    parity with the in-plan twins' len==0 pandas branches, not an
+    np.stack crash."""
+    import json
+
+    import numpy as _np
+
+    from gpssbzd_spark.dataprep.ivfindex import (
+        ivf_index_init,
+        ivf_index_query,
+    )
+    from gpssbzd_spark.dataprep.similarity import ivf_query_pruned
+
+    em = load_table(spark, SF, "embeddings")
+    none = em.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # LSH persisted
+    lsh_dir = str(tmp_path / "lsh")
+    lsh_index_build(spark, lsh_dir, em, dim=64, n_planes=6, n_tables=2)
+    out = lsh_index_query(spark, lsh_dir, none, k=5)
+    assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]
+    assert out.count() == 0
+    # growable IVF
+    ivf_dir = str(tmp_path / "ivf")
+    ivf_index_init(spark, ivf_dir, em, dim=64, n_centroids=4, iters=1)
+    out = ivf_index_query(spark, ivf_dir, none, k=5)
+    assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]
+    assert out.count() == 0
+    # monolithic pruned IVF
+    from gpssbzd_spark.dataprep.similarity import build_ivf_index
+
+    index, cents = build_ivf_index(em, dim=64, n_centroids=4, iters=1)
+    mono = str(tmp_path / "mono")
+    index.write.partitionBy("cid").parquet(mono)
+    out = ivf_query_pruned(mono, cents, none, k=5)
+    assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]
+    assert out.count() == 0

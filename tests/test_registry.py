@@ -339,7 +339,9 @@ def test_stale_backfill_drains_oldest_evidence_first(monkeypatch):
     sampled = frozenset(set(corpus.CORPUS) - {debt_name})
     monkeypatch.setattr(corpus, "_round_key", lambda: key)
     monkeypatch.setattr(corpus, "_sampled_names", lambda: sampled)
-    monkeypatch.setattr(corpus, "_latest_evidence_rounds", lambda: latest)
+    monkeypatch.setattr(
+        corpus, "_latest_evidence_rounds", lambda key=None: latest
+    )
     window = set(corpus.window_names())
     assert len(window) == corpus.DRIVER_WINDOW
     assert debt_name in window, "genuine debt must still drain first"
@@ -358,7 +360,7 @@ def test_stale_backfill_drains_oldest_evidence_first(monkeypatch):
     )
     # synthetic-state injection must not leak into other tests
     monkeypatch.setattr(corpus, "_STATE_CACHE", None)
-    monkeypatch.setattr(corpus, "_LATEST_CACHE", None)
+    monkeypatch.setattr(corpus, "_LATEST_CACHE", {})
 
 
 def test_sampled_names_matches_committed_records():

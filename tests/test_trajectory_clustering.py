@@ -397,28 +397,54 @@ def test_blocked_dbscan_labels_match_local(spark, patterns, line_params):
     traj.unpersist()
 
 
-def test_blocked_pair_distances_rejects_polar_latitudes(spark):
-    """Past |lat| 85° the planar degree grid is unsound — the guard
-    must fail the job loudly instead of silently missing edges."""
+def test_blocked_routes_polar_and_dateline_lines_to_full_pairs(spark):
+    """The planar degree grid is unsound past |lat| 85° and across the
+    antimeridian (r11 review: a pair at lng ±179.99° is ~2 km apart on
+    the sphere but thousands of grid cells apart) — such lines must
+    ROUTE to the all-pairs join, so blocked edges equal pair_distances'
+    edges on EVERY line. Three lines: polar (lat 87), dateline
+    (lng ±179.99 — a real eps-edge the naive grid would silently
+    drop), and an ordinary safe one mixed in."""
     from gpssbzd_spark.plans.trajectory_clustering import (
         blocked_pair_distances,
+        pair_distances,
     )
 
-    rows = [
-        ("v1", 10.0 + i * 0.001, 87.0, f"2019-02-01 08:{i:02d}:00", "1", "P")
-        for i in range(3)
-    ] + [
-        ("v2", 10.0 + i * 0.001, 87.0005, f"2019-02-01 08:{i:02d}:00", "1", "P")
-        for i in range(3)
-    ]
+    rows = []
+    for i in range(3):
+        t = f"2019-02-01 08:{i:02d}:00"
+        rows += [
+            ("v1", 10.0 + i * 0.001, 87.0, t, "1", "P"),
+            ("v2", 10.0 + i * 0.001, 87.0005, t, "1", "P"),
+            ("w1", 179.99 + i * 0.001, 22.6, t, "1", "D"),
+            ("w2", -179.995 + i * 0.001, 22.6001, t, "1", "D"),
+            ("u1", 114.0 + i * 0.001, 22.6, t, "1", "S"),
+            ("u2", 114.0 + i * 0.001, 22.6005, t, "1", "S"),
+        ]
     patterns = spark.createDataFrame(
         rows,
         "id string, lng double, lat double, t string, patternID string, "
         "linenumber string",
     ).withColumn("ts", F.to_timestamp("t"))
-    traj = assemble_trajectories(patterns).drop("points")
+    traj = assemble_trajectories(patterns).drop("points").persist()
     params_df = spark.createDataFrame(
-        [("P", 1.0, 2)], "linenumber string, eps float, min_samples int"
+        [("P", 1.0, 2), ("D", 20.0, 2), ("S", 1.0, 2)],
+        "linenumber string, eps float, min_samples int",
     )
-    with pytest.raises(Exception, match="85|assert"):
-        blocked_pair_distances(traj, params_df).collect()
+
+    def edges(df):
+        joined = df.join(
+            params_df.select("linenumber", "eps"), "linenumber"
+        ).filter(F.col("distance") <= F.col("eps"))
+        return {
+            (r.linenumber, r.id_1, r.id_2): round(r.distance, 9)
+            for r in joined.collect()
+        }
+
+    full = edges(pair_distances(traj))
+    blocked = edges(blocked_pair_distances(traj, params_df))
+    assert blocked == full
+    # non-vacuous: the dateline pair and the polar pair ARE edges
+    assert ("D", "w1", "w2") in full or ("D", "w2", "w1") in full
+    assert ("P", "v1", "v2") in full or ("P", "v2", "v1") in full
+    traj.unpersist()
