@@ -734,7 +734,7 @@ def _dd_embedding_cosine_blocked_raw(spark, sf_dir):
     return out.select("id_a", "id_b", _F.round("cos_sim", 4).alias("cos_sim"))
 
 
-def _blocked_invariant_rows(em, pairs):
+def _blocked_invariant_rows(em, pairs, threshold=0.4):
     # consumed twice (containment agg + seed-pair join): pin once or
     # each consumer re-runs the whole banded kernel pipeline (the
     # repo's pin-iteratively-reused-inputs rule, GC-scoped)
@@ -743,7 +743,9 @@ def _blocked_invariant_rows(em, pairs):
     # constant-true by the verify step's construction, so any break in
     # the verify join flips a hash-checked bit on every row
     containment = pairs.agg(
-        _F.min((_F.col("cos_sim") >= 0.4).cast("int")).alias("containment_ok")
+        _F.min((_F.col("cos_sim") >= threshold).cast("int")).alias(
+            "containment_ok"
+        )
     )
     seed_pairs = em.filter(_F.col("vec_id") % 10 == 0).select(
         _F.col("vec_id").alias("id_a"),
@@ -3061,3 +3063,76 @@ def dp_passage_dedup(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return passage_dedup(d, passage_tokens=8)
+
+
+from gpssbzd_spark.dataprep.dedup import semantic_dedup_pairs  # noqa: E402
+from gpssbzd_spark.dataprep.text import bm25_topk, bm25_topk_sql  # noqa: E402
+
+# Fixed literal query batch for the BM25 row: terms drawn from the
+# fixture corpus's vocabulary so every query retrieves. The SAME list
+# feeds the Spark plan and the DuckDB twin (driver-side tokenization,
+# parity by construction).
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "window hash join"),
+    (2, "stream batch merge sort"),
+    (3, "customer order line"),
+    (4, "vector scan filter query"),
+]
+
+
+@query(
+    "tx_bm25_topk",
+    oracle=bm25_topk_sql(_BM25_QUERIES, k=5),
+    note="Okapi BM25 top-k retrieval (dataprep/text.py bm25_topk): the "
+    "standard sparse lexical scorer — idf ln(1+(N-df+.5)/(df+.5)) × "
+    "saturated tf with length normalization (k1=1.2, b=0.75) — for a "
+    "4-query literal batch, row_number top-5 per query on the ROUNDED "
+    "score (engine-portable ordering, id tie-break). Posting-list "
+    "discipline: one explode→partial-agg tf shuffle, query terms "
+    "broadcast BELOW the stats joins so df is computed for query terms "
+    "only and candidates are bounded by their posting lists; N/avgdl "
+    "one broadcast one-row agg. The lexical complement of the "
+    "sim_topk_* embedding family (decontamination sweeps, RAG "
+    "baselines). Fully oracled. tx rotation alternate",
+    tier=2,
+)
+def tx_bm25_topk(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERIES, k=5)
+
+
+@query(
+    "dd_semdedup_pairs",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+           1 AS found_exact_dup, 1 AS containment_ok
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+    note="SemDeDup k-means-blocked semantic near-dup pairs (dataprep/"
+    "dedup.py semantic_dedup_pairs; Abbas et al. 2023): coarse k-means "
+    "codebook (the IVF seeding + Lloyd kernels) blocks the pair join "
+    "to within-cluster candidates, exact zip_with cosine verifies at "
+    "0.95 — the published cluster-blocked alternative to the "
+    "hyperplane-LSH blocking of dd_embedding_cosine_blocked. Same "
+    "GUARANTEED-RECALL hash oracle as that row: the corpus is seeded "
+    "with exact copies (vec_id%10==0 → +1e6); identical vectors "
+    "assign to the SAME centroid (identical input ⇒ identical argmax) "
+    "and cosine 1, so every seeded pair MUST surface — found_exact_dup "
+    "pins that recall floor end-to-end through codebook, assignment, "
+    "blocked join, and verify; containment_ok pins precision=1 (every "
+    "emitted pair really clears the threshold). Organic recall vs the "
+    "unblocked exact twin is pytest-pinned (k-means has no DuckDB "
+    "twin). dd rotation alternate",
+    tier=2,
+)
+def dd_semdedup_pairs(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeded = em.unionByName(
+        em.filter(_F.col("vec_id") % 10 == 0).withColumn(
+            "vec_id", _F.col("vec_id") + 1000000
+        )
+    )
+    pairs = semantic_dedup_pairs(
+        seeded, dim=64, n_clusters=16, threshold=0.95
+    )
+    return _blocked_invariant_rows(em, pairs, threshold=0.95)

@@ -1853,3 +1853,105 @@ def embedding_lsh_portable_sql(
     SELECT id_a, id_b, ROUND(cos_sim, 4) AS cos_sim
     FROM verified WHERE cos_sim >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — k-means-cluster-blocked semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): block the embedding space with a coarse k-means
+    codebook, then compare pairs only WITHIN each cluster — the
+    published alternative to hyperplane-LSH blocking
+    (:func:`embedding_lsh_pairs`) that concentrates comparisons where
+    semantic duplicates actually live instead of relying on random
+    projections.
+
+    Composition of existing kernels: the codebook comes from
+    :func:`~gpssbzd_spark.dataprep.similarity.kmeans_centroids`
+    (deterministic hash-ordered seeding, distributed Lloyd rounds, only
+    the C×dim table reaches the driver), assignment is the same one-
+    matmul-per-Arrow-batch pandas UDF the IVF index uses, and the
+    intra-cluster pair join + exact cosine verify is
+    :func:`embedding_cosine_pairs` with the cluster id as ``block_col``
+    — so precision vs the unblocked exact baseline is 1.0 by
+    construction and the blocking affects recall only (pairs split
+    across cluster boundaries are missed; the paper accepts exactly
+    this trade).
+
+    Scale shape: per-cluster self-joins cost Σ n_c² ≈ n²/C for balanced
+    clusters — grow ``n_clusters`` with the corpus (the IVF codebook
+    rule: C ∝ n bounds expected cluster size) so the pair mass stays
+    linear per cluster; identical vectors always share a cluster
+    (identical input ⇒ identical argmax), so exact-duplicate recall is
+    1.0 regardless of C. A pathologically popular cluster degrades to
+    that cluster's quadratic term only — cap per-cluster size or
+    sub-cluster hot cids when the assignment histogram says so.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim ≥
+    ``threshold``. Zero-norm vectors are dropped (cosine undefined).
+    """
+    from gpssbzd_spark.dataprep.similarity import (
+        _nearest_centroids_udf,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(
+        df, dim, n_centroids=n_clusters, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assign = _nearest_centroids_udf(cents, 1)
+    clustered = df.select(
+        id_col,
+        vec_col,
+        F.element_at(assign(F.col(vec_col)), 1).alias("_semcid"),
+    )
+    return embedding_cosine_pairs(
+        clustered,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        block_col="_semcid",
+    )
+
+
+def semdedup_drop_ids(pairs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """The ids SemDeDup removes: every vector that has a SMALLER-id
+    neighbor at cos ≥ threshold in its cluster (keep-min-id survivor —
+    this repo's exact-dedup convention, deterministic and oracle-
+    friendly; the paper keeps a per-group exemplar by centroid
+    distance, a policy swap on the same pair set)."""
+    return pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup survivors: ``df`` minus :func:`semdedup_drop_ids` of
+    :func:`semantic_dedup_pairs` (left_anti on the id — the drop set is
+    ids-only and small, so the join broadcasts)."""
+    pairs = semantic_dedup_pairs(
+        df, dim, n_clusters=n_clusters, threshold=threshold, iters=iters,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    return df.join(
+        F.broadcast(semdedup_drop_ids(pairs, id_col)), id_col, "left_anti"
+    )

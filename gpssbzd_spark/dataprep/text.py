@@ -618,3 +618,191 @@ def bigram_logprob_sql(
     FROM prs p JOIN c12 b USING (u1, u2) JOIN c1 s USING (u1)
     GROUP BY p.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson–Zaragoza, the Okapi BM25 scorer)
+# ---------------------------------------------------------------------------
+
+
+def _query_terms(queries: "Sequence[tuple[int, str]]") -> list[tuple[int, str]]:
+    """(query_id, text) → sorted distinct (query_id, token) rows under
+    the SAME rule as :func:`tokens` (lower → trim → split ``\\s+``),
+    applied driver-side so the Spark plan and the DuckDB twin inline
+    bit-identical literal term sets — tokenization parity by
+    construction, not by re-implementation. Queries are a handful of
+    strings; tokenizing them on the driver costs nothing and removes
+    the one place the two engines could disagree."""
+    import re
+
+    out: set[tuple[int, str]] = set()
+    for qid, text in queries:
+        for t in re.split(r"\s+", (text or "").strip().lower()):
+            if t:
+                out.add((int(qid), t))
+    return sorted(out)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: "Sequence[tuple[int, str]]",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a small query batch —
+    the standard sparse-retrieval scorer an LLM-data pipeline uses for
+    eval-set decontamination sweeps, targeted corpus lookup, and RAG
+    baselines (the lexical complement of the embedding top-k family in
+    ``dataprep/similarity.py``).
+
+    ``score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    over the query's distinct terms, with the non-negative idf form
+    ``ln(1 + (N−df+0.5)/(df+0.5))``. Output: one row per retrieved
+    (query_id, doc_id) with ``score`` (rounded to ``round_to``) and
+    ``rank`` (1..k, ordered by rounded score desc then doc id — the
+    rounded sort key plus id tie-break keeps the ranking deterministic
+    and engine-portable, the same convention as the cosine top-k tails).
+
+    Scale shape (the posting-list discipline):
+
+    - one explode → partial-agg groupBy builds the (doc, term, tf)
+      posting rows — the only corpus-wide shuffle;
+    - the query term set is BROADCAST and restricts postings to
+      candidate rows BEFORE any statistics join, so ``df`` is computed
+      for query terms only (never a full-vocabulary rollup) and the
+      candidate mass is bounded by the query terms' posting lists;
+    - N and avgdl come from one broadcast one-row aggregate; df joins
+      back broadcast (≤ #query terms rows);
+    - per-query ranking is a window over candidates only. A query made
+      of stop-words drags its full posting lists — at 100 TB cap or
+      drop ultra-high-df terms (idf ≈ 0 contributes nothing) before
+      calling, exactly as production BM25 does.
+
+    Docs with no query term score nothing and never appear (standard
+    BM25 behavior). Fully SQL-expressible: :func:`bm25_topk_sql` is the
+    DuckDB twin (corpus row ``tx_bm25_topk``).
+    """
+    spark = docs.sparkSession
+    qterms = _query_terms(queries)
+    if not qterms:
+        raise ValueError("bm25_topk: queries tokenized to no terms")
+    q = spark.createDataFrame(
+        qterms,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("token", T.StringType()),
+            ]
+        ),
+    )
+    d = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
+    arr = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    base = d.select(F.col(id_col), arr.alias("_toks"))
+    stats = base.agg(
+        F.count("*").alias("_n"), F.avg(F.size("_toks")).alias("_avgdl")
+    )
+    tok = base.select(
+        id_col, F.size("_toks").alias("dl"), F.explode("_toks").alias("token")
+    )
+    tf = tok.groupBy(id_col, "dl", "token").agg(F.count("*").alias("tf"))
+    qtok = q.select("token").distinct()
+    # candidates: postings restricted to query terms — consumed by BOTH
+    # the df rollup and the scoring join, so pin (GC-scoped, not a
+    # session persist — the repo's reused-input rule)
+    cand = tf.join(F.broadcast(qtok), "token").localCheckpoint()
+    # tf rows are unique per (doc, term) ⇒ count(*) = document frequency
+    df_t = cand.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(q), "token")
+        .join(F.broadcast(df_t), "token")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(contrib), round_to).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def bm25_topk_sql(
+    queries: "Sequence[tuple[int, str]]",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` over the ``documents`` view.
+    The query terms are inlined as a VALUES list produced by the SAME
+    driver-side tokenization (:func:`_query_terms`); float literals are
+    written in e-notation so DuckDB types them DOUBLE (a bare ``1.2``
+    is DECIMAL there and would score under decimal rounding)."""
+    qterms = _query_terms(queries)
+    if not qterms:
+        raise ValueError("bm25_topk_sql: queries tokenized to no terms")
+    values = ", ".join(
+        "({}, '{}')".format(qid, t.replace("'", "''")) for qid, t in qterms
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS _toks
+      FROM d
+    ), stats AS (
+      SELECT COUNT(*) AS _n, AVG(len(_toks)) AS _avgdl FROM base
+    ), tok AS (
+      SELECT doc_id, len(_toks) AS dl, unnest(_toks) AS token FROM base
+    ), tf AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, dl, token
+    ), q(query_id, token) AS (
+      VALUES {values}
+    ), qtok AS (
+      SELECT DISTINCT token FROM q
+    ), cand AS (
+      SELECT tf.* FROM tf JOIN qtok USING (token)
+    ), df_t AS (
+      SELECT token, COUNT(*) AS df FROM cand GROUP BY token
+    ), scored AS (
+      SELECT q.query_id, cand.doc_id,
+             ROUND(SUM(
+               ln(1e0 + (stats._n - df_t.df + 0.5e0) / (df_t.df + 0.5e0))
+               * (cand.tf * {k1 + 1.0!r}e0)
+               / (cand.tf + {k1!r}e0
+                  * ({1.0 - b!r}e0 + {b!r}e0 * cand.dl / stats._avgdl))
+             ), {round_to}) AS score
+      FROM cand JOIN q USING (token) JOIN df_t USING (token)
+      CROSS JOIN stats
+      GROUP BY q.query_id, cand.doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
+    """

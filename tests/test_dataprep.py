@@ -1954,3 +1954,130 @@ def test_synth_media_containers_decode_to_predicted_values(spark):
         )
     assert rows[1] == rows[7]
     assert len(rows[1]) == 60
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (k-means-blocked semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_pairs_subset_of_exact_with_identical_scores(spark):
+    """Cluster blocking must never manufacture a pair: every SemDeDup
+    pair appears in the unblocked exact pair set at the same threshold
+    with the SAME cosine (the verify kernel is shared), so precision is
+    1.0 by construction and only recall depends on the codebook."""
+    from gpssbzd_spark.dataprep.dedup import semantic_dedup_pairs
+
+    em = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_cosine_pairs(em, threshold=0.5).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_dedup_pairs(
+            em, dim=64, n_clusters=8, threshold=0.5
+        ).collect()
+    }
+    assert set(sem) <= set(exact), "SemDeDup emitted a pair the exact set lacks"
+    for p, s in sem.items():
+        assert s == exact[p], f"pair {p}: blocked cos {s} != exact {exact[p]}"
+
+
+def test_semdedup_seeded_recall_and_survivor_rule(spark):
+    """Exact copies always share a centroid (identical input ⇒ identical
+    argmax), so seeded-duplicate recall through the whole pipeline —
+    codebook, assignment, blocked join, verify — is 1.0; and the
+    keep-min-id survivor rule must drop every copy while keeping every
+    id that has no smaller-id partner in the pair set."""
+    from gpssbzd_spark.dataprep.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+        semdedup_drop_ids,
+    )
+
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    copies = em.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    seeded = em.unionByName(copies)
+    pairs = semantic_dedup_pairs(
+        seeded, dim=64, n_clusters=16, threshold=0.95
+    ).localCheckpoint()
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {
+        (r.vec_id, r.vec_id + 1_000_000)
+        for r in em.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    assert want <= got, f"missed seeded pairs: {sorted(want - got)[:5]}"
+    # survivor rule: survivors == seeded ids minus the distinct id_b set
+    surv = {
+        r.vec_id
+        for r in semantic_dedup(
+            seeded, dim=64, n_clusters=16, threshold=0.95
+        ).collect()
+    }
+    drop = {r.vec_id for r in semdedup_drop_ids(pairs).collect()}
+    all_ids = {r.vec_id for r in seeded.collect()}
+    assert surv == all_ids - drop
+    assert not any(v >= 1_000_000 for v in surv), "a seeded copy survived"
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_topk_matches_hand_computation(spark):
+    """BM25 on a tiny corpus vs the formula computed in plain Python:
+    same idf form, same length normalization, same rounding."""
+    import math
+
+    from gpssbzd_spark.dataprep.text import bm25_topk
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "apple cherry"),
+        (3, "banana banana banana cherry"),
+        (4, "durian elderberry fig"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k1, b = 1.2, 0.75
+    texts = {i: t.split() for i, t in docs}
+    n = len(texts)
+    avgdl = sum(len(t) for t in texts.values()) / n
+
+    def score(query, d):
+        toks = texts[d]
+        s = 0.0
+        for term in sorted(set(query.split())):
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            dfreq = sum(1 for t in texts.values() if term in t)
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        return round(s, 4)
+
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(df, [(7, "apple banana"), (8, "cherry")], k=3).collect()
+    }
+    expected_q7 = {d: score("apple banana", d) for d in texts}
+    want_q7 = sorted(
+        ((s, d) for d, s in expected_q7.items() if s > 0),
+        key=lambda x: (-x[0], x[1]),
+    )[:3]
+    for rank, (s, d) in enumerate(want_q7, start=1):
+        assert got[(7, d)] == (pytest.approx(s, abs=1e-9), rank)
+    # docs with no query term never appear
+    assert (8, 1) not in got and (8, 4) not in got
+    assert {d for (q, d) in got if q == 8} == {2, 3}
+
+
+def test_bm25_topk_rejects_empty_queries(spark):
+    from gpssbzd_spark.dataprep.text import bm25_topk
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [(1, "   ")], k=3)
