@@ -3136,3 +3136,30 @@ def dd_semdedup_pairs(spark, sf_dir):
         seeded, dim=64, n_clusters=16, threshold=0.95
     )
     return _blocked_invariant_rows(em, pairs, threshold=0.95)
+
+
+from gpssbzd_spark.dataprep.dedup import (  # noqa: E402
+    repeated_spans,
+    repeated_spans_sql,
+)
+
+
+@query(
+    "dd_repeated_spans",
+    oracle=repeated_spans_sql(n=6, min_docs=2),
+    note="cross-document repeated token spans (dataprep/dedup.py "
+    "repeated_spans): the fixed-window form of exact-substring dedup "
+    "(Lee et al. 2022) — slide a 6-token window, flag windows whose "
+    "md5'd content occurs in >=2 docs, merge overlapping/adjacent "
+    "flags into maximal spans (running-max-end segmenting). Catches "
+    "boilerplate REGIONS that survive doc-level dedup and sit off "
+    "passage_dedup's non-overlapping grid. Narrow (id, start, md5) "
+    "shuffle rows; the gram rollup partial-aggs map-side; interval "
+    "merge windows over flagged starts only. Fully oracled; the "
+    "removal half (strip_repeated_spans) is pytest-pinned. dd "
+    "rotation alternate",
+    tier=2,
+)
+def dd_repeated_spans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_spans(d, n=6, min_docs=2)

@@ -1955,3 +1955,188 @@ def semantic_dedup(
     return df.join(
         F.broadcast(semdedup_drop_ids(pairs, id_col)), id_col, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated token spans (ExactSubstr-style, fixed window)
+# ---------------------------------------------------------------------------
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal cross-document repeated token spans — the Spark-shaped
+    fixed-window form of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    suffix array finds repeats at every length; at cluster scale the
+    standard approximation slides a fixed ``n``-token window instead,
+    flags windows whose content occurs in ≥ ``min_docs`` documents, and
+    merges overlapping/adjacent flagged windows back into maximal
+    spans. Catches boilerplate REGIONS (licenses, headers, templated
+    paragraphs) that survive document-level dedup and sit off
+    :func:`passage_dedup`'s fixed grid (its passages are
+    non-overlapping, so a shared region straddling a passage boundary
+    is invisible there; the sliding window finds it at any offset).
+
+    Scale shape: one posexplode builds NARROW (id, start, md5(gram))
+    rows — the md5 key bounds the shuffle row width no matter how wide
+    the window is; the gram-frequency rollup partial-aggs map-side
+    (hot boilerplate grams combine before the exchange) and joins back
+    on the hash key — those two gram-keyed moves are the algorithm's
+    inherent cost, exactly where ExactSubstr implementations spend
+    theirs. Interval merging is one per-doc window pass over flagged
+    starts only (running-max-end segmenting), never over all tokens.
+
+    Returns (id, span_start, span_end, span_tokens), token positions
+    1-based inclusive, one row per maximal span per document. Fully
+    SQL-expressible — :func:`repeated_spans_sql` is the DuckDB twin.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = (
+        docs.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(F.col(id_col), arr.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+    )
+    gkeys = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice("_toks", i, n), " ")),
+    )
+    grams = base.select(
+        id_col, F.posexplode(gkeys).alias("_p0", "_gkey")
+    ).select(
+        id_col, (F.col("_p0") + 1).alias("start"), "_gkey"
+    )
+    # consumed by the frequency rollup AND the flag join — pin once
+    # (GC-scoped localCheckpoint, the repo's reused-input rule)
+    grams = grams.localCheckpoint()
+    hot = (
+        grams.groupBy("_gkey")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gkey")
+    )
+    flagged = grams.join(hot, "_gkey").select(
+        id_col, "start", (F.col("start") + (n - 1)).alias("end")
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (
+        prev_max_end.isNull() | (F.col("start") > prev_max_end + 1)
+    ).cast("int")
+    seg = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("_seg", seg)
+        .groupBy(id_col, "_seg")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def repeated_spans_sql(n: int = 6, min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`repeated_spans` over the ``documents``
+    view (1-based inclusive slices on both engines; grams md5-keyed on
+    both so the group keys are bit-identical)."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS _toks
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), sized AS (
+      SELECT doc_id, _toks FROM base WHERE len(_toks) >= {n}
+    ), grams AS (
+      SELECT doc_id, i AS start,
+             md5(array_to_string(_toks[i:i+{n - 1}], ' ')) AS _gkey
+      FROM sized, unnest(generate_series(1, len(_toks) - {n - 1})) AS t(i)
+    ), hot AS (
+      SELECT _gkey FROM grams
+      GROUP BY _gkey HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ), flagged AS (
+      SELECT g.doc_id, g.start, g.start + {n - 1} AS "end"
+      FROM grams g JOIN hot USING (_gkey)
+    ), segged AS (
+      SELECT doc_id, start, "end",
+             SUM(CASE WHEN prev_max_end IS NULL
+                      OR start > prev_max_end + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS _seg
+      FROM (
+        SELECT doc_id, start, "end",
+               MAX("end") OVER (PARTITION BY doc_id ORDER BY start
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max_end
+        FROM flagged
+      )
+    )
+    SELECT doc_id, MIN(start) AS span_start, MAX("end") AS span_end,
+           MAX("end") - MIN(start) + 1 AS span_tokens
+    FROM segged GROUP BY doc_id, _seg
+    """
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the tokens covered by :func:`repeated_spans` from each
+    document, keeping everything else in order (the removal half of
+    ExactSubstr dedup). Spans aggregate to one small array per affected
+    doc and join back on the id; the token filter is a native nested
+    higher-order expression (no Python). Documents with no spans pass
+    through unchanged; output replaces ``text_col`` with the cleaned
+    text and adds ``n_tokens_removed``."""
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    j = docs.join(agg, id_col, "left").withColumn("_toks", arr)
+    idx = F.when(
+        F.size("_toks") > 0, F.sequence(F.lit(1), F.size("_toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        idx,
+        lambda i: F.coalesce(
+            ~F.exists(
+                "_spans",
+                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+            ),
+            F.lit(True),
+        ),
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return j.select(
+        *out_cols,
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("_toks", i)), " "
+        ).alias(text_col),
+        (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"),
+    )

@@ -2081,3 +2081,72 @@ def test_bm25_topk_rejects_empty_queries(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(df, [(1, "   ")], k=3)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated spans (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_finds_planted_boilerplate(spark):
+    """A license-like region planted at DIFFERENT offsets in two docs
+    must come back as one maximal span per doc covering exactly the
+    planted tokens; unique text must flag nothing."""
+    from gpssbzd_spark.dataprep.dedup import repeated_spans
+
+    boiler = "this work is licensed under the creative commons license"  # 9 tokens
+    docs = [
+        (1, "alpha beta " + boiler + " gamma delta epsilon"),
+        (2, "one two three four " + boiler),
+        (3, "totally unique words nowhere else repeated at all in any doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_spans(df, n=6, min_docs=2).collect()
+    }
+    # doc 1: boiler occupies tokens 3..11; doc 2: tokens 5..13
+    assert got[1] == (3, 11, 9)
+    assert got[2] == (5, 13, 9)
+    assert 3 not in got
+
+
+def test_repeated_spans_merges_adjacent_windows(spark):
+    """Two docs sharing their ENTIRE text must merge every flagged
+    window into one span covering the whole document."""
+    from gpssbzd_spark.dataprep.dedup import repeated_spans
+
+    text = "a b c d e f g h i j k l"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = repeated_spans(df, n=6, min_docs=2).collect()
+    assert {(r.doc_id, r.span_start, r.span_end) for r in rows} == {
+        (1, 1, 12),
+        (2, 1, 12),
+    }
+
+
+def test_strip_repeated_spans_removes_exactly_the_spans(spark):
+    """The removal half: flagged tokens disappear, order of the rest is
+    preserved, untouched docs pass through with zero removed."""
+    from gpssbzd_spark.dataprep.dedup import (
+        repeated_spans,
+        strip_repeated_spans,
+    )
+
+    boiler = "this work is licensed under the creative commons license"
+    docs = [
+        (1, "alpha beta " + boiler + " gamma delta"),
+        (2, "one two three four " + boiler),
+        (3, "totally unique words nowhere else repeated at all in any doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = repeated_spans(df, n=6, min_docs=2)
+    got = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in strip_repeated_spans(df, spans).collect()
+    }
+    assert got[1] == ("alpha beta gamma delta", 9)
+    assert got[2] == ("one two three four", 9)
+    assert got[3] == (docs[2][1], 0)
