@@ -115,14 +115,15 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
      ["dd_exact_dedup_survivors", "dp_hash_split", "dp_weighted_mixture",
       "dp_sequence_packing", "dp_stratified_sample", "dp_zorder_cells",
       "dp_shard_shuffle", "dp_chunk_documents", "dp_cap_per_group",
-      "dp_pipeline_pretrain_e2e", "dp_passage_dedup"]),
+      "dp_pipeline_pretrain_e2e", "dp_passage_dedup", "dd_repeated_spans"]),
     # the portable twins rotate against their kernel counterparts'
     # rows-only slots: alternate rounds give the SAME family hash-match
     # driver evidence (portable md5 family) and kernel-path rows
     ("dd_minhash_lsh_pairs",
      ["dd_minhash_portable_pairs", "dd_neardup_clusters"]),
     ("dd_embedding_cosine_blocked",
-     ["dd_embedding_lsh_portable_pairs", "dd_embedding_neardup_clusters"]),
+     ["dd_embedding_lsh_portable_pairs", "dd_embedding_neardup_clusters",
+      "dd_semdedup_pairs"]),
     ("dd_simhash_buckets", ["dd_simhash_portable_pairs"]),
     ("sim_topk_lsh", ["sim_topk_lsh_portable"]),
     ("sim_topk_brute", ["sim_topk_ivf_portable"]),
@@ -131,7 +132,7 @@ ROTATION_GROUPS: list[tuple[str, list[str]]] = [
       "dp_pipeline_corpus_clean", "tx_bpe_token_count", "tx_pii_scrub",
       "tx_repetition_filter", "tx_vocab_heavy_hitters",
       "dp_decontaminate_overlap", "tx_unigram_logprob",
-      "tx_tfidf_terms", "tx_bigram_logprob"]),
+      "tx_tfidf_terms", "tx_bigram_logprob", "tx_bm25_topk"]),
     ("j7_asof_join_backward", ["j7b_asof_join_forward"]),
     ("dd_embedding_cosine_pairs", ["sim_cosine_to_centroid"]),
     ("st_tumbling_window",

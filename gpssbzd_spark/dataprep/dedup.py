@@ -1946,15 +1946,16 @@ def semantic_dedup(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """SemDeDup survivors: ``df`` minus :func:`semdedup_drop_ids` of
-    :func:`semantic_dedup_pairs` (left_anti on the id — the drop set is
-    ids-only and small, so the join broadcasts)."""
+    :func:`semantic_dedup_pairs` (left_anti on the id). The drop set is
+    ids-only but its SIZE tracks the duplicate rate — on a heavy-dup
+    corpus it is a large fraction of the rows — so the join strategy
+    is left to Catalyst/AQE (broadcast when it measures small, shuffled
+    anti otherwise) rather than force-hinted."""
     pairs = semantic_dedup_pairs(
         df, dim, n_clusters=n_clusters, threshold=threshold, iters=iters,
         seed=seed, id_col=id_col, vec_col=vec_col,
     )
-    return df.join(
-        F.broadcast(semdedup_drop_ids(pairs, id_col)), id_col, "left_anti"
-    )
+    return df.join(semdedup_drop_ids(pairs, id_col), id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -2015,9 +2016,12 @@ def repeated_spans(
     ).select(
         id_col, (F.col("_p0") + 1).alias("start"), "_gkey"
     )
-    # consumed by the frequency rollup AND the flag join — pin once
-    # (GC-scoped localCheckpoint, the repo's reused-input rule)
-    grams = grams.localCheckpoint()
+    # grams feeds BOTH the frequency rollup and the flag join, but it
+    # is the PRE-aggregation table (~tokens-per-doc rows per doc) —
+    # pinning it would materialize the corpus's full gram explosion;
+    # recomputing the narrow scan+explode is the cheaper side of the
+    # trade at every scale, so this is the one reused input the repo
+    # deliberately does NOT checkpoint
     hot = (
         grams.groupBy("_gkey")
         .agg(F.countDistinct(id_col).alias("_nd"))

@@ -242,8 +242,20 @@ def kmeans_centroids(
     cents = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
     for _ in range(iters):
         assign = _nearest_centroids_udf(cents, 1)
-        assigned = embeddings.select(
+        # The UDF must land BELOW the posexplode Generate: a single
+        # select mixing a generator with other expressions puts those
+        # expressions in the Project ABOVE the Generate, so the
+        # centroid matmul would run once per exploded DIMENSION row —
+        # dim× the work (measured 40s vs 0.7s per assignment scan at
+        # 32k×256; the r11 semdedup ladder's 1.53 exponent was exactly
+        # this term with C growing). Splitting the select pins the
+        # ArrowEval under the Generate: one matmul per VECTOR.
+        with_cid = embeddings.select(
             F.element_at(assign(F.col(vec_col)), 1).alias("cid"),
+            F.col(vec_col),
+        )
+        assigned = with_cid.select(
+            "cid",
             F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
                 "pos", "val"
             ),

@@ -81,8 +81,11 @@ def families(sf_dir: str | None = None):
         minhash_dedup_pairs,
         minhash_lsh_portable,
         neardup_clusters,
+        repeated_spans,
+        semantic_dedup_pairs,
         simhash_portable,
     )
+    from gpssbzd_spark.dataprep.text import bm25_topk
     from gpssbzd_spark.dataprep.scalegen import (
         inflate_documents,
         inflate_embeddings,
@@ -130,6 +133,43 @@ def families(sf_dir: str | None = None):
             lambda d, K: simhash_portable(d, bits=128),
         ),
         "embedding_blocked": ("embeddings", inflate_embeddings, emb_blocked),
+        # r11 late additions. repeated_spans: the gram explode + two
+        # gram-keyed moves (frequency rollup, flag join) all grow with
+        # token volume — must stay ~linear. bm25: the posting build
+        # (explode -> tf groupBy) dominates; the 4-query literal batch
+        # is fixed, so the curve is the corpus-side scan+shuffle.
+        # semdedup: per-cluster occupancy held constant (n_clusters =
+        # 16·K, the IVF codebook rule) so the blocked pair mass grows
+        # ~K; the brute centroid-assignment matmul is O(n·C·d) — a
+        # quadratic TERM with a BLAS-small constant (the paper's own
+        # regime: C « n, brute assignment on accelerators; at extreme
+        # scale assign via a hierarchical codebook instead).
+        "repeated_spans": (
+            "documents",
+            inflate_documents,
+            lambda d, K: repeated_spans(d, n=6, min_docs=2),
+        ),
+        "bm25_topk": (
+            "documents",
+            inflate_documents,
+            lambda d, K: bm25_topk(
+                d,
+                [
+                    (1, "window hash join"),
+                    (2, "stream batch merge sort"),
+                    (3, "customer order line"),
+                    (4, "vector scan filter query"),
+                ],
+                k=5,
+            ),
+        ),
+        "semdedup": (
+            "embeddings",
+            inflate_embeddings,
+            lambda d, K: semantic_dedup_pairs(
+                d, dim=64, n_clusters=16 * K, threshold=0.95
+            ),
+        ),
         "neardup_cc": (
             "documents",
             inflate_documents,

@@ -617,3 +617,59 @@ def test_mm_decode_roundtrip_is_single_stage(spark):
     assert m and {c.split(":")[0] for c in m.group(1).split(",") if c} == {
         "doc_id"
     }, plan
+
+
+def test_bm25_plan_broadcasts_stats_no_smj_no_python(spark):
+    """BM25's posting-list discipline in the physical plan: the query
+    terms, df table, and one-row stats all broadcast (no sort-merge
+    join anywhere), the only wide move is the tf/score aggregation
+    pair, and the whole path stays JVM-side."""
+    from gpssbzd_spark.dataprep.text import bm25_topk
+    from gpssbzd_spark.sources import load_table
+
+    d = load_table(spark, SF, "documents")
+    df = bm25_topk(d, [(1, "window hash join"), (2, "stream batch")], k=5)
+    plan = final_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the one-row stats side rides a broadcast nested loop, never a
+    # shuffled cross
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert not re.search(r"(BatchEvalPython|ArrowEvalPython|FlatMapsInPandas)", plan), plan
+
+
+def test_repeated_spans_plan_no_cartesian_no_python(spark):
+    """The repeated-span path must be two gram-keyed moves (frequency
+    rollup with partial aggregation, flag join) plus the per-doc
+    interval-merge window — never a pair join over documents and never
+    a Python worker."""
+    from gpssbzd_spark.dataprep.dedup import repeated_spans
+    from gpssbzd_spark.sources import load_table
+
+    d = load_table(spark, SF, "documents")
+    plan = final_plan(repeated_spans(d, n=6, min_docs=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # partial agg before the exchange on the gram rollup
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert not re.search(r"(BatchEvalPython|ArrowEvalPython|FlatMapsInPandas)", plan), plan
+
+
+def test_semdedup_pair_join_is_cid_keyed_equi_join(spark):
+    """SemDeDup's pair generation must be an equi-join on the cluster
+    id (the n²/C blocked shape), never an unkeyed cross join; the only
+    Python in the plan is the one Arrow assignment matmul."""
+    from gpssbzd_spark.dataprep.dedup import semantic_dedup_pairs
+    from gpssbzd_spark.sources import load_table
+
+    em = load_table(spark, SF, "embeddings")
+    plan = final_plan(
+        semantic_dedup_pairs(em, dim=64, n_clusters=8, threshold=0.5)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"_semcid", plan), plan
+    # exactly one Arrow pandas UDF evaluation per side of the join
+    # lineage (the centroid assignment); no row-at-a-time Python
+    assert "BatchEvalPython" not in plan, plan
