@@ -201,6 +201,15 @@ HEADLINE = [
     # repeat builds the (tbl, bucket)-partitioned index for the
     # fixture generation, later repeats time the pruned pure-JVM probe
     "sim_topk_lsh_persisted_query",
+    # r11 final additions — the three late operators (additive: earlier
+    # rows' names unchanged; ladder curves in SCALING.md
+    # repeated_spans / bm25_topk / semdedup). NOTE for the same-round
+    # series: the r11 Lloyd-loop fix (PERF_NOTES #10) also makes
+    # sim_topk_ivf_build and sim_topk_ivf cheaper — a downward shape
+    # change on existing rows, allowed by the ceiling reading.
+    "dd_repeated_spans",
+    "tx_bm25_topk",
+    "dd_semdedup_pairs",
 ]
 
 
