@@ -2113,14 +2113,18 @@ def strip_repeated_spans(
     document, keeping everything else in order (the removal half of
     ExactSubstr dedup). Spans aggregate to one small array per affected
     doc and join back on the id; the token filter is a native nested
-    higher-order expression (no Python). Documents with no spans pass
-    through unchanged; output replaces ``text_col`` with the cleaned
-    text and adds ``n_tokens_removed``."""
+    higher-order expression (no Python). Documents with NO spans pass
+    through with their text byte-identical; affected documents are
+    rebuilt from their ORIGINAL-case whitespace tokens (span positions
+    are case-independent — lowercasing never changes ``\\s+`` token
+    boundaries — so the only lossy normalization on an affected doc is
+    whitespace collapsing to single spaces). Output replaces
+    ``text_col`` and adds ``n_tokens_removed``."""
     agg = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     arr = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
     j = docs.join(agg, id_col, "left").withColumn("_toks", arr)
     idx = F.when(
@@ -2128,19 +2132,23 @@ def strip_repeated_spans(
     ).otherwise(F.array().cast("array<int>"))
     kept = F.filter(
         idx,
-        lambda i: F.coalesce(
-            ~F.exists(
-                "_spans",
-                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
-            ),
-            F.lit(True),
+        lambda i: ~F.exists(
+            "_spans",
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
         ),
     )
+    untouched = F.col("_spans").isNull()
     out_cols = [c for c in docs.columns if c != text_col]
     return j.select(
         *out_cols,
-        F.array_join(
-            F.transform(kept, lambda i: F.element_at("_toks", i)), " "
-        ).alias(text_col),
-        (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"),
+        F.when(untouched, F.col(text_col))
+        .otherwise(
+            F.array_join(
+                F.transform(kept, lambda i: F.element_at("_toks", i)), " "
+            )
+        )
+        .alias(text_col),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size("_toks") - F.size(kept))
+        .alias("n_tokens_removed"),
     )

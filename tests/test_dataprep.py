@@ -2137,9 +2137,9 @@ def test_strip_repeated_spans_removes_exactly_the_spans(spark):
 
     boiler = "this work is licensed under the creative commons license"
     docs = [
-        (1, "alpha beta " + boiler + " gamma delta"),
+        (1, "Alpha beta " + boiler + " gamma DELTA"),
         (2, "one two three four " + boiler),
-        (3, "totally unique words nowhere else repeated at all in any doc"),
+        (3, "Totally  UNIQUE words   nowhere else repeated at all in any doc"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     spans = repeated_spans(df, n=6, min_docs=2)
@@ -2147,6 +2147,9 @@ def test_strip_repeated_spans_removes_exactly_the_spans(spark):
         r.doc_id: (r.text, r.n_tokens_removed)
         for r in strip_repeated_spans(df, spans).collect()
     }
-    assert got[1] == ("alpha beta gamma delta", 9)
+    # affected docs rebuild from ORIGINAL-case tokens (span positions
+    # are case-independent)
+    assert got[1] == ("Alpha beta gamma DELTA", 9)
     assert got[2] == ("one two three four", 9)
+    # untouched docs pass through BYTE-identical (case and whitespace)
     assert got[3] == (docs[2][1], 0)

@@ -204,3 +204,22 @@ def test_inflate_embeddings_is_per_replica_isometry(spark):
         for rep in (1, 2, 3)
     ]
     assert max(crosses) < 0.9 and sum(crosses) / len(crosses) < 0.35
+
+
+def test_scalegen_replicates_repeated_span_structure(spark):
+    """The repeated_spans ladder's inflation contract: the per-replica
+    character cipher is a token bijection, so the cross-doc repeated
+    6-gram structure replicates VERBATIM per replica and never leaks
+    across replicas — the span output must grow exactly K× (the
+    measured ladder's out column shows exactly this: 529 · K at every
+    K)."""
+    from gpssbzd_spark.dataprep.dedup import repeated_spans
+    from gpssbzd_spark.dataprep.scalegen import inflate_documents
+    from gpssbzd_spark.sources import load_table
+
+    d = load_table(spark, ORACLE_SF_DIR, "documents")
+    base = repeated_spans(d, n=6, min_docs=2).count()
+    assert base > 0
+    for K in (2, 4):
+        got = repeated_spans(inflate_documents(d, K), n=6, min_docs=2).count()
+        assert got == K * base, (K, got, base)
