@@ -1907,16 +1907,23 @@ def semantic_dedup_pairs(
         kmeans_centroids,
     )
 
+    # pin the source once (GC-scoped): it feeds the seed sample, the
+    # row count, every Lloyd round, and the pair join — the same
+    # consumption pattern build_ivf_index pins for (r11 review)
+    src = df.select(id_col, vec_col).localCheckpoint()
     cents = kmeans_centroids(
-        df, dim, n_centroids=n_clusters, iters=iters, seed=seed,
+        src, dim, n_centroids=n_clusters, iters=iters, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
     assign = _nearest_centroids_udf(cents, 1)
-    clustered = df.select(
+    # pin the assignment too: both sides of the blocked self-join
+    # consume it, and without the pin the Arrow matmul runs once per
+    # side
+    clustered = src.select(
         id_col,
         vec_col,
         F.element_at(assign(F.col(vec_col)), 1).alias("_semcid"),
-    )
+    ).localCheckpoint()
     return embedding_cosine_pairs(
         clustered,
         id_col=id_col,

@@ -56,6 +56,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _corpus_bm25_queries():
+    from gpssbzd_spark.corpus.dataprep import _BM25_QUERIES
+
+    return _BM25_QUERIES
+
+
 def families(sf_dir: str | None = None):
     """name → (table, inflate_fn, op_fn[, max_k]). Imported lazily so
     the harness can print a clean error without a JVM. ``sf_dir`` is
@@ -152,16 +158,10 @@ def families(sf_dir: str | None = None):
         "bm25_topk": (
             "documents",
             inflate_documents,
-            lambda d, K: bm25_topk(
-                d,
-                [
-                    (1, "window hash join"),
-                    (2, "stream batch merge sort"),
-                    (3, "customer order line"),
-                    (4, "vector scan filter query"),
-                ],
-                k=5,
-            ),
+            # the SAME literal batch as the tx_bm25_topk bench row —
+            # imported, not copied, so the ladder curve cannot drift
+            # from the workload the bench row measures (r11 review)
+            lambda d, K: bm25_topk(d, _corpus_bm25_queries(), k=5),
         ),
         "semdedup": (
             "embeddings",

@@ -636,7 +636,7 @@ def test_bm25_plan_broadcasts_stats_no_smj_no_python(spark):
     # the one-row stats side rides a broadcast nested loop, never a
     # shuffled cross
     assert "BroadcastNestedLoopJoin" in plan, plan
-    assert not re.search(r"(BatchEvalPython|ArrowEvalPython|FlatMapsInPandas)", plan), plan
+    assert not re.search(r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)", plan), plan
 
 
 def test_repeated_spans_plan_no_cartesian_no_python(spark):
@@ -653,7 +653,7 @@ def test_repeated_spans_plan_no_cartesian_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # partial agg before the exchange on the gram rollup
     assert "partial_count" in plan or "HashAggregate" in plan, plan
-    assert not re.search(r"(BatchEvalPython|ArrowEvalPython|FlatMapsInPandas)", plan), plan
+    assert not re.search(r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)", plan), plan
 
 
 def test_semdedup_pair_join_is_cid_keyed_equi_join(spark):
