@@ -59,6 +59,22 @@ relabeling — previously a different geometry and a count projection),
 score-recompute join), ``dd_embedding_cosine_blocked`` (dup-seeded
 corpus +10% rows + seed-pair join + containment agg, the r9 recipe).
 PERF_NOTES #9 records the r11 idle baselines for all three.
+
+r12 methodology note (VERDICT r11 #3): the contract line's PRIMARY
+``value`` (and the per-row ``queries`` map) is now the cross-repeat
+MIN, not the median — two consecutive rounds' committed records (r10,
+r11) landed above their pre-registered bands on diagnosed co-tenant
+load while the code-level number was flat-to-better, making the
+BENCH_r*.json series itself misleading. The min is the statistic that
+survives a loaded capture (PERF_NOTES #8's idle re-measures repeatedly
+confirmed per-row mins at record levels while medians inflated 1.3-2×).
+The median stays in the line as ``value_median`` and per-row in
+BENCH_DETAIL.json ``queries_median``. Series comparison: r12+ ``value``
+compares against r10/r11 ``value_min`` (present in the committed lines
+since r10) and against ``queries_min`` in BENCH_DETAIL since r5;
+pre-r12 ``value`` fields are MEDIAN-based — do not compare them to r12+
+``value`` directly. PERF_NOTES #11 records the switch and the r12
+pre-registered band.
 """
 
 from __future__ import annotations
@@ -280,7 +296,8 @@ def main() -> None:
             mins[name] = round(min(runs), 3)
             spreads[name] = round(max(runs) - min(runs), 3)
 
-    total = round(sum(medians.values()), 3)
+    total_min = round(sum(mins.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     # The stdout contract line carries ONLY medians + total: r3 and r5 both
     # recorded ``parsed: null`` because the full line (with queries_min /
     # queries_spread for 47 rows, ~4.3 KB) exceeded the round driver's
@@ -298,21 +315,24 @@ def main() -> None:
     LINE_BUDGET = 1950
     summary = {
         "metric": "headline_queries_total_wall",
-        "value": total,
-        # sum of per-row BEST runs — the load-robust floor (VERDICT r10
-        # #8: the driver's capture can land under co-tenant load; the
-        # min series is the statistic that survives it). Full per-row
-        # mins stay in BENCH_DETAIL.json.
-        "value_min": round(sum(mins.values()), 3),
+        # PRIMARY = sum of per-row BEST runs (VERDICT r11 #3): the
+        # load-robust floor. r10/r11 both committed above-band medians
+        # under diagnosed co-tenant load; the min survives one loaded
+        # capture per row by construction. Medians stay as the
+        # secondary series (value_median here, queries_median in
+        # BENCH_DETAIL.json).
+        "value": total_min,
+        "value_median": total_median,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in medians.items()},
+        "queries": {k: round(v, 2) for k, v in mins.items()},
         "repeats": repeats,
         "sf": sf,
     }
     if errors:
         summary["errors"] = errors
     detail = dict(summary)
-    detail["queries"] = medians
+    detail["queries"] = mins
+    detail["queries_median"] = medians
     detail["queries_min"] = mins
     detail["queries_spread"] = spreads
     line = json.dumps(summary, separators=(",", ":"))

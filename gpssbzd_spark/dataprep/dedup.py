@@ -1999,6 +1999,17 @@ def repeated_spans(
     theirs. Interval merging is one per-doc window pass over flagged
     starts only (running-max-end segmenting), never over all tokens.
 
+    Merge-rule caveat (ADVICE r11): ADJACENT flagged windows
+    (``start == prev_max_end + 1``) merge too, so a reported span is a
+    superset approximation of true repeated regions — two abutting
+    windows repeated with DIFFERENT partner documents concatenate into
+    one span that need not occur contiguously in ≥ ``min_docs``
+    documents. That is the conservative direction for a dedup
+    *candidate* region (over-flag, never under-flag), and both engines
+    implement the identical rule (oracle parity unaffected); callers
+    needing strictly-witnessed regions should re-verify spans against
+    the corpus before acting on them.
+
     Returns (id, span_start, span_end, span_tokens), token positions
     1-based inclusive, one row per maximal span per document. Fully
     SQL-expressible — :func:`repeated_spans_sql` is the DuckDB twin.

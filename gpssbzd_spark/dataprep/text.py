@@ -643,6 +643,15 @@ def _query_terms(queries: "Sequence[tuple[int, str]]") -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _sql_double(x: float) -> str:
+    """A DuckDB DOUBLE literal for ``x``. ``repr(x)`` round-trips the
+    exact float; CAST types it DOUBLE whether repr came out fixed-point
+    or scientific (the previous ``repr(x) + 'e0'`` form produced
+    invalid SQL like ``1e-05e0`` for values whose repr is already
+    e-notation — ADVICE r11)."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: "Sequence[tuple[int, str]]",
@@ -652,6 +661,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 4,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k document retrieval for a small query batch —
     the standard sparse-retrieval scorer an LLM-data pipeline uses for
@@ -678,9 +688,17 @@ def bm25_topk(
     - N and avgdl come from one broadcast one-row aggregate; df joins
       back broadcast (≤ #query terms rows);
     - per-query ranking is a window over candidates only. A query made
-      of stop-words drags its full posting lists — at 100 TB cap or
-      drop ultra-high-df terms (idf ≈ 0 contributes nothing) before
-      calling, exactly as production BM25 does.
+      of stop-words would drag its full posting lists — ``max_df_frac``
+      caps that INSIDE the operator: terms with df/N above the fraction
+      are dropped from ``df_t``, and because the scoring join to
+      ``df_t`` is inner, the dropped terms' posting rows are eliminated
+      at the broadcast hash join BEFORE the per-(query, doc) aggregation
+      shuffle (idf ≈ 0 for such terms, so at any plausible cap the
+      ranking loses nothing — exactly the pre-drop production BM25
+      does, but enforced as a parameter instead of advisory prose).
+      Counting df itself is one narrow partial-agg over the candidate
+      postings; the cap saves the wide part (score join + groupBy +
+      window). A query whose every term exceeds the cap returns empty.
 
     Docs with no query term score nothing and never appear (standard
     BM25 behavior). Fully SQL-expressible: :func:`bm25_topk_sql` is the
@@ -718,6 +736,15 @@ def bm25_topk(
     cand = tf.join(F.broadcast(qtok), "token").localCheckpoint()
     # tf rows are unique per (doc, term) ⇒ count(*) = document frequency
     df_t = cand.groupBy("token").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        # cross join to the one-row stats (broadcast, ≤ #query-term
+        # rows on the left) — terms above the cap vanish here, and the
+        # inner scoring join below then prunes their posting rows too
+        df_t = (
+            df_t.crossJoin(F.broadcast(stats.select("_n")))
+            .filter(F.col("df") <= F.lit(max_df_frac) * F.col("_n"))
+            .drop("_n")
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -751,17 +778,27 @@ def bm25_topk_sql(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 4,
+    max_df_frac: float | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` over the ``documents`` view.
     The query terms are inlined as a VALUES list produced by the SAME
-    driver-side tokenization (:func:`_query_terms`); float literals are
-    written in e-notation so DuckDB types them DOUBLE (a bare ``1.2``
-    is DECIMAL there and would score under decimal rounding)."""
+    driver-side tokenization (:func:`_query_terms`); parameter floats
+    are emitted via :func:`_sql_double` so DuckDB types them DOUBLE (a
+    bare ``1.2`` is DECIMAL there and would score under decimal
+    rounding, and a plain ``repr`` breaks for e-notation reprs)."""
     qterms = _query_terms(queries)
     if not qterms:
         raise ValueError("bm25_topk_sql: queries tokenized to no terms")
     values = ", ".join(
         "({}, '{}')".format(qid, t.replace("'", "''")) for qid, t in qterms
+    )
+    df_cap = (
+        ""
+        if max_df_frac is None
+        else (
+            f" HAVING COUNT(*) <= {_sql_double(max_df_frac)}"
+            " * (SELECT _n FROM stats)"
+        )
     )
     return f"""
     WITH d AS (
@@ -786,14 +823,15 @@ def bm25_topk_sql(
     ), cand AS (
       SELECT tf.* FROM tf JOIN qtok USING (token)
     ), df_t AS (
-      SELECT token, COUNT(*) AS df FROM cand GROUP BY token
+      SELECT token, COUNT(*) AS df FROM cand GROUP BY token{df_cap}
     ), scored AS (
       SELECT q.query_id, cand.doc_id,
              ROUND(SUM(
                ln(1e0 + (stats._n - df_t.df + 0.5e0) / (df_t.df + 0.5e0))
-               * (cand.tf * {k1 + 1.0!r}e0)
-               / (cand.tf + {k1!r}e0
-                  * ({1.0 - b!r}e0 + {b!r}e0 * cand.dl / stats._avgdl))
+               * (cand.tf * {_sql_double(k1 + 1.0)})
+               / (cand.tf + {_sql_double(k1)}
+                  * ({_sql_double(1.0 - b)} + {_sql_double(b)}
+                     * cand.dl / stats._avgdl))
              ), {round_to}) AS score
       FROM cand JOIN q USING (token) JOIN df_t USING (token)
       CROSS JOIN stats

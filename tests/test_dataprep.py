@@ -2083,6 +2083,63 @@ def test_bm25_topk_rejects_empty_queries(spark):
         bm25_topk(df, [(1, "   ")], k=3)
 
 
+def test_bm25_max_df_frac_drops_stopwords(spark):
+    """The high-df cap (VERDICT r11 #6): a stopword present in every
+    document is dropped from scoring when its df/N exceeds the cap —
+    a stopword-ONLY query returns EMPTY instead of scanning the
+    corpus, and a mixed query scores as if the stopword were absent."""
+    from gpssbzd_spark.dataprep.text import bm25_topk
+
+    docs = [
+        (1, "the apple pie"),
+        (2, "the cherry tart"),
+        (3, "the banana split"),
+        (4, "the plain bread"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # 'the' has df/N = 1.0 > 0.5 → dropped under the cap
+    assert bm25_topk(df, [(1, "the")], k=3, max_df_frac=0.5).count() == 0
+    capped = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(
+            df, [(2, "the apple")], k=3, max_df_frac=0.5
+        ).collect()
+    }
+    pure = {
+        (2, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(df, [(2, "apple")], k=3).collect()
+    }
+    assert capped == pure
+    # no cap → the stopword's posting list scores every doc
+    assert bm25_topk(df, [(1, "the")], k=10).count() == 4
+
+
+def test_bm25_sql_twin_reproduces_cap_and_scientific_literals():
+    """bm25_topk_sql with max_df_frac + a parameter whose repr is
+    e-notation (b=1e-05 — the ADVICE r11 invalid-literal case) runs on
+    DuckDB and reproduces the Spark cap bit-identically (the full
+    engine-vs-engine parity at defaults lives in the corpus oracle
+    row; this pins the PARAMETERIZED twin)."""
+    import duckdb
+
+    from gpssbzd_spark.dataprep.text import bm25_topk_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'the apple pie'), (2, 'the cherry tart'), "
+        "(3, 'the banana split'), (4, 'the plain bread')"
+        ") t(doc_id, text)"
+    )
+    sql = bm25_topk_sql([(1, "the")], k=3, b=1e-05, max_df_frac=0.5)
+    assert con.execute(sql).fetchall() == []
+    mixed = con.execute(
+        bm25_topk_sql([(2, "the apple")], k=3, max_df_frac=0.5)
+    ).fetchall()
+    pure = con.execute(bm25_topk_sql([(2, "apple")], k=3)).fetchall()
+    assert mixed == pure and len(mixed) == 1
+
+
 # ---------------------------------------------------------------------------
 # Cross-document repeated spans (ExactSubstr-style)
 # ---------------------------------------------------------------------------

@@ -533,6 +533,41 @@ def test_steady_state_cadence_within_four_rounds():
     )
 
 
+def test_stale_evidence_is_in_current_window():
+    """VERDICT r11 #8 — the always-binding staleness ratchet over the
+    COMMITTED ledger: any registered query whose newest committed
+    driver row is ≥ GRACE rounds old must be IN the current round's
+    window (i.e. being refreshed right now). GRACE = STEADY_CADENCE
+    + 2: the steady contract is 4, +2 absorbs the rounds new-query
+    debt consumes (new registrations displace slots and the backlog
+    drains oldest-first, so a name can legitimately wait up to two
+    extra rounds when a registration burst and the historical tail
+    collide — r12's fully-saturated drain window left exactly two
+    r07-vintage names at staleness 5, the measured worst case).
+    Unlike test_steady_state_cadence_within_four_rounds' layer (b)
+    this is NOT gated on the debt having drained — it binds on every
+    ledger, so the r11 What's-wrong #3 tail (51 queries >4 rounds
+    stale, silently regrown while debt rounds suspended the steady
+    slice) can never re-accumulate undetected."""
+    corpus._load_all()
+    key = corpus._round_key()
+    if key <= corpus.STEADY_CADENCE + 2:
+        return  # too early for any name to exceed GRACE
+    latest = corpus._latest_evidence_rounds(key)
+    win = set(corpus.window_names())
+    grace = corpus.STEADY_CADENCE + 2
+    overdue = {
+        n: latest[n]
+        for n in corpus.CORPUS
+        if n in latest and key - latest[n] >= grace and n not in win
+    }
+    assert not overdue, (
+        f"queries ≥{grace} rounds stale at key {key} yet NOT in this "
+        f"round's window (the drain must refresh oldest-first): "
+        f"{dict(sorted(overdue.items(), key=lambda kv: kv[1])[:8])}"
+    )
+
+
 def test_round_key_ignores_inflight_disk_records(tmp_path, monkeypatch):
     """The round key comes from git-COMMITTED CORRECTNESS files, so a
     mid-round disk write by the driver cannot shift it (ADVICE r8).
