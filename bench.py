@@ -226,6 +226,15 @@ HEADLINE = [
     "dd_repeated_spans",
     "tx_bm25_topk",
     "dd_semdedup_pairs",
+    # r12 additions — the LSH maintenance half (first repeat builds
+    # init + append for the fixture generation, later repeats time the
+    # committed-state read-back + verification projection; the append
+    # cost curve lives in SCALING.md lsh_append) and the df-capped
+    # BM25 (same posting discipline as tx_bm25_topk with the high-df
+    # terms pruned at the broadcast join — expected at-or-below the
+    # uncapped row)
+    "sim_topk_lsh_append",
+    "tx_bm25_topk_capped",
 ]
 
 
@@ -322,6 +331,9 @@ def main() -> None:
         # secondary series (value_median here, queries_median in
         # BENCH_DETAIL.json).
         "value": total_min,
+        # kept as an alias so the r10/r11 value_min series greps
+        # straight through the contract switch
+        "value_min": total_min,
         "value_median": total_median,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in mins.items()},

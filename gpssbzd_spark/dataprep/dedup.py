@@ -1869,6 +1869,7 @@ def semantic_dedup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hierarchical: bool | None = None,
 ) -> DataFrame:
     """SemDeDup semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): block the embedding space with a coarse k-means
@@ -1899,31 +1900,72 @@ def semantic_dedup_pairs(
     that cluster's quadratic term only — cap per-cluster size or
     sub-cluster hot cids when the assignment histogram says so.
 
+    With C ∝ n the flat assignment matmul is itself O(n·C·d) — the
+    residual superlinear term PERF_NOTES #10 names (the paper's own
+    brute-on-accelerators regime). ``hierarchical`` switches the
+    blocking key to a TWO-LEVEL codebook (VERDICT r11 #7,
+    :func:`~gpssbzd_spark.dataprep.similarity.kmeans_centroids_2level`:
+    √C coarse cells → √C fine cells within the assigned coarse cell),
+    making assignment O(n·√C·d). The two-level cells are a DIFFERENT
+    (but equally valid) partition of the space than flat k-means, so
+    like any blocking change it moves organic recall only — identical
+    vectors still collide (identical input ⇒ identical (c1, c2)
+    argmaxes ⇒ exact-dup recall stays 1.0) and precision stays exact
+    (the verify step is unchanged). Default ``None`` = auto:
+    hierarchical once ``n_clusters ≥ 64``, where the √C saving clears
+    the second UDF pass's overhead; flat below.
+
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim ≥
     ``threshold``. Zero-norm vectors are dropped (cosine undefined).
     """
     from gpssbzd_spark.dataprep.similarity import (
         _nearest_centroids_udf,
+        _nearest_fine_udf,
         kmeans_centroids,
+        kmeans_centroids_2level,
     )
 
+    if hierarchical is None:
+        hierarchical = n_clusters >= 64
     # pin the source once (GC-scoped): it feeds the seed sample, the
     # row count, every Lloyd round, and the pair join — the same
     # consumption pattern build_ivf_index pins for (r11 review)
     src = df.select(id_col, vec_col).localCheckpoint()
-    cents = kmeans_centroids(
-        src, dim, n_centroids=n_clusters, iters=iters, seed=seed,
-        id_col=id_col, vec_col=vec_col,
-    )
-    assign = _nearest_centroids_udf(cents, 1)
-    # pin the assignment too: both sides of the blocked self-join
-    # consume it, and without the pin the Arrow matmul runs once per
-    # side
-    clustered = src.select(
-        id_col,
-        vec_col,
-        F.element_at(assign(F.col(vec_col)), 1).alias("_semcid"),
-    ).localCheckpoint()
+    if hierarchical:
+        coarse, fine = kmeans_centroids_2level(
+            src, dim, n_centroids=n_clusters, iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        c2_n = fine.shape[1]
+        assign1 = _nearest_centroids_udf(coarse, 1)
+        assign2 = _nearest_fine_udf(fine)
+        with_c1 = src.select(
+            id_col,
+            vec_col,
+            F.element_at(assign1(F.col(vec_col)), 1).alias("_c1"),
+        )
+        clustered = with_c1.select(
+            id_col,
+            vec_col,
+            (
+                F.col("_c1") * F.lit(int(c2_n))
+                + assign2(F.col("_c1"), F.col(vec_col))
+            ).alias("_semcid"),
+        ).localCheckpoint()
+    else:
+        cents = kmeans_centroids(
+            src, dim, n_centroids=n_clusters, iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        assign = _nearest_centroids_udf(cents, 1)
+        # pin the assignment too: both sides of the blocked self-join
+        # consume it, and without the pin the Arrow matmul runs once
+        # per side
+        clustered = src.select(
+            id_col,
+            vec_col,
+            F.element_at(assign(F.col(vec_col)), 1).alias("_semcid"),
+        ).localCheckpoint()
     return embedding_cosine_pairs(
         clustered,
         id_col=id_col,

@@ -35,6 +35,23 @@ cost is governed by bucket occupancy, so a deployment grows
 (SCALING.md ``embedding_blocked``) to keep per-bucket lists constant.
 Local-filesystem directory checks stand in for the manifest lookup, as
 in the IVF path.
+
+MAINTENANCE (VERDICT r11 #4 — the ivfindex recipe transplanted): the
+index GROWS by appending (tbl, bucket)-partitioned batch directories
+under ``batches/<batch_id>/``, each committed by ONE atomic manifest
+part (``manifest/part-*.jsonl``) — new vectors are bucketed with the
+FROZEN plane family (derived from the persisted seed, so append is
+deterministic and append ≡ rebuild exactly), the existing layout is
+never read or rewritten (O(delta)), retries with the same ``batch_id``
+overwrite the same dir and re-commit idempotently, and a crash between
+the parquet write and the manifest part leaves an invisible orphan.
+Simpler than IVF's append in exactly one way: the plane family is
+data-INDEPENDENT (seeded Gaussians, not a fitted codebook), so there
+is no staleness metric to track — a distribution shift changes bucket
+OCCUPANCY but never the correctness of an assignment. The build's
+``index/`` dir doubles as the implicit ``init`` batch (synthesized
+into the batch list for pre-manifest indexes), so serving reads
+init + every committed append uniformly.
 """
 
 from __future__ import annotations
@@ -86,6 +103,28 @@ def query_buckets(
     return out
 
 
+def _bucket_rows(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, _norm_e, tbl, bucket) — the index row shape, one row
+    per (vector, table), bucketed by the seeded plane family (pure
+    function of (vector, params) ⇒ retry-overwrite and append ≡
+    rebuild both hold)."""
+    buckets = hyperplane_buckets_all(dim, n_planes, n_tables, seed)
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_norm_e"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+
+
 def lsh_index_build(
     spark: SparkSession,
     index_dir: str,
@@ -99,17 +138,16 @@ def lsh_index_build(
 ) -> dict:
     """Bucket the corpus once and persist it partitioned by
     (tbl, bucket); params.json written LAST is the commit marker
-    (readers require it, so a crashed build is invisible)."""
-    buckets = hyperplane_buckets_all(dim, n_planes, n_tables, seed)
-    rows = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("_norm_e"),
-        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    (readers require it, so a crashed build is invisible). The
+    ``index/`` dir is the growable index's ``init`` batch —
+    :func:`lsh_index_append` adds more."""
+    rows = _bucket_rows(
+        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
     )
     rows.repartition("tbl", "bucket").write.mode("overwrite").partitionBy(
         "tbl", "bucket"
     ).parquet(os.path.join(index_dir, "index"))
+    n = spark.read.parquet(os.path.join(index_dir, "index")).count()
     params = {
         "dim": dim,
         "n_planes": n_planes,
@@ -117,6 +155,15 @@ def lsh_index_build(
         "seed": seed,
     }
     os.makedirs(index_dir, exist_ok=True)
+    _commit_manifest_part(
+        index_dir,
+        {
+            "seq": 0,
+            "batch_id": "init",
+            "dir": os.path.join(index_dir, "index"),
+            "n": n,
+        },
+    )
     tmp = os.path.join(index_dir, ".params.tmp")
     with open(tmp, "w") as fh:
         json.dump(params, fh)
@@ -127,6 +174,127 @@ def lsh_index_build(
 def lsh_index_params(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "params.json")) as fh:
         return json.load(fh)
+
+
+def _manifest_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest")
+
+
+def _commit_manifest_part(index_dir: str, record: dict) -> str:
+    """Atomically append one manifest part (create-temp + rename — the
+    single commit point; same shape as ivfindex/sigindex)."""
+    import uuid
+
+    mdir = _manifest_dir(index_dir)
+    os.makedirs(mdir, exist_ok=True)
+    part = os.path.join(mdir, f"part-{uuid.uuid4().hex}.jsonl")
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(record) + "\n")
+    os.replace(tmp, part)
+    return part
+
+
+def lsh_index_batches(index_dir: str) -> list[dict]:
+    """Committed batch records, init first then appends in commit
+    order (ties broken by batch_id). A pre-manifest index (params.json
+    + ``index/`` but no manifest — the pre-r12 layout) synthesizes its
+    init record, so old persisted indexes stay readable."""
+    records = []
+    mdir = _manifest_dir(index_dir)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not name.endswith(".jsonl") or name.startswith("."):
+                continue
+            with open(os.path.join(mdir, name)) as fh:
+                for line in fh:
+                    if line.strip():
+                        records.append(json.loads(line))
+    if not any(r["batch_id"] == "init" for r in records) and os.path.exists(
+        os.path.join(index_dir, "params.json")
+    ):
+        records.append(
+            {
+                "seq": 0,
+                "batch_id": "init",
+                "dir": os.path.join(index_dir, "index"),
+                "n": None,
+            }
+        )
+    return sorted(records, key=lambda r: (r["seq"], r["batch_id"]))
+
+
+def lsh_index_append(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    batch_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append ``new_embeddings`` as one committed batch: bucket with
+    the FROZEN seeded plane family, write ONLY the new rows under
+    ``batches/<batch_id>/`` (O(delta) — existing batches are never
+    read), commit one manifest part. ``batch_id`` is the caller's
+    ingest key — a crashed retry with the same id overwrites the same
+    dir and re-commits idempotently (the manifest dedupes by
+    batch_id). No staleness metric: the plane family is
+    data-independent, so assignments never go stale (bucket occupancy
+    shifts under drift, correctness does not — the one way this is
+    simpler than :func:`~gpssbzd_spark.dataprep.ivfindex.
+    ivf_index_append`)."""
+    params_path = os.path.join(index_dir, "params.json")
+    if not os.path.exists(params_path):
+        raise ValueError(
+            f"LSH index at {index_dir} has no committed build — run "
+            "lsh_index_build first"
+        )
+    if batch_id == "init":
+        raise ValueError(
+            "lsh_index_append: batch_id 'init' is reserved for the build"
+        )
+    batches = lsh_index_batches(index_dir)
+    for b in batches:
+        if b["batch_id"] == batch_id:
+            return b
+    params = lsh_index_params(index_dir)
+    rows = _bucket_rows(
+        new_embeddings,
+        params["dim"],
+        params["n_planes"],
+        params["n_tables"],
+        params["seed"],
+        id_col,
+        vec_col,
+    )
+    batch_dir = os.path.join(index_dir, "batches", batch_id)
+    rows.repartition("tbl", "bucket").write.mode("overwrite").partitionBy(
+        "tbl", "bucket"
+    ).parquet(batch_dir)
+    n = spark.read.parquet(batch_dir).count()
+    record = {
+        "seq": batches[-1]["seq"] + 1,
+        "batch_id": batch_id,
+        "dir": batch_dir,
+        "n": n,
+    }
+    _commit_manifest_part(index_dir, record)
+    return record
+
+
+def lsh_index_read(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All committed batches as one (id, vec, _norm_e, tbl, bucket)
+    DataFrame. Uncommitted (crashed) batch dirs are invisible."""
+    batches = lsh_index_batches(index_dir)
+    assert batches, f"LSH index at {index_dir} has no committed batches"
+    parts = [
+        spark.read.option("basePath", b["dir"]).parquet(b["dir"])
+        for b in batches
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def lsh_index_query(
@@ -164,16 +332,28 @@ def lsh_index_query(
     qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     probe_sets = query_buckets(params, qv, probes)
     wanted = sorted({cell for cells in probe_sets for cell in cells})
-    dirs = [
-        os.path.join(root, f"tbl={t}", f"bucket={b}")
-        for t, b in wanted
-        if os.path.isdir(os.path.join(root, f"tbl={t}", f"bucket={b}"))
-    ]
-    assert dirs, (
+    # probe EVERY committed batch (init + appends): a cell a batch has
+    # no vectors in writes no directory there — skipping it is
+    # semantically identical; only existing probed dirs are read
+    parts = []
+    for b in lsh_index_batches(index_dir):
+        dirs = [
+            os.path.join(b["dir"], f"tbl={t}", f"bucket={bb}")
+            for t, bb in wanted
+            if os.path.isdir(os.path.join(b["dir"], f"tbl={t}", f"bucket={bb}"))
+        ]
+        if dirs:
+            parts.append(
+                spark.read.option("basePath", b["dir"]).parquet(*dirs)
+            )
+    assert parts, (
         f"lsh_index_query: none of {len(wanted)} probed (tbl, bucket) "
-        f"cells exists under {root} — empty or mismatched index"
+        f"cells exists in any committed batch under {index_dir} — "
+        "empty or mismatched index"
     )
-    index = spark.read.option("basePath", root).parquet(*dirs)
+    index = parts[0]
+    for p in parts[1:]:
+        index = index.unionByName(p)
     probe_rows = [
         (
             r[0],

@@ -274,6 +274,114 @@ def kmeans_centroids(
     return cents
 
 
+def _nearest_fine_udf(fine: np.ndarray):
+    """pandas UDF: (coarse cell id, array<float> vector) → nearest FINE
+    centroid id WITHIN that coarse cell (by cosine). ``fine`` is the
+    (C1 × C2 × dim) two-level codebook tensor, a closure constant; per
+    Arrow batch the rows group by coarse id and each group does one
+    (rows × dim) @ (dim × C2) matmul — O(C2·d) per vector instead of
+    the flat codebook's O(C·d)."""
+    f = fine.astype(np.float64)
+    f = f / np.maximum(np.linalg.norm(f, axis=2, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(cid1: pd.Series, vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        c1 = cid1.to_numpy()
+        out = np.empty(len(v), dtype=np.int32)
+        for c in np.unique(c1):
+            m = c1 == c
+            out[m] = np.argmax(v[m] @ f[int(c)].T, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return nearest
+
+
+def kmeans_centroids_2level(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hierarchical two-level codebook (VERDICT r11 #7): a coarse
+    C1 ≈ √C codebook over the corpus, then a fine C2 ≈ C/C1 codebook
+    WITHIN each coarse cell — assignment through the pair costs
+    O(n·(C1+C2)·d) = O(n·√C·d) instead of the flat O(n·C·d), which is
+    the residual superlinear term when the codebook grows with the
+    corpus (C ∝ n, the SemDeDup/IVF occupancy rule; PERF_NOTES #10).
+
+    Returns (coarse (C1 × dim), fine (C1 × C2 × dim)). A vector's
+    two-level cell id is ``cid1 · C2 + cid2``. Construction is fully
+    distributed: the coarse codebook is :func:`kmeans_centroids`; fine
+    seeding takes each cell's first C2 vectors by the deterministic
+    id-hash order (one row_number window partitioned by coarse cell —
+    only C1·C2 seed rows reach the driver, cells with fewer members
+    pad with the cell's coarse centroid); each fine Lloyd round is ONE
+    distributed pass (the per-cell-blocked matmul UDF above + one
+    (cid1, cid2, pos) partial-agg mean — C1·C2·d result rows, tiny).
+    Deterministic throughout (hash seeding, argmax ties break low)."""
+    import math
+
+    c1_n = max(2, math.isqrt(max(1, n_centroids - 1)) + 1)
+    c2_n = max(2, -(-n_centroids // c1_n))
+    embeddings = embeddings.select(id_col, vec_col)
+    coarse = kmeans_centroids(
+        embeddings, dim, c1_n, iters, seed, id_col, vec_col
+    )
+    assign1 = _nearest_centroids_udf(coarse, 1)
+    # pin: the coarse assignment feeds the fine seeding window AND
+    # every fine Lloyd round
+    assigned1 = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("_c1"),
+    ).localCheckpoint()
+    h = F.xxhash64(F.col(id_col), F.lit(seed + 1))
+    w = Window.partitionBy("_c1").orderBy(h, F.col(id_col))
+    seeds = (
+        assigned1.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= c2_n)
+        .select("_c1", "_rn", vec_col)
+        .collect()
+    )
+    fine = np.repeat(coarse[:, None, :], c2_n, axis=1).copy()
+    for r in seeds:
+        fine[r["_c1"], r["_rn"] - 1] = np.asarray(r[vec_col], np.float64)
+    for _ in range(iters):
+        assign2 = _nearest_fine_udf(fine)
+        # same generator-child discipline as kmeans_centroids: the UDF
+        # lands below the posexplode so the matmul runs once per
+        # VECTOR, not once per exploded dimension row
+        with_c2 = assigned1.select(
+            "_c1",
+            assign2(F.col("_c1"), F.col(vec_col)).alias("_c2"),
+            F.col(vec_col),
+        )
+        means = (
+            with_c2.select(
+                "_c1",
+                "_c2",
+                F.posexplode(
+                    F.transform(vec_col, lambda x: x.cast("double"))
+                ).alias("pos", "val"),
+            )
+            .groupBy("_c1", "_c2", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = fine.copy()  # empty fine cells keep their old centroid
+        for r in means:
+            new[r["_c1"], r["_c2"], r["pos"]] = r["m"]
+        fine = new
+    return coarse, fine
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     dim: int,

@@ -2023,6 +2023,102 @@ def test_semdedup_seeded_recall_and_survivor_rule(spark):
     assert not any(v >= 1_000_000 for v in surv), "a seeded copy survived"
 
 
+def test_semdedup_hierarchical_subset_recall_and_auto(spark):
+    """The two-level codebook path (VERDICT r11 #7): precision still
+    exact (every hierarchical pair appears in the unblocked exact set
+    at the same cosine — the verify kernel is shared), seeded
+    exact-copy recall still 1.0 (identical input ⇒ identical (c1, c2)
+    argmaxes), and the auto switch picks hierarchical at
+    n_clusters ≥ 64."""
+    from gpssbzd_spark.dataprep.dedup import semantic_dedup_pairs
+
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_cosine_pairs(em, threshold=0.5).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_dedup_pairs(
+            em, dim=64, n_clusters=16, threshold=0.5, hierarchical=True
+        ).collect()
+    }
+    assert set(sem) <= set(exact)
+    for p, s in sem.items():
+        assert s == exact[p]
+    # seeded recall through the hierarchical blocking
+    copies = em.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    seeded = em.unionByName(copies)
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            seeded, dim=64, n_clusters=64, threshold=0.95  # auto → 2-level
+        ).collect()
+    }
+    want = {
+        (r.vec_id, r.vec_id + 1_000_000)
+        for r in em.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    assert want <= got, f"missed seeded pairs: {sorted(want - got)[:5]}"
+
+
+def test_kmeans_2level_cell_ids_well_formed(spark):
+    """kmeans_centroids_2level shapes: coarse (C1, d), fine
+    (C1, C2, d) with C1·C2 ≥ n_centroids; assignment through the pair
+    lands in [0, C1·C2) and identical vectors get identical cells."""
+    import numpy as np
+
+    from gpssbzd_spark.dataprep.similarity import (
+        _nearest_centroids_udf,
+        _nearest_fine_udf,
+        kmeans_centroids_2level,
+    )
+
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    coarse, fine = kmeans_centroids_2level(em, dim=64, n_centroids=24)
+    c1_n, c2_n = fine.shape[0], fine.shape[1]
+    assert coarse.shape == (c1_n, 64) and fine.shape == (c1_n, c2_n, 64)
+    assert c1_n * c2_n >= 24
+    a1 = _nearest_centroids_udf(coarse, 1)
+    a2 = _nearest_fine_udf(fine)
+    cells = (
+        em.select(
+            "vec_id",
+            F.element_at(a1(F.col("embedding")), 1).alias("_c1"),
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            (F.col("_c1") * c2_n + a2(F.col("_c1"), F.col("embedding"))).alias(
+                "cell"
+            ),
+        )
+        .collect()
+    )
+    assert all(0 <= r.cell < c1_n * c2_n for r in cells)
+    # determinism: a second pass assigns identically
+    again = (
+        em.select(
+            "vec_id",
+            F.element_at(a1(F.col("embedding")), 1).alias("_c1"),
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            (F.col("_c1") * c2_n + a2(F.col("_c1"), F.col("embedding"))).alias(
+                "cell"
+            ),
+        )
+        .collect()
+    )
+    assert {(r.vec_id, r.cell) for r in cells} == {
+        (r.vec_id, r.cell) for r in again
+    }
+    assert len({r.cell for r in cells}) > 1, "degenerate single-cell codebook"
+
+
 # ---------------------------------------------------------------------------
 # BM25 retrieval
 # ---------------------------------------------------------------------------

@@ -181,3 +181,144 @@ def test_empty_query_batch_returns_empty_topk(spark, tmp_path):
     out = ivf_query_pruned(mono, cents, none, k=5)
     assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Growable index maintenance (VERDICT r11 #4 — the ivfindex recipe)
+# ---------------------------------------------------------------------------
+
+
+def _setup_split(spark, tmp_path):
+    em = load_table(spark, SF, "embeddings")
+    a = em.filter(F.col("vec_id") % 3 != 0)
+    b = em.filter(F.col("vec_id") % 3 == 0)
+    index_dir = str(tmp_path / "lsh")
+    lsh_index_build(spark, index_dir, a, dim=64, n_planes=8, n_tables=4)
+    return em, a, b, index_dir
+
+
+def test_lsh_append_equals_rebuild_with_frozen_planes(spark, tmp_path):
+    """build(A) + append(B) must hold exactly the (vec, tbl, bucket)
+    rows build-from-scratch(A ∪ B) would hold — bucketing is a pure
+    function of (vector, seeded planes), so the grown index is
+    indistinguishable from a rebuild."""
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_append,
+        lsh_index_read,
+    )
+
+    em, a, b, index_dir = _setup_split(spark, tmp_path)
+    lsh_index_append(spark, index_dir, b, "b1")
+    grown = {
+        (r.vec_id, r.tbl, r.bucket)
+        for r in lsh_index_read(spark, index_dir)
+        .select("vec_id", "tbl", "bucket")
+        .collect()
+    }
+    rebuild_dir = str(tmp_path / "rebuild")
+    lsh_index_build(spark, rebuild_dir, em, dim=64, n_planes=8, n_tables=4)
+    rebuilt = {
+        (r.vec_id, r.tbl, r.bucket)
+        for r in lsh_index_read(spark, rebuild_dir)
+        .select("vec_id", "tbl", "bucket")
+        .collect()
+    }
+    assert grown == rebuilt and len(grown) == em.count() * 4
+
+
+def test_lsh_append_idempotent_and_orphan_invisible(spark, tmp_path):
+    """Same crash/retry contract as ivfindex: a re-append with the
+    same batch_id returns the committed record without duplicating
+    rows, and a batch dir written WITHOUT its manifest part (crash
+    before commit) is invisible to readers until the retry commits."""
+    import os as _os
+
+    from gpssbzd_spark.dataprep.lshindex import (
+        _bucket_rows,
+        lsh_index_append,
+        lsh_index_batches,
+        lsh_index_read,
+    )
+
+    em, a, b, index_dir = _setup_split(spark, tmp_path)
+    n_init = lsh_index_read(spark, index_dir).count()
+    # orphan: the parquet lands but no manifest part commits it
+    orphan_dir = _os.path.join(index_dir, "batches", "orphan")
+    _bucket_rows(b, 64, 8, 4, 42, "vec_id", "embedding").write.mode(
+        "overwrite"
+    ).partitionBy("tbl", "bucket").parquet(orphan_dir)
+    assert lsh_index_read(spark, index_dir).count() == n_init
+    # the retry with the same id overwrites and commits normally
+    r1 = lsh_index_append(spark, index_dir, b, "orphan")
+    n_grown = lsh_index_read(spark, index_dir).count()
+    assert n_grown == em.count() * 4
+    r2 = lsh_index_append(spark, index_dir, b, "orphan")
+    assert r2["batch_id"] == r1["batch_id"] and r2["n"] == r1["n"]
+    assert lsh_index_read(spark, index_dir).count() == n_grown
+    assert [x["batch_id"] for x in lsh_index_batches(index_dir)] == [
+        "init",
+        "orphan",
+    ]
+
+
+def test_lsh_append_requires_build_and_reserves_init(spark, tmp_path):
+    import pytest as _pytest
+
+    from gpssbzd_spark.dataprep.lshindex import lsh_index_append
+
+    em = load_table(spark, SF, "embeddings")
+    with _pytest.raises(ValueError, match="no committed build"):
+        lsh_index_append(spark, str(tmp_path / "nope"), em, "b1")
+    _, _, b, index_dir = _setup_split(spark, tmp_path)
+    with _pytest.raises(ValueError, match="reserved"):
+        lsh_index_append(spark, index_dir, b, "init")
+
+
+def test_lsh_grown_query_matches_in_plan_over_grown_corpus(spark, tmp_path):
+    """Serving over build(A) + append(B) must be bit-identical to the
+    in-plan lsh_topk over A ∪ B — the multi-batch probed read is
+    invisible to results."""
+    from gpssbzd_spark.dataprep.lshindex import lsh_index_append
+
+    em, a, b, index_dir = _setup_split(spark, tmp_path)
+    lsh_index_append(spark, index_dir, b, "b1")
+    q = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = sorted(
+        map(
+            tuple,
+            lsh_index_query(spark, index_dir, q, k=5, probes=1).collect(),
+        )
+    )
+    ref = sorted(
+        map(
+            tuple,
+            lsh_topk(
+                em, q, dim=64, k=5, n_planes=8, n_tables=4, probes=1
+            ).collect(),
+        )
+    )
+    assert got == ref and len(got) > 0
+
+
+def test_lsh_pre_manifest_index_stays_readable(spark, tmp_path):
+    """Back-compat: a pre-r12 index (params.json + index/, no
+    manifest) synthesizes its init batch record, so old persisted
+    indexes serve unchanged — and can even be grown."""
+    import shutil as _shutil
+
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_append,
+        lsh_index_batches,
+        lsh_index_read,
+    )
+
+    em, a, b, index_dir = _setup_split(spark, tmp_path)
+    _shutil.rmtree(os.path.join(index_dir, "manifest"))
+    batches = lsh_index_batches(index_dir)
+    assert [x["batch_id"] for x in batches] == ["init"]
+    assert lsh_index_read(spark, index_dir).count() == a.count() * 4
+    lsh_index_append(spark, index_dir, b, "b1")
+    assert lsh_index_read(spark, index_dir).count() == em.count() * 4

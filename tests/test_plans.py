@@ -98,6 +98,10 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         "sim_topk_ivf_build",      # same kernel (index assignment)
         "sim_topk_ivf_query",      # same kernel (query-side probe)
         "sim_topk_ivf_append",     # same kernel (append assignment)
+        "sim_topk_lsh_append",     # bucket-kernel re-derivation flags
+        "dp_pipeline_ingest_e2e",  # r12 ANN halves: assignment + bucket
+                                   # kernels in the day body and the
+                                   # post-state re-derivation flags
         # sim_topk_ivf_query_pruned is deliberately ABSENT: the pruned
         # serving path resolves the probe driver-side and injects it as
         # a literal broadcast side, so its plan is pure JVM (the
