@@ -75,6 +75,18 @@ since r10) and against ``queries_min`` in BENCH_DETAIL since r5;
 pre-r12 ``value`` fields are MEDIAN-based — do not compare them to r12+
 ``value`` directly. PERF_NOTES #11 records the switch and the r12
 pre-registered band.
+
+r12 row-shape changes: ``dp_pipeline_ingest_e2e`` grew UPWARD — the
+day body now also initializes/appends the persisted IVF + LSH ANN
+indexes from the accepted delta and the post-state projection adds
+the ANN membership/re-derivation flags (VERDICT r11 #5), so its first
+repeat builds more state and its read-back does more verification;
+``dd_simhash_portable128_pairs`` moved DOWNWARD — the signature kernel
+was restructured to stay inside whole-stage codegen (PERF_NOTES #12;
+the flat form's 128 aggregate fields exceeded codegen.maxFields and
+ran interpreted), restoring the r10 record level on identical output.
+``sim_topk_lsh_append`` / ``tx_bm25_topk_capped`` are the r12 row
+additions (see HEADLINE comments).
 """
 
 from __future__ import annotations
@@ -235,6 +247,11 @@ HEADLINE = [
     # uncapped row)
     "sim_topk_lsh_append",
     "tx_bm25_topk_capped",
+    # r12 late addition — both-index compaction (first repeat builds
+    # init+append+compact for each index; later repeats no-op the
+    # maintenance and time the compacted-state read-back + per-vector
+    # verification)
+    "sim_topk_index_compact",
 ]
 
 

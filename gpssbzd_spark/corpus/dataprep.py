@@ -3386,6 +3386,130 @@ def dd_semdedup_pairs(spark, sf_dir):
 
 
 @query(
+    "sim_topk_index_compact",
+    oracle="""
+    SELECT 'ivf' AS kind, vec_id,
+           1 AS rows_per_vec_ok, 1 AS assign_agree, 1 AS one_batch
+    FROM embeddings
+    UNION ALL
+    SELECT 'lsh' AS kind, vec_id,
+           1 AS rows_per_vec_ok, 1 AS assign_agree, 1 AS one_batch
+    FROM embeddings
+    """,
+    note="persisted-index COMPACTION for BOTH ANN maintenance paths "
+    "(r12, ivfindex.ivf_index_compact + lshindex.lsh_index_compact): "
+    "after N daily appends the index holds N batch dirs and every "
+    "probe unions N reads — compaction folds all committed batches "
+    "into ONE partitioned batch (the LSM maintenance step), committed "
+    "by a single manifest part carrying `replaces`, idempotent by "
+    "batch_id (folded day ids INCLUDED — a late retry of a folded day "
+    "must no-op, not re-append), crash-orphans invisible, the IVF "
+    "staleness reference carried forward. CONTENT-IDENTICAL oracle: "
+    "each index is built from 2/3 + appended 1/3 + compacted, then "
+    "read back and checked per vector — exactly 1 row/vec (IVF) and "
+    "exactly n_tables rows/vec (LSH) over the full corpus "
+    "(rows_per_vec_ok — loss or duplication flips it), every "
+    "assignment re-derived from the persisted codebook/planes "
+    "(assign_agree), and one_batch pins that the fold actually "
+    "happened (manifest shows exactly one surviving batch per index). "
+    "Crash/retry/resurrection edges pytest-pinned in "
+    "tests/test_ivfindex.py + tests/test_lshindex.py",
+    tier=2,
+)
+def sim_topk_index_compact(spark, sf_dir):
+    import os
+
+    from gpssbzd_spark.dataprep.ivfindex import (
+        ivf_index_append,
+        ivf_index_batches,
+        ivf_index_codebook,
+        ivf_index_compact,
+        ivf_index_init,
+        ivf_index_read,
+    )
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_append,
+        lsh_index_batches,
+        lsh_index_build,
+        lsh_index_compact,
+        lsh_index_read,
+    )
+    from gpssbzd_spark.dataprep.similarity import (
+        _nearest_centroids_udf,
+        hyperplane_buckets_all,
+    )
+
+    cache = _artifact_cache_dir(sf_dir, "idx_compact", "embeddings")
+    _prune_stale_cache_generations(cache)
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = em.filter(_F.col("vec_id") % 3 != 0)
+    b = em.filter(_F.col("vec_id") % 3 == 0)
+    ivf_dir = os.path.join(cache, "ivf")
+    lsh_dir = os.path.join(cache, "lsh")
+    if not ivf_index_batches(ivf_dir):
+        ivf_index_init(spark, ivf_dir, a, dim=64, n_centroids=16, iters=2)
+    ivf_index_append(spark, ivf_dir, b, "d1")
+    ivf_index_compact(spark, ivf_dir, "c1")
+    if not os.path.exists(os.path.join(lsh_dir, "params.json")):
+        lsh_index_build(spark, lsh_dir, a, dim=64, n_planes=8, n_tables=8)
+    lsh_index_append(spark, lsh_dir, b, "d1")
+    lsh_index_compact(spark, lsh_dir, "c1")
+    one_batch = int(
+        len(ivf_index_batches(ivf_dir)) == 1
+        and len(lsh_index_batches(lsh_dir)) == 1
+    )
+    cents = ivf_index_codebook(ivf_dir)
+    assign_rt = _nearest_centroids_udf(cents, 1)
+    ivf_rows = (
+        ivf_index_read(spark, ivf_dir)
+        .select(
+            "vec_id",
+            (_F.element_at(assign_rt(_F.col("embedding")), 1) == _F.col("cid"))
+            .cast("int")
+            .alias("_ok"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            (_F.count("*") == 1).cast("int").alias("rows_per_vec_ok"),
+            _F.min("_ok").alias("assign_agree"),
+        )
+        .select(
+            _F.lit("ivf").alias("kind"),
+            "vec_id",
+            "rows_per_vec_ok",
+            "assign_agree",
+            _F.lit(one_batch).alias("one_batch"),
+        )
+    )
+    rederive = hyperplane_buckets_all(64, 8, 8, 42)
+    lsh_rows = (
+        lsh_index_read(spark, lsh_dir)
+        .select(
+            "vec_id",
+            (
+                _F.element_at(rederive(_F.col("embedding")), _F.col("tbl") + 1)
+                == _F.col("bucket")
+            )
+            .cast("int")
+            .alias("_ok"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            (_F.count("*") == 8).cast("int").alias("rows_per_vec_ok"),
+            _F.min("_ok").alias("assign_agree"),
+        )
+        .select(
+            _F.lit("lsh").alias("kind"),
+            "vec_id",
+            "rows_per_vec_ok",
+            "assign_agree",
+            _F.lit(one_batch).alias("one_batch"),
+        )
+    )
+    return ivf_rows.unionByName(lsh_rows)
+
+
+@query(
     "dd_semdedup_pairs_hier",
     oracle="""
     SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,

@@ -1314,6 +1314,74 @@ def _simhash_lane_params(bits: int, bands: int, max_hamming: int):
     return n_lanes, bands_per_lane, bits_per_band
 
 
+def _simhash_portable_sigs(
+    df: DataFrame, text_col: str, id_col: str, n_lanes: int
+) -> DataFrame:
+    """Per-document packed SimHash lane signatures (id, sig0..sigN) for
+    the portable md5 family — the signature KERNEL of
+    :func:`simhash_portable`, exposed un-checkpointed so the plan gate
+    can assert it stays inside whole-stage codegen.
+
+    Tokens carry multiplicity (like the kernel path's simhash64):
+    term-frequency-weighted votes separate template-heavy docs that
+    share most of their VOCABULARY but not their token distribution —
+    set-based votes collide essentially the whole fixture corpus.
+
+    Shape (PERF_NOTES #12): one row per (token row, LANE), then the
+    per-bit vote sums group by (id, lane) with 32 aggregate fields per
+    codegen unit — NOT by id with n_lanes·32 fields. At 128 bits the
+    flat form's 128 sums exceed ``spark.sql.codegen.maxFields`` (100)
+    and knocked the ENTIRE signature stage off whole-stage codegen
+    into interpreted eval (zero codegen spans; measured as the
+    dd_simhash_portable128_pairs idle-min elevation, 4.5 → 6.2 s on
+    unchanged code, because interpreted-eval throughput rides JIT
+    warmth). The lane explosion keeps every unit at 32 sums, and the
+    per-lane packed signatures reassemble in a second, n_lanes-field
+    aggregate. Identical signatures by construction — the DuckDB
+    oracle replays the flat form and still hash-matches."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_portable_tokens(F.col(text_col))).alias("token"),
+    )
+    h = F.md5(F.concat(F.lit("sh|"), F.col("token")).cast("binary"))
+    lane_vals = F.array(
+        *[
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
+            for i in range(n_lanes)
+        ]
+    )
+    votes = toks.select(
+        id_col, F.posexplode(lane_vals).alias("_lane", "_v")
+    )
+
+    def vote_sum(j: int) -> Column:
+        bit = F.shiftright(F.col("_v"), j).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}")
+
+    lane_sums = votes.groupBy(id_col, "_lane").agg(
+        *[vote_sum(j) for j in range(32)]
+    )
+    # strict majority like the kernel (votes*2 > n): ties -> 0
+    packed = None
+    for j in range(32):
+        bit = (
+            F.when(F.col(f"s{j}") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        packed = term if packed is None else packed + term
+    lane_sigs = lane_sums.select(id_col, "_lane", packed.alias("_sig"))
+    return lane_sigs.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_lane") == i, F.col("_sig"))).alias(
+                f"sig{i}"
+            )
+            for i in range(n_lanes)
+        ]
+    )
+
+
 def simhash_portable(
     df: DataFrame,
     text_col: str = "text",
@@ -1367,59 +1435,12 @@ def simhash_portable(
     n_lanes, bands_per_lane, bits_per_band = _simhash_lane_params(
         bits, bands, max_hamming
     )
-    lanes = [f"v{i}" for i in range(n_lanes)]
-    # tokens WITH multiplicity (like the kernel path's simhash64):
-    # term-frequency-weighted votes separate template-heavy docs that
-    # share most of their VOCABULARY but not their token distribution —
-    # set-based votes collide essentially the whole fixture corpus
-    toks = df.select(
-        F.col(id_col),
-        F.explode(_portable_tokens(F.col(text_col))).alias("token"),
-    )
-    h = F.md5(F.concat(F.lit("sh|"), F.col("token")).cast("binary"))
-    votes = toks.select(
-        id_col,
-        *[
-            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10)
-            .cast("bigint")
-            .alias(lane)
-            for i, lane in enumerate(lanes)
-        ],
-    )
-
-    def vote_sum(col: str, j: int, name: str) -> Column:
-        bit = F.shiftright(F.col(col), j).bitwiseAND(F.lit(1))
-        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(name)
-
-    sums = votes.groupBy(id_col).agg(
-        *[
-            vote_sum(lane, j, f"s{i}_{j}")
-            for i, lane in enumerate(lanes)
-            for j in range(32)
-        ]
-    )
-
-    def pack(i: int) -> Column:
-        sig = None
-        for j in range(32):
-            # strict majority like the kernel (votes*2 > n): ties -> 0
-            bit = (
-                F.when(F.col(f"s{i}_{j}") > 0, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("bigint")
-            )
-            term = F.shiftleft(bit, j)
-            sig = term if sig is None else sig + term
-        return sig
-
-    sigs = sums.select(
-        id_col, *[pack(i).alias(f"sig{i}") for i in range(n_lanes)]
     # one row per doc, n_lanes+1 scalars — but consumed three times
     # (banding + both verify sides), and each consumer would otherwise
     # re-run the token explode + per-bit-sum groupBy upstream (measured
     # 23.5s → 4.5s at sf0.1): the repo's pin-iteratively-reused-inputs
     # rule, GC-scoped via localCheckpoint rather than a session persist
-    ).localCheckpoint()
+    sigs = _simhash_portable_sigs(df, text_col, id_col, n_lanes).localCheckpoint()
     mask = (1 << bits_per_band) - 1
     band_vals = F.array(
         *[

@@ -90,9 +90,23 @@ def _commit_manifest_part(index_dir: str, record: dict) -> str:
     return part
 
 
-def ivf_index_batches(index_dir: str) -> list[dict]:
-    """Committed batch records, init first then appends in commit
-    order (ties broken by batch_id for determinism)."""
+def _apply_compactions(records: list[dict]) -> list[dict]:
+    """Resolve compaction records: a record carrying ``replaces``
+    supersedes the listed batch_ids — readers see the compacted batch
+    and never consult the folded dirs again (they become unreferenced
+    garbage, safe to delete lazily). Shared by the IVF and LSH
+    manifests (same record shape)."""
+    replaced: set[str] = set()
+    for r in records:
+        replaced.update(r.get("replaces") or [])
+    return [r for r in records if r["batch_id"] not in replaced]
+
+
+def _raw_manifest_records(index_dir: str) -> list[dict]:
+    """Every committed manifest record, compaction supersedence NOT
+    applied — the idempotency dedupe must see folded batch_ids too (a
+    retry of a day a later compaction already folded must return its
+    committed record, never re-append its rows)."""
     mdir = _manifest_dir(index_dir)
     if not os.path.isdir(mdir):
         return []
@@ -105,6 +119,16 @@ def ivf_index_batches(index_dir: str) -> list[dict]:
                 if line.strip():
                     records.append(json.loads(line))
     return sorted(records, key=lambda r: (r["seq"], r["batch_id"]))
+
+
+def ivf_index_batches(index_dir: str) -> list[dict]:
+    """Committed batch records, init first then appends in commit
+    order (ties broken by batch_id for determinism); compaction
+    records supersede the batches they folded."""
+    return sorted(
+        _apply_compactions(_raw_manifest_records(index_dir)),
+        key=lambda r: (r["seq"], r["batch_id"]),
+    )
 
 
 def ivf_index_codebook(index_dir: str) -> np.ndarray:
@@ -248,11 +272,25 @@ def ivf_index_append(
         raise ValueError(
             "ivf_index_append: batch_id 'init' is reserved for the build"
         )
-    for b in batches:
+    # dedupe against RAW records: a batch a later compaction folded
+    # must still short-circuit its retry (its rows live on inside the
+    # compacted batch — re-appending would duplicate them)
+    for b in _raw_manifest_records(index_dir):
         if b["batch_id"] == batch_id:
-            return {**b, "stale": b["drift_fraction"] > stale_threshold}
+            return {**b, "stale": b.get("drift_fraction", 0.0) > stale_threshold}
     cents = ivf_index_codebook(index_dir)
-    ref_shares = {int(c): s for c, s in batches[0]["shares"].items()}
+    # the staleness reference: the first surviving record carrying
+    # shares (the init record, or the compaction record that carried
+    # them forward)
+    ref_shares = {
+        int(c): s
+        for b in batches
+        if "shares" in b
+        for c, s in b["shares"].items()
+    }
+    assert ref_shares, (
+        f"IVF index at {index_dir} lost its staleness reference shares"
+    )
     index = _assign(new_embeddings, cents, id_col, vec_col)
     batch_dir = _write_batch(index, index_dir, batch_id)
     persisted = spark.read.option("basePath", batch_dir).parquet(batch_dir)
@@ -280,6 +318,65 @@ def ivf_index_append(
     }
     _commit_manifest_part(index_dir, record)
     return {**record, "stale": record["drift_fraction"] > stale_threshold}
+
+
+def ivf_index_compact(
+    spark: SparkSession,
+    index_dir: str,
+    batch_id: str,
+    min_batches: int = 2,
+) -> dict | None:
+    """Fold ALL committed batches into ONE cid-partitioned batch dir
+    (the LSM-style maintenance step a daily-append index needs: after
+    N days the index holds N batch dirs and every query unions N
+    probed reads — compaction restores O(1) dirs without changing a
+    single row). Content-identical by construction: the compacted
+    batch is the union of the folded batches' PERSISTED rows
+    (no re-assignment — the codebook never re-runs), rewritten
+    partitioned by cid.
+
+    Crash-safety is the append recipe: the compacted parquet writes
+    first under the caller-keyed ``batch_id`` (idempotent retry), and
+    ONE manifest part carrying ``replaces=[folded batch ids]`` is the
+    single commit point — readers apply the supersedence rule
+    (:func:`_apply_compactions`), so a crash between the two leaves an
+    invisible orphan and the folded dirs are never consulted again
+    after the commit (unreferenced garbage, lazily deletable). Returns
+    the committed record, or None when fewer than ``min_batches``
+    batches exist (nothing to fold)."""
+    batches = ivf_index_batches(index_dir)
+    if not batches:
+        raise ValueError(
+            f"IVF index at {index_dir} has no committed batches"
+        )
+    if batch_id == "init":
+        raise ValueError(
+            "ivf_index_compact: batch_id 'init' is reserved for the build"
+        )
+    for b in _raw_manifest_records(index_dir):
+        if b["batch_id"] == batch_id:
+            return b  # idempotent retry after a committed compaction
+    if len(batches) < min_batches:
+        return None
+    merged = ivf_index_read(spark, index_dir)
+    batch_dir = _write_batch(merged, index_dir, batch_id)
+    n = spark.read.parquet(batch_dir).count()
+    record = {
+        "seq": batches[-1]["seq"] + 1,
+        "batch_id": batch_id,
+        "dir": batch_dir,
+        "n": n,
+        "replaces": [b["batch_id"] for b in batches],
+    }
+    # the codebook-staleness REFERENCE (the build's per-cell shares)
+    # must survive compaction — later appends read it from the first
+    # surviving record
+    for b in batches:
+        if "shares" in b:
+            record["shares"] = b["shares"]
+            break
+    _commit_manifest_part(index_dir, record)
+    return record
 
 
 def ivf_index_read(spark: SparkSession, index_dir: str) -> DataFrame:

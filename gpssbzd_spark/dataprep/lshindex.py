@@ -195,11 +195,12 @@ def _commit_manifest_part(index_dir: str, record: dict) -> str:
     return part
 
 
-def lsh_index_batches(index_dir: str) -> list[dict]:
-    """Committed batch records, init first then appends in commit
-    order (ties broken by batch_id). A pre-manifest index (params.json
-    + ``index/`` but no manifest — the pre-r12 layout) synthesizes its
-    init record, so old persisted indexes stay readable."""
+def _raw_manifest_records(index_dir: str) -> list[dict]:
+    """Every committed record, compaction supersedence NOT applied —
+    the idempotency dedupe must see folded batch_ids too. A
+    pre-manifest index (params.json + ``index/`` but no manifest — the
+    pre-r12 layout) synthesizes its init record, so old persisted
+    indexes stay readable."""
     records = []
     mdir = _manifest_dir(index_dir)
     if os.path.isdir(mdir):
@@ -210,7 +211,13 @@ def lsh_index_batches(index_dir: str) -> list[dict]:
                 for line in fh:
                     if line.strip():
                         records.append(json.loads(line))
-    if not any(r["batch_id"] == "init" for r in records) and os.path.exists(
+    known = {r["batch_id"] for r in records} | {
+        bid for r in records for bid in (r.get("replaces") or [])
+    }
+    # synthesize ONLY when no record mentions init at all — once a
+    # compaction record lists init in its replaces, resurrecting a
+    # synthetic init would double its rows
+    if "init" not in known and os.path.exists(
         os.path.join(index_dir, "params.json")
     ):
         records.append(
@@ -222,6 +229,18 @@ def lsh_index_batches(index_dir: str) -> list[dict]:
             }
         )
     return sorted(records, key=lambda r: (r["seq"], r["batch_id"]))
+
+
+def lsh_index_batches(index_dir: str) -> list[dict]:
+    """Committed batch records, init first then appends in commit
+    order (ties broken by batch_id); compaction records supersede the
+    batches they folded."""
+    from gpssbzd_spark.dataprep.ivfindex import _apply_compactions
+
+    return sorted(
+        _apply_compactions(_raw_manifest_records(index_dir)),
+        key=lambda r: (r["seq"], r["batch_id"]),
+    )
 
 
 def lsh_index_append(
@@ -254,7 +273,10 @@ def lsh_index_append(
             "lsh_index_append: batch_id 'init' is reserved for the build"
         )
     batches = lsh_index_batches(index_dir)
-    for b in batches:
+    # dedupe against RAW records: a batch a later compaction folded
+    # must still short-circuit its retry (its rows live on inside the
+    # compacted batch — re-appending would duplicate them)
+    for b in _raw_manifest_records(index_dir):
         if b["batch_id"] == batch_id:
             return b
     params = lsh_index_params(index_dir)
@@ -295,6 +317,56 @@ def lsh_index_read(spark: SparkSession, index_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def lsh_index_compact(
+    spark: SparkSession,
+    index_dir: str,
+    batch_id: str,
+    min_batches: int = 2,
+) -> dict | None:
+    """Fold ALL committed batches into ONE (tbl, bucket)-partitioned
+    batch dir — the LSM-style maintenance step a daily-append index
+    needs (after N days every probe unions N per-batch reads;
+    compaction restores O(1) dirs per probed cell without changing a
+    single row). Content-identical by construction: the compacted
+    batch is the union of the folded batches' PERSISTED rows (planes
+    never re-run), rewritten partitioned by (tbl, bucket). Same
+    crash-safety recipe as :func:`~gpssbzd_spark.dataprep.ivfindex.
+    ivf_index_compact`: parquet first under the caller-keyed
+    ``batch_id`` (idempotent retry), ONE manifest part carrying
+    ``replaces`` as the single commit point; folded dirs become
+    unreferenced garbage, lazily deletable. Returns the committed
+    record, or None when fewer than ``min_batches`` exist."""
+    batches = lsh_index_batches(index_dir)
+    if not batches:
+        raise ValueError(
+            f"LSH index at {index_dir} has no committed batches"
+        )
+    if batch_id == "init":
+        raise ValueError(
+            "lsh_index_compact: batch_id 'init' is reserved for the build"
+        )
+    for b in _raw_manifest_records(index_dir):
+        if b["batch_id"] == batch_id:
+            return b  # idempotent retry after a committed compaction
+    if len(batches) < min_batches:
+        return None
+    merged = lsh_index_read(spark, index_dir)
+    batch_dir = os.path.join(index_dir, "batches", batch_id)
+    merged.repartition("tbl", "bucket").write.mode("overwrite").partitionBy(
+        "tbl", "bucket"
+    ).parquet(batch_dir)
+    n = spark.read.parquet(batch_dir).count()
+    record = {
+        "seq": batches[-1]["seq"] + 1,
+        "batch_id": batch_id,
+        "dir": batch_dir,
+        "n": n,
+        "replaces": [b["batch_id"] for b in batches],
+    }
+    _commit_manifest_part(index_dir, record)
+    return record
 
 
 def lsh_index_query(

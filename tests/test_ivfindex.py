@@ -202,3 +202,48 @@ def test_batches_ordering_and_manifest_fields(spark, tmp_path):
     assert abs(sum(batches[0]["shares"].values()) - 1.0) < 1e-9
     assert "drift_fraction" in batches[1]
     assert os.path.isdir(batches[1]["dir"])
+
+
+def test_compaction_folds_batches_content_identical(spark, tmp_path):
+    """ivf_index_compact (r12): init + 2 appends fold into ONE batch
+    whose row content is identical to the pre-compaction read; later
+    appends keep working (seq continues, staleness reference carried
+    forward), folded batch_ids stay idempotent, and an orphan compacted
+    dir (crash before the manifest part) is invisible."""
+    em = _em(spark)
+    index_dir, cents = _init(spark, tmp_path, F.col("vec_id") % 3 == 1)
+    ivf_index_append(spark, index_dir, em.filter(F.col("vec_id") % 3 == 2), "d1")
+    ivf_index_append(spark, index_dir, em.filter(F.col("vec_id") % 3 == 0), "d2")
+    before = {
+        (r.vec_id, r.cid)
+        for r in ivf_index_read(spark, index_dir).select("vec_id", "cid").collect()
+    }
+    from gpssbzd_spark.dataprep.ivfindex import ivf_index_compact
+
+    rec = ivf_index_compact(spark, index_dir, "c1")
+    assert sorted(rec["replaces"]) == ["d1", "d2", "init"]
+    assert "shares" in rec, "staleness reference lost in compaction"
+    batches = ivf_index_batches(index_dir)
+    assert [b["batch_id"] for b in batches] == ["c1"]
+    after = {
+        (r.vec_id, r.cid)
+        for r in ivf_index_read(spark, index_dir).select("vec_id", "cid").collect()
+    }
+    assert after == before
+    # retry of the compaction AND of a folded day both no-op
+    assert ivf_index_compact(spark, index_dir, "c1")["batch_id"] == "c1"
+    r = ivf_index_append(spark, index_dir, em.filter(F.col("vec_id") % 3 == 2), "d1")
+    assert r["batch_id"] == "d1"
+    assert ivf_index_read(spark, index_dir).count() == len(before)
+    # a later append still works against the compacted index
+    delta = em.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    ivf_index_append(spark, index_dir, delta, "d3")
+    assert ivf_index_read(spark, index_dir).count() == len(before) + delta.count()
+    # min_batches guard: a single-batch index has nothing to fold...
+    solo_dir = str(tmp_path / "solo")
+    ivf_index_init(spark, solo_dir, em, dim=64, n_centroids=8, iters=1)
+    from gpssbzd_spark.dataprep.ivfindex import ivf_index_compact as c
+
+    assert c(spark, solo_dir, "c1") is None

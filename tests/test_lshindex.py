@@ -322,3 +322,58 @@ def test_lsh_pre_manifest_index_stays_readable(spark, tmp_path):
     assert lsh_index_read(spark, index_dir).count() == a.count() * 4
     lsh_index_append(spark, index_dir, b, "b1")
     assert lsh_index_read(spark, index_dir).count() == em.count() * 4
+
+
+def test_lsh_compaction_folds_batches_content_identical(spark, tmp_path):
+    """lsh_index_compact (r12): build + append fold into one batch,
+    content-identical, serving unchanged (bit-parity with in-plan
+    lsh_topk over the grown corpus), synthesized-init resurrection
+    guarded for pre-manifest indexes, folded ids idempotent."""
+    import shutil as _shutil
+
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_append,
+        lsh_index_batches,
+        lsh_index_compact,
+        lsh_index_read,
+    )
+
+    em, a, b, index_dir = _setup_split(spark, tmp_path)
+    # exercise the pre-manifest synthesis path through compaction too
+    _shutil.rmtree(os.path.join(index_dir, "manifest"))
+    lsh_index_append(spark, index_dir, b, "d1")
+    before = {
+        (r.vec_id, r.tbl, r.bucket)
+        for r in lsh_index_read(spark, index_dir)
+        .select("vec_id", "tbl", "bucket")
+        .collect()
+    }
+    rec = lsh_index_compact(spark, index_dir, "c1")
+    assert sorted(rec["replaces"]) == ["d1", "init"]
+    assert [x["batch_id"] for x in lsh_index_batches(index_dir)] == ["c1"]
+    after = {
+        (r.vec_id, r.tbl, r.bucket)
+        for r in lsh_index_read(spark, index_dir)
+        .select("vec_id", "tbl", "bucket")
+        .collect()
+    }
+    assert after == before, "compaction changed index content"
+    # serving parity over the compacted index
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = sorted(
+        map(tuple, lsh_index_query(spark, index_dir, q, k=5, probes=1).collect())
+    )
+    ref = sorted(
+        map(
+            tuple,
+            lsh_topk(em, q, dim=64, k=5, n_planes=8, n_tables=4, probes=1).collect(),
+        )
+    )
+    assert got == ref and len(got) > 0
+    # folded-id retry no-ops; compaction retry no-ops
+    assert lsh_index_append(spark, index_dir, b, "d1")["batch_id"] == "d1"
+    assert lsh_index_compact(spark, index_dir, "c1")["batch_id"] == "c1"
+    assert lsh_index_read(spark, index_dir).count() == len(before)

@@ -114,6 +114,32 @@ def test_native_relational_corpus_has_no_python_workers(spark):
         assert "EvalPython" not in plan, f"{name} dropped to Python:\n{plan}"
 
 
+def test_simhash128_signature_kernel_stays_in_codegen(spark):
+    """PERF_NOTES #12 (the dd_simhash_portable128_pairs idle-min
+    elevation, VERDICT r11 #2): the 128-bit signature kernel's flat
+    form put 128 aggregate fields in ONE HashAggregate — past
+    spark.sql.codegen.maxFields (100) — so the whole signature stage
+    ran interpreted (unstarred aggregates) and its throughput rode JIT
+    warmth (4.5 → 6.2 s idle-min on unchanged code). The lane-exploded
+    form keeps every codegen unit at 32 sums: EVERY HashAggregate in
+    the executed kernel plan must carry the whole-stage-codegen star."""
+    import re as _re
+
+    from gpssbzd_spark.dataprep.dedup import _simhash_portable_sigs
+    from gpssbzd_spark.sources.tables import load_table as _lt
+
+    d = _lt(spark, SF, "documents").select("doc_id", "text")
+    df = _simhash_portable_sigs(d, "text", "doc_id", 4)
+    plan = final_plan(df)
+    aggs = [l for l in plan.splitlines() if "HashAggregate" in l]
+    assert len(aggs) >= 4, plan  # partial+final × two levels
+    for line in aggs:
+        assert _re.search(r"\*\(\d+\) HashAggregate", line), (
+            f"interpreted (non-codegen) aggregate in the simhash "
+            f"signature kernel:\n{line}"
+        )
+
+
 def test_brute_force_topk_broadcasts_queries_never_shuffles_corpus(spark):
     plan = final_plan(q(spark, "sim_topk_brute"))
     assert "BroadcastNestedLoopJoin" in plan, plan
