@@ -949,7 +949,7 @@ def sim_topk_lsh_persisted_query(spark, sf_dir):
     SELECT vec_id, t.tbl AS tbl,
            1 AS bucket_agree,
            1 AS norm_agree
-    FROM embeddings CROSS JOIN generate_series(0, 7) AS t(tbl)
+    FROM embeddings CROSS JOIN generate_series(0, 3) AS t(tbl)
     """,
     note="LSH persisted-index MAINTENANCE (VERDICT r11 #4, dataprep/"
     "lshindex.py — the ivfindex recipe transplanted): the "
@@ -968,7 +968,14 @@ def sim_topk_lsh_persisted_query(spark, sf_dir):
     "(vector, planes), so incremental append must equal re-bucketing "
     "the grown corpus from scratch), norm_agree pins the parquet "
     "round-trip. Append-cost curve: SCALING.md family lsh_append; "
-    "grown-serving parity pinned in tests/test_lshindex.py",
+    "grown-serving parity pinned in tests/test_lshindex.py. Layout "
+    "note: this row verifies by reading the WHOLE index back, so it "
+    "uses a 4×64-cell layout (256 dirs/batch) — the maintenance "
+    "semantics are layout-cardinality-independent, and the first "
+    "bench capture showed the 8×256 serving layout costs ~14 s of "
+    "pure small-file listing on a full read (the serving row "
+    "sim_topk_lsh_persisted_query keeps 8×256, where probes read "
+    "only their own cells)",
     tier=2,
 )
 def sim_topk_lsh_append(spark, sf_dir):
@@ -985,7 +992,7 @@ def sim_topk_lsh_append(spark, sf_dir):
         hyperplane_buckets_all,
     )
 
-    cache = _artifact_cache_dir(sf_dir, "lsh_append", "embeddings")
+    cache = _artifact_cache_dir(sf_dir, "lsh_append_v2", "embeddings")
     _prune_stale_cache_generations(cache)
     index_dir = os.path.join(cache, "index")
     em = load_table(spark, sf_dir, "embeddings")
@@ -995,15 +1002,15 @@ def sim_topk_lsh_append(spark, sf_dir):
             index_dir,
             em.filter(_F.col("vec_id") % 3 != 0),
             dim=64,
-            n_planes=8,
-            n_tables=8,
+            n_planes=6,
+            n_tables=4,
         )
     lsh_index_append(
         spark, index_dir, em.filter(_F.col("vec_id") % 3 == 0), "delta-1"
     )
     assert len(lsh_index_batches(index_dir)) == 2
     persisted = lsh_index_read(spark, index_dir)
-    rederive = hyperplane_buckets_all(64, 8, 8, 42)
+    rederive = hyperplane_buckets_all(64, 6, 4, 42)
     return persisted.select(
         _F.col("vec_id"),
         _F.col("tbl").cast("long").alias("tbl"),
@@ -2582,7 +2589,7 @@ def _ingest_e2e_oracle() -> str:
     "returned rows are the POST-STATE read back from disk: accepted "
     "doc ids from the COMPACTED batches left-joined to the persisted "
     "index signatures AND to per-id re-derivation flags from the "
-    "grown ANN indexes (frozen-codebook cid, all-8-tables bucket "
+    "grown ANN indexes (frozen-codebook cid, all-tables bucket "
     "agreement, two-sided membership via the no-stray literal) — so "
     "the oracle (one nested DuckDB query "
     "replaying sign/band/agree + the accept rule + from-scratch "
@@ -2626,7 +2633,7 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
         list_landed,
     )
 
-    cache = _artifact_cache_dir(sf_dir, "ingest_e2e", "documents")
+    cache = _artifact_cache_dir(sf_dir, "ingest_e2e_v2", "documents")
     _prune_stale_cache_generations(cache)
     # r12 cache-shape migration: a pre-ANN cache generation committed
     # its pickups but holds no ANN indexes — the fixture tag alone
@@ -2711,7 +2718,7 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
             ivf_index_append(spark, ivf_dir, ann_delta, day)
         if not os.path.exists(os.path.join(lsh_dir, "params.json")):
             lsh_index_build(
-                spark, lsh_dir, ann_delta, dim=64, n_planes=8, n_tables=8
+                spark, lsh_dir, ann_delta, dim=64, n_planes=6, n_tables=4
             )
         elif day != "day1":
             lsh_index_append(spark, lsh_dir, ann_delta, day)
@@ -2757,7 +2764,7 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
             .alias("_ivf_ok"),
         )
     )
-    rederive = hyperplane_buckets_all(64, 8, 8, 42)
+    rederive = hyperplane_buckets_all(64, 6, 4, 42)
     lsh_flags = (
         lsh_index_read(spark, lsh_dir)
         .select(
@@ -2774,7 +2781,7 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             (
-                (_F.count("*") == _F.lit(8)) & (_F.min("_ok") == _F.lit(1))
+                (_F.count("*") == _F.lit(4)) & (_F.min("_ok") == _F.lit(1))
             )
             .cast("int")
             .alias("_lsh_ok")
@@ -3439,7 +3446,7 @@ def sim_topk_index_compact(spark, sf_dir):
         hyperplane_buckets_all,
     )
 
-    cache = _artifact_cache_dir(sf_dir, "idx_compact", "embeddings")
+    cache = _artifact_cache_dir(sf_dir, "idx_compact_v2", "embeddings")
     _prune_stale_cache_generations(cache)
     em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = em.filter(_F.col("vec_id") % 3 != 0)
@@ -3451,7 +3458,7 @@ def sim_topk_index_compact(spark, sf_dir):
     ivf_index_append(spark, ivf_dir, b, "d1")
     ivf_index_compact(spark, ivf_dir, "c1")
     if not os.path.exists(os.path.join(lsh_dir, "params.json")):
-        lsh_index_build(spark, lsh_dir, a, dim=64, n_planes=8, n_tables=8)
+        lsh_index_build(spark, lsh_dir, a, dim=64, n_planes=6, n_tables=4)
     lsh_index_append(spark, lsh_dir, b, "d1")
     lsh_index_compact(spark, lsh_dir, "c1")
     one_batch = int(
@@ -3481,7 +3488,7 @@ def sim_topk_index_compact(spark, sf_dir):
             _F.lit(one_batch).alias("one_batch"),
         )
     )
-    rederive = hyperplane_buckets_all(64, 8, 8, 42)
+    rederive = hyperplane_buckets_all(64, 6, 4, 42)
     lsh_rows = (
         lsh_index_read(spark, lsh_dir)
         .select(
@@ -3495,7 +3502,7 @@ def sim_topk_index_compact(spark, sf_dir):
         )
         .groupBy("vec_id")
         .agg(
-            (_F.count("*") == 8).cast("int").alias("rows_per_vec_ok"),
+            (_F.count("*") == 4).cast("int").alias("rows_per_vec_ok"),
             _F.min("_ok").alias("assign_agree"),
         )
         .select(
