@@ -120,6 +120,9 @@ def test_composite_families_scale_linearly(spark):
         # so the line's pair count (its work unit) grows ~Kx — the
         # gate pins that the fallback adds nothing on top of it
         "dbscan_skewed_line",
+        # r12: the LSH maintenance twin — O(delta) batch appends
+        # against a strictly-growing (tbl, bucket)-partitioned index
+        "lsh_append",
     ):
         table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
         exp, times = _exponent(spark, table, inflate, fn)
@@ -134,6 +137,14 @@ def test_composite_families_scale_linearly(spark):
         "tfidf_terms",
         "token_budget_cap",
         "multimodal_features",
+        # r11-late / r12 families under the same ceiling: the gram
+        # explode + two gram-keyed moves, the posting-list build, and
+        # the cluster-blocked pair pipeline (hierarchical assignment
+        # from n_clusters ≥ 64, i.e. K ≥ 4 at the ladder setting — the
+        # K=4→16 gate octave runs the two-level path)
+        "repeated_spans",
+        "bm25_topk",
+        "semdedup",
     ],
 )
 def test_query_side_families_scale_gently(spark, family):
