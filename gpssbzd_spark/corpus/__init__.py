@@ -192,6 +192,81 @@ LEND_CAP = 26
 # positions through the window each round.
 STEADY_CADENCE = 4
 
+# Tiered cadence (VERDICT r12 #6 — rotation solvency): at N=185 a flat
+# 4-round cadence demands ceil(185/4)=47 of 50 window slots per round;
+# a handful more registrations and the contract is arithmetically
+# unsatisfiable. The cheapest, longest-stable rows — pure-Catalyst
+# relational/function/window queries, hash-green at every driver check
+# for many consecutive rounds, zero persisted state — re-prove on a
+# relaxed LONG_CADENCE instead, cutting steady demand to
+# Σ 1/cadence(n) ≈ 36/round and leaving real headroom for new-query
+# debt (asserted by tests/test_registry.py::test_rotation_solvency_
+# headroom). Membership is curated, not inferred: only rows whose
+# whole history is driver-green and whose plan is a plain Catalyst
+# pipeline (no Python kernel, no index/cache state that could rot
+# between checks) belong here. Rows with open perf or freshness
+# questions must stay on STEADY_CADENCE.
+LONG_CADENCE = 8
+LONG_CADENCE_NAMES = frozenset({
+    # basic projections / filters / dedup / casts
+    "p1_scan_project_filter", "p5_filter_in_list",
+    "p7_filter_compound_bool", "p8_sql_string_filter",
+    "p10_distinct_projection", "p9_dedup_keep_first",
+    "p7_filter_distinct", "p13_null_handling", "p12_cast_types",
+    # joins (equi / broadcast / semi-anti / asof / range / interval)
+    "j1_join_inner", "j2_join_left_broadcast_dim",
+    "j3_join_left_attach_agg", "j4_self_theta_pair_join",
+    "j5_semi_join", "j6_anti_join", "j5_semi_anti_join",
+    "j7_asof_join_backward", "j7b_asof_join_forward",
+    "j8_range_join_broadcast", "j10_interval_overlap",
+    "j9_salted_join",
+    # TPC-H rows (minus the r08-vintage ones: q2/q9/q11/q21 stay on
+    # the short cadence until well past their r13 refresh)
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q18_large_volume_customers", "q4_order_priority_checking",
+    "q13_customer_distribution", "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+    "q12_shipmode_priority", "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_supplier_counts", "q19_discounted_revenue",
+    "q20_potential_promotion",
+    # aggregates / rollups / sketch rollups / reshape
+    "a8_rollup_grouping", "a1_count_distinct_group",
+    "a9_hll_mergeable_rollup", "a12_hist_quantile_rollup",
+    "a2_conditional_agg", "a3_cascaded_agg", "a2_cascaded_conditional",
+    "a4_percentile_exact", "a5_collect_list_ordered",
+    "a6_global_distinct_count", "a7_tpch_q1_rollup",
+    "a4_percentile_approx", "a1_approx_count_distinct",
+    "a10_pivot_wide", "a11_unpivot_long",
+    # ordering / set ops
+    "o1_global_topk", "set_union_distinct", "set_intersect",
+    "set_except", "set_ops_tagged",
+    # scalar function families
+    "f1_datetime_parts", "f1_timestamp_arithmetic", "f2_string_fns",
+    "f2_string_case", "f3_haversine_native",
+    "f3b_haversine_sql_registered", "f3_haversine_native_and_sql",
+    "f4_case_when", "f5_json_extract", "f5_array_struct_math",
+    # source round-trips
+    "s_csv_roundtrip", "s_jsonl_roundtrip", "s_orc_roundtrip",
+    "s_partitioned_pruned_scan",
+    # window functions
+    "w1_lag_lead", "w2_running_sum", "w3_topk_per_group",
+    "w4_forward_fill", "w5_backward_fill", "w45_bidirectional_fill",
+    "w6_ranking_set", "w7_sessionize_gap", "w8_range_frame_trailing",
+    # CDC / reshape (minus r08-vintage p17_scd2_history)
+    "p15_merge_upsert", "p16_snapshot_diff",
+    # events / time-series (minus r08-vintage ev_funnel_steps /
+    # ts_bucket_interpolate)
+    "ev_funnel_users", "ev_transition_matrix", "ev_retention_matrix",
+    "ts_bucket_gapfill",
+})
+
+
+def cadence(name: str) -> int:
+    """Per-name re-proof cadence: LONG_CADENCE for the curated stable
+    tier, STEADY_CADENCE for everything else."""
+    return LONG_CADENCE if name in LONG_CADENCE_NAMES else STEADY_CADENCE
+
 _STATE_CACHE: tuple[int, frozenset[str]] | None = None
 
 
@@ -344,25 +419,53 @@ def _sampled_names() -> frozenset[str]:
     return _window_state()[1]
 
 
-def _steady_swaps(key: int) -> dict[str, str]:
+def _steady_swaps(
+    key: int, latest: dict[str, int] | None = None
+) -> dict[str, str]:
     """Steady-state rotation once ALL debt has drained (VERDICT r9 #7):
-    a contiguous slice of ``ceil(N / STEADY_CADENCE)`` positions of the
-    seq-ordered registry is guaranteed in-window each round, the slice
-    advancing by its own length per round. Consecutive slices tile the
-    registry, so ANY ``STEADY_CADENCE`` consecutive rounds cover every
-    registered query — tier-0 family rows AND tier>0 evidence rows all
-    re-prove within 4 rounds, replacing the old per-group round-robin
-    whose largest group (TPC-H, 21 choices) implied a 21-round cadence.
+    ``ceil(N / STEADY_CADENCE)`` registry names are guaranteed in-window
+    each round.
 
-    Slice members that are tier-0 simply stay in the window (and are
-    exempt from vacating); tier>0 slice members displace tier-0 rows
-    NOT in the slice, chosen by a rotating offset so no single family
-    row is starved between its own slice appearances."""
+    With the committed-evidence ledger available (``latest`` — the
+    real driver path), the refresh set is EARLIEST-DEADLINE-FIRST
+    (deadline = latest evidence round + the name's cadence; ties by
+    oldest evidence then seq): each round re-proves the most-due
+    ceil(N/4), so the cadence bound holds by pigeonhole (Σ 1/cadence
+    per-round demand < the refresh capacity, asserted by the solvency
+    test) AND any staleness tail left behind by debt rounds drains
+    immediately instead of waiting for a seq-tiled slice to wheel
+    around to it (VERDICT r12 missing #2: five r07-vintage rows sat 5
+    rounds stale while fresh slices rotated past them — the tiled
+    slice advances by position, not by need).
+
+    Without a ledger (tests injecting a synthetic ``sampled``), the
+    original deterministic tiling runs: a contiguous slice of the
+    seq-ordered registry advancing by its own length per round, so
+    consecutive slices tile the registry and ANY ``STEADY_CADENCE``
+    consecutive rounds cover every registered query.
+
+    Picked members that are tier-0 simply stay in the window (and are
+    exempt from vacating); tier>0 picks displace tier-0 rows NOT
+    picked, chosen by a rotating offset so no single family row is
+    starved between its own appearances."""
     pool = sorted(CORPUS.values(), key=lambda q: q.seq)
     n = len(pool)
-    size = -(-n // STEADY_CADENCE)  # ceil
-    off = ((key - 1) * size) % n
-    slice_names = [pool[(off + j) % n].name for j in range(size)]
+    size = min(-(-n // STEADY_CADENCE), DRIVER_WINDOW)  # ceil, capped
+    if latest is not None:
+        slice_names = [
+            q.name
+            for q in sorted(
+                pool,
+                key=lambda q: (
+                    latest.get(q.name, 0) + cadence(q.name),
+                    latest.get(q.name, 0),
+                    q.seq,
+                ),
+            )
+        ][:size]
+    else:
+        off = ((key - 1) * size) % n
+        slice_names = [pool[(off + j) % n].name for j in range(size)]
     incoming = [m for m in slice_names if CORPUS[m].tier > 0]
     in_slice = set(slice_names)
     vacatable = [q.name for q in pool if q.tier == 0 and q.name not in in_slice]
@@ -424,7 +527,9 @@ def rotation_swaps(
         sampled = _sampled_names()
     _load_all()
     if all(n in sampled for n in CORPUS):
-        return _steady_swaps(key)
+        return _steady_swaps(
+            key, _latest_evidence_rounds(key) if use_disk_staleness else None
+        )
     out: dict[str, str] = {}
     used: set[str] = set()
     free: list[tuple[int, str, list[str]]] = []
@@ -449,9 +554,14 @@ def rotation_swaps(
         # the window this round" (no swap entry needed).
         if use_disk_staleness:
             stalest = min(
-                choices, key=lambda c: (latest.get(c, 0), CORPUS[c].seq)
+                choices,
+                key=lambda c: (
+                    latest.get(c, 0) + cadence(c),
+                    latest.get(c, 0),
+                    CORPUS[c].seq,
+                ),
             )
-            if latest.get(stalest, 0) <= key - STEADY_CADENCE:
+            if latest.get(stalest, 0) <= key - cadence(stalest):
                 used.add(stalest)
                 if stalest != anchor:
                     out[anchor] = stalest
@@ -488,10 +598,14 @@ def rotation_swaps(
                 for n, q in CORPUS.items()
                 if n in sampled
                 and n not in used
-                and latest.get(n, 0) <= key - STEADY_CADENCE
+                and latest.get(n, 0) <= key - cadence(n)
                 and (q.tier > 0 or (n in anchor_names and n in out))
             ),
-            key=lambda n: (latest.get(n, 0), CORPUS[n].seq),
+            key=lambda n: (
+                latest.get(n, 0) + cadence(n),
+                latest.get(n, 0),
+                CORPUS[n].seq,
+            ),
         )
     qi = 0
     for i, anchor, choices in free:

@@ -3419,12 +3419,19 @@ def dd_semdedup_pairs(spark, sf_dir):
     "assignment re-derived from the persisted codebook/planes "
     "(assign_agree), and one_batch pins that the fold actually "
     "happened (manifest shows exactly one surviving batch per index). "
-    "Crash/retry/resurrection edges pytest-pinned in "
-    "tests/test_ivfindex.py + tests/test_lshindex.py",
+    "The re-derivation is NATIVE (r13, VERDICT r12 #1): IVF argmax "
+    "over the normalized codebook as a literal struct-array max, LSH "
+    "buckets via the native hyperplane_bucket fold per table — the "
+    "verify plan carries no Python worker (plan-gated in "
+    "tests/test_plans.py), unlike the append rows whose assignment "
+    "kernels are the thing under test. Crash/retry/resurrection edges "
+    "pytest-pinned in tests/test_ivfindex.py + tests/test_lshindex.py",
     tier=2,
 )
 def sim_topk_index_compact(spark, sf_dir):
     import os
+
+    import numpy as _np
 
     from gpssbzd_spark.dataprep.ivfindex import (
         ivf_index_append,
@@ -3441,10 +3448,7 @@ def sim_topk_index_compact(spark, sf_dir):
         lsh_index_compact,
         lsh_index_read,
     )
-    from gpssbzd_spark.dataprep.similarity import (
-        _nearest_centroids_udf,
-        hyperplane_buckets_all,
-    )
+    from gpssbzd_spark.dataprep.similarity import _dot, hyperplane_bucket
 
     cache = _artifact_cache_dir(sf_dir, "idx_compact_v2", "embeddings")
     _prune_stale_cache_generations(cache)
@@ -3465,15 +3469,34 @@ def sim_topk_index_compact(spark, sf_dir):
         len(ivf_index_batches(ivf_dir)) == 1
         and len(lsh_index_batches(lsh_dir)) == 1
     )
-    cents = ivf_index_codebook(ivf_dir)
-    assign_rt = _nearest_centroids_udf(cents, 1)
+    # Native IVF re-assignment: normalize the persisted codebook in
+    # float64 exactly as the assignment kernel does, then argmax of
+    # dot(vec, c_norm) as a literal struct-array max (sim DESC, cid
+    # ASC on ties — the kernel's argsort order). Pure JVM: the row's
+    # job is verifying the FOLD, not exercising the Arrow kernel.
+    cents = ivf_index_codebook(ivf_dir).astype(_np.float64)
+    c_norm = cents / _np.maximum(
+        _np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    vec = _F.col("embedding")
+    nearest_cid = -_F.array_max(
+        _F.array(
+            *[
+                _F.struct(
+                    _dot(vec, _F.array(*[_F.lit(float(x)) for x in row])).alias(
+                        "s"
+                    ),
+                    _F.lit(-cid).alias("nc"),
+                )
+                for cid, row in enumerate(c_norm)
+            ]
+        )
+    )["nc"]
     ivf_rows = (
         ivf_index_read(spark, ivf_dir)
         .select(
             "vec_id",
-            (_F.element_at(assign_rt(_F.col("embedding")), 1) == _F.col("cid"))
-            .cast("int")
-            .alias("_ok"),
+            (nearest_cid == _F.col("cid")).cast("int").alias("_ok"),
         )
         .groupBy("vec_id")
         .agg(
@@ -3488,13 +3511,21 @@ def sim_topk_index_compact(spark, sf_dir):
             _F.lit(one_batch).alias("one_batch"),
         )
     )
-    rederive = hyperplane_buckets_all(64, 6, 4, 42)
+    # Native LSH re-derivation: hyperplane_bucket's zip_with/aggregate
+    # fold per table (RandomState(seed+t) — the same family the Arrow
+    # kernel and the driver probe derive), indexed by the row's tbl.
+    native_buckets = _F.array(
+        *[
+            hyperplane_bucket(_F.col("embedding"), 64, 6, 42 + t)
+            for t in range(4)
+        ]
+    )
     lsh_rows = (
         lsh_index_read(spark, lsh_dir)
         .select(
             "vec_id",
             (
-                _F.element_at(rederive(_F.col("embedding")), _F.col("tbl") + 1)
+                _F.element_at(native_buckets, _F.col("tbl") + 1)
                 == _F.col("bucket")
             )
             .cast("int")

@@ -279,18 +279,17 @@ def ivf_index_append(
         if b["batch_id"] == batch_id:
             return {**b, "stale": b.get("drift_fraction", 0.0) > stale_threshold}
     cents = ivf_index_codebook(index_dir)
-    # the staleness reference: the first surviving record carrying
+    # the staleness reference: the FIRST surviving record carrying
     # shares (the init record, or the compaction record that carried
-    # them forward)
-    ref_shares = {
-        int(c): s
-        for b in batches
-        if "shares" in b
-        for c, s in b["shares"].items()
-    }
-    assert ref_shares, (
+    # them forward) — taken explicitly (ADVICE r12): merging across
+    # several carriers would silently blend two different staleness
+    # references if a future partial compaction ever left more than
+    # one alive
+    carrier = next((b for b in batches if "shares" in b), None)
+    assert carrier is not None, (
         f"IVF index at {index_dir} lost its staleness reference shares"
     )
+    ref_shares = {int(c): s for c, s in carrier["shares"].items()}
     index = _assign(new_embeddings, cents, id_col, vec_col)
     batch_dir = _write_batch(index, index_dir, batch_id)
     persisted = spark.read.option("basePath", batch_dir).parquet(batch_dir)

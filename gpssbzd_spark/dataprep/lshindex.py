@@ -140,7 +140,26 @@ def lsh_index_build(
     (tbl, bucket); params.json written LAST is the commit marker
     (readers require it, so a crashed build is invisible). The
     ``index/`` dir is the growable index's ``init`` batch —
-    :func:`lsh_index_append` adds more."""
+    :func:`lsh_index_append` adds more.
+
+    Retry-safe by construction (ADVICE r12, high): the ``init``
+    manifest record commits BEFORE params.json, so a crash in the gap
+    leaves a manifest-bearing dir whose callers (they all gate on
+    params.json) will re-run the build. The init record therefore
+    lives at a FIXED path (``manifest/part-init.jsonl``,
+    ``os.replace`` overwrite) — a retried or repeated build rewrites
+    the one record instead of appending a second, which would double
+    every init row in :func:`lsh_index_batches`. Rebuilding over an
+    index that already committed appends/compactions raises (same
+    rule as ``ivf_index_init``): overwriting ``index/`` while keeping
+    grown batches is an in-place mutation readers could half-see — a
+    plane-family rebuild means a NEW index_dir."""
+    for r in _raw_manifest_records(index_dir):
+        if r["batch_id"] != "init":
+            raise ValueError(
+                f"LSH index at {index_dir} already has committed "
+                "batches — a rebuild writes a NEW index_dir"
+            )
     rows = _bucket_rows(
         embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
     )
@@ -163,6 +182,7 @@ def lsh_index_build(
             "dir": os.path.join(index_dir, "index"),
             "n": n,
         },
+        fixed_name="part-init.jsonl",
     )
     tmp = os.path.join(index_dir, ".params.tmp")
     with open(tmp, "w") as fh:
@@ -180,14 +200,23 @@ def _manifest_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest")
 
 
-def _commit_manifest_part(index_dir: str, record: dict) -> str:
+def _commit_manifest_part(
+    index_dir: str, record: dict, fixed_name: str | None = None
+) -> str:
     """Atomically append one manifest part (create-temp + rename — the
-    single commit point; same shape as ivfindex/sigindex)."""
+    single commit point; same shape as ivfindex/sigindex).
+
+    ``fixed_name`` pins the part's filename so a retried commit of the
+    same logical record OVERWRITES instead of appending a duplicate —
+    used by the build's ``init`` record, whose retry path (crash
+    before params.json) re-runs the whole build."""
     import uuid
 
     mdir = _manifest_dir(index_dir)
     os.makedirs(mdir, exist_ok=True)
-    part = os.path.join(mdir, f"part-{uuid.uuid4().hex}.jsonl")
+    part = os.path.join(
+        mdir, fixed_name or f"part-{uuid.uuid4().hex}.jsonl"
+    )
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         fh.write(json.dumps(record) + "\n")
@@ -228,7 +257,19 @@ def _raw_manifest_records(index_dir: str) -> list[dict]:
                 "n": None,
             }
         )
-    return sorted(records, key=lambda r: (r["seq"], r["batch_id"]))
+    # one record per batch_id: every commit path is idempotent by
+    # batch_id (same id ⇒ same dir, rewritten in place), so duplicates
+    # — e.g. a pre-fix uuid-named init part beside the fixed-path one
+    # after a rebuild — describe the same rows and must not double them
+    records.sort(key=lambda r: (r["seq"], r["batch_id"]))
+    seen: set[str] = set()
+    out = []
+    for r in records:
+        if r["batch_id"] in seen:
+            continue
+        seen.add(r["batch_id"])
+        out.append(r)
+    return out
 
 
 def lsh_index_batches(index_dir: str) -> list[dict]:

@@ -67,7 +67,20 @@ def _read_index_manifest(
     spark: SparkSession, manifest_dir: str
 ) -> tuple[dict[str, int], set[str]]:
     """(covered landed-file path → recorded size, committed batch
-    dirs). Missing dir = empty index."""
+    dirs). Missing dir = empty index.
+
+    Compaction supersedence (r13, VERDICT r12 #4 — the ivfindex
+    ``_apply_compactions`` rule transplanted): a record carrying
+    ``replaces`` folds the listed batch dirs — readers drop them and
+    consult only the compacted dir. The replaced set is computed over
+    ALL records (a chained compaction's record supersedes an earlier
+    compaction record, whose own ``replaces`` must still apply), and
+    matching is by batch-dir NAME — the cid names are unique per
+    batch, while full-path spellings can differ between the writer's
+    argument and an FS-qualified listing (same reasoning as
+    ``_sweep_orphans``). File coverage survives folding because every
+    compaction record carries the full covered-files ledger of the
+    records it folds."""
     _, jdir, fs = _fs(spark, manifest_dir)
     if not fs.exists(jdir):
         return {}, set()
@@ -77,16 +90,28 @@ def _read_index_manifest(
         if st.getPath().getName().endswith(".jsonl")
         and not st.getPath().getName().startswith(".")
     ]
-    covered: dict[str, int] = {}
-    batches: set[str] = set()
     if not parts:
-        return covered, batches
+        return {}, set()
+    records: list[dict] = []
     for row in spark.read.text(parts).collect():
         line = row.value.strip()
         if not line:
             continue
         rec = json.loads(line)
         if "batch" not in rec:  # foreign/older record shape: ignore
+            continue
+        records.append(rec)
+
+    def _name(d: str) -> str:
+        return d.rstrip("/").rsplit("/", 1)[-1]
+
+    replaced = {
+        _name(d) for rec in records for d in (rec.get("replaces") or [])
+    }
+    covered: dict[str, int] = {}
+    batches: set[str] = set()
+    for rec in records:
+        if _name(rec["batch"]) in replaced:
             continue
         batches.add(rec["batch"])
         for f in rec.get("files", []):
@@ -95,25 +120,37 @@ def _read_index_manifest(
 
 
 def _commit_batch(
-    spark: SparkSession, manifest_dir: str, batch_dir: str, files
+    spark: SparkSession,
+    manifest_dir: str,
+    batch_dir: str,
+    files,
+    replaces: list[str] | None = None,
 ) -> None:
     """Atomically append ONE manifest part recording the batch — the
-    ingest's single commit point (create hidden temp, write, rename)."""
+    ingest's single commit point (create hidden temp, write, rename).
+    ``files`` is either the landed-file objects of a fresh ingest or
+    the ``(path, size)`` items of the coverage ledger a compaction
+    carries forward; ``replaces`` marks a compaction record."""
     jvm, jdir, fs = _fs(spark, manifest_dir)
     fs.mkdirs(jdir)
     part = f"part-{uuid.uuid4().hex}.jsonl"
     root = manifest_dir.rstrip("/")
     tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/.{part}")
     final = jvm.org.apache.hadoop.fs.Path(f"{root}/{part}")
-    payload = (
-        json.dumps(
-            {
-                "batch": batch_dir,
-                "files": [{"path": f.path, "size": f.size} for f in files],
-            }
-        )
-        + "\n"
-    ).encode("utf-8")
+    record = {
+        "batch": batch_dir,
+        "files": [
+            {"path": p, "size": s}
+            for p, s in (
+                files.items()
+                if isinstance(files, dict)
+                else ((f.path, f.size) for f in files)
+            )
+        ],
+    }
+    if replaces:
+        record["replaces"] = sorted(replaces)
+    payload = (json.dumps(record) + "\n").encode("utf-8")
     stream = fs.create(tmp, True)
     try:
         stream.write(payload)
@@ -173,6 +210,57 @@ def sig_index_ingest(
     sigs.write.mode("overwrite").parquet(batch_dir)
     _commit_batch(spark, manifest_dir, batch_dir, new_files)
     return batch_dir
+
+
+def sig_index_compact(
+    spark: SparkSession, index_dir: str, min_batches: int = 2
+) -> str | None:
+    """Fold ALL committed batch dirs into ONE — the LSM-style
+    maintenance step the ANN indexes got in r12 (``ivf_index_compact``
+    / ``lsh_index_compact``), transplanted to the signature index
+    (VERDICT r12 missing #1): a daily ingest commits one ``batch-*``
+    dir per day forever, and after enough days every
+    :func:`sig_index_read` pays the small-file LISTING cost the r12
+    capture documented (PERF_NOTES #11: 14/8/16 s of pure listing).
+    Compaction restores O(1) dirs without changing a single signature
+    row.
+
+    Content-identical by construction: the compacted dir is the union
+    of the folded dirs' PERSISTED rows — nothing is re-signed.
+    Crash-safety is the ingest recipe re-used end-to-end:
+
+    - the compacted dir name is ``batch-compact-<sha256(folded
+      dirs)[:16]>`` and the write is mode=overwrite, so a retry over
+      the same committed set recomputes the same cid and overwrites
+      the same dir;
+    - ONE manifest part carrying ``replaces=[folded dirs]`` AND the
+      full covered-files ledger is the single commit point. Crash
+      BEFORE it: the compact dir is an uncommitted ``batch-*`` orphan
+      — invisible to readers and swept by the next ingest's
+      ``_sweep_orphans``. Crash AFTER it: compaction is complete and
+      the folded dirs are unreferenced garbage (the NEXT ingest's
+      sweep collects them, since they no longer appear in the
+      committed set);
+    - a re-run after the commit sees ONE committed batch and returns
+      ``None`` (fewer than ``min_batches``) — idempotent, and a later
+      compaction over {compact, new days} chains correctly because
+      supersedence is resolved over ALL records
+      (:func:`_read_index_manifest`).
+
+    Returns the committed compact dir, or ``None`` when fewer than
+    ``min_batches`` batches exist."""
+    sigs_dir, manifest_dir = _paths(index_dir)
+    covered, batches = _read_index_manifest(spark, manifest_dir)
+    if len(batches) < min_batches:
+        return None
+    folded = sorted(batches)
+    cid = hashlib.sha256(
+        "\n".join(d.rstrip("/").rsplit("/", 1)[-1] for d in folded).encode()
+    ).hexdigest()[:16]
+    compact_dir = f"{sigs_dir}/batch-compact-{cid}"
+    spark.read.parquet(*folded).write.mode("overwrite").parquet(compact_dir)
+    _commit_batch(spark, manifest_dir, compact_dir, covered, replaces=folded)
+    return compact_dir
 
 
 def _sweep_orphans(

@@ -247,3 +247,151 @@ def test_compaction_folds_batches_content_identical(spark, tmp_path):
     from gpssbzd_spark.dataprep.ivfindex import ivf_index_compact as c
 
     assert c(spark, solo_dir, "c1") is None
+
+
+# ---------------------------------------------------------------------------
+# Ingest-loop kill-points around ANN maintenance (r13, VERDICT r12 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_killpoint_between_ivf_and_lsh_append_converges(spark, tmp_path):
+    """The day body grows IVF then LSH from one accepted delta
+    (corpus/dataprep.py dp_pipeline_ingest_e2e step 4b), with the
+    pickup commit LAST. Kill between the two append commits, then
+    replay the whole day body (what a retry before the pickup commit
+    does): the IVF append must short-circuit on its committed
+    batch_id, the LSH append must complete, and BOTH indexes must
+    equal their build-from-scratch twins — no interleaving can
+    duplicate or drop a day's vectors."""
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_read,
+    )
+
+    em = _em(spark)
+    day1 = em.filter(F.col("vec_id") % 3 != 0)
+    day2 = em.filter(F.col("vec_id") % 3 == 0)
+    ivf_dir = str(tmp_path / "ivf")
+    lsh_dir = str(tmp_path / "lsh")
+    cents = ivf_index_init(
+        spark, ivf_dir, day1, dim=64, n_centroids=8, iters=2
+    )
+    lsh_index_build(spark, lsh_dir, day1, dim=64, n_planes=6, n_tables=4)
+
+    # day2 body, killed between the two ANN commits:
+    ivf_rec = ivf_index_append(spark, ivf_dir, day2, "day2")
+    assert ivf_rec["batch_id"] == "day2"
+    # --- kill: lsh_index_append never runs, pickup commit never lands
+
+    # retry replays the WHOLE day body against identical state
+    r = ivf_index_append(spark, ivf_dir, day2, "day2")
+    assert r["batch_id"] == "day2", "retry must dedupe, not re-append"
+    lsh_index_append(spark, lsh_dir, day2, "day2")
+
+    from gpssbzd_spark.dataprep.ivfindex import _assign
+
+    grown_ivf = {
+        (r.vec_id, r.cid)
+        for r in ivf_index_read(spark, ivf_dir)
+        .select("vec_id", "cid")
+        .collect()
+    }
+    rebuilt_ivf = {
+        (r.vec_id, r.cid)
+        for r in _assign(em, cents, "vec_id", "embedding")
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert grown_ivf == rebuilt_ivf
+    assert (
+        lsh_index_read(spark, lsh_dir).count() == em.count() * 4
+    ), "LSH rows after the replayed day must be exactly (corpus × tables)"
+    ids = (
+        lsh_index_read(spark, lsh_dir)
+        .groupBy("vec_id", "tbl")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert ids.count() == 0, "duplicate LSH rows entered the index"
+
+
+def test_killpoint_mid_compaction_stale_replaces_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Kill between the compacted parquet write and its manifest
+    commit, let ANOTHER day land, then retry the compaction with the
+    SAME maintenance key: the retry must fold the GROWN committed set
+    (overwriting the stale orphan dir), its committed ``replaces``
+    must cover every folded batch, and a late retry of a folded day
+    must still no-op — the r11-review crash-window class, proven for
+    both ANN indexes."""
+    import gpssbzd_spark.dataprep.ivfindex as ivfmod
+    import gpssbzd_spark.dataprep.lshindex as lshmod
+
+    em = _em(spark)
+    a = em.filter(F.col("vec_id") % 3 == 1)
+    b = em.filter(F.col("vec_id") % 3 == 2)
+    c = em.filter(F.col("vec_id") % 3 == 0)
+
+    # --- IVF ---
+    ivf_dir = str(tmp_path / "ivf")
+    ivf_index_init(spark, ivf_dir, a, dim=64, n_centroids=8, iters=2)
+    ivf_index_append(spark, ivf_dir, b, "d1")
+    before = ivf_index_read(spark, ivf_dir).count()
+
+    real_commit = ivfmod._commit_manifest_part
+
+    def crash(*args, **kwargs):
+        raise RuntimeError("injected crash before compaction commit")
+
+    monkeypatch.setattr(ivfmod, "_commit_manifest_part", crash)
+    with pytest.raises(RuntimeError):
+        ivfmod.ivf_index_compact(spark, ivf_dir, "c1")
+    monkeypatch.setattr(ivfmod, "_commit_manifest_part", real_commit)
+    # stale orphan: compact dir exists, no record — readers unchanged
+    assert [x["batch_id"] for x in ivf_index_batches(ivf_dir)] == [
+        "init",
+        "d1",
+    ]
+    assert ivf_index_read(spark, ivf_dir).count() == before
+
+    # another day lands before the retry
+    ivf_index_append(spark, ivf_dir, c, "d2")
+    rec = ivfmod.ivf_index_compact(spark, ivf_dir, "c1")
+    assert sorted(rec["replaces"]) == ["d1", "d2", "init"]
+    assert [x["batch_id"] for x in ivf_index_batches(ivf_dir)] == ["c1"]
+    assert ivf_index_read(spark, ivf_dir).count() == em.count()
+    # late retry of a folded day still no-ops
+    r = ivf_index_append(spark, ivf_dir, b, "d1")
+    assert r["batch_id"] == "d1"
+    assert ivf_index_read(spark, ivf_dir).count() == em.count()
+
+    # --- LSH (same interleaving) ---
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_append,
+        lsh_index_batches,
+        lsh_index_build,
+        lsh_index_read,
+    )
+
+    lsh_dir = str(tmp_path / "lsh")
+    lsh_index_build(spark, lsh_dir, a, dim=64, n_planes=6, n_tables=4)
+    lsh_index_append(spark, lsh_dir, b, "d1")
+    real_lsh_commit = lshmod._commit_manifest_part
+    monkeypatch.setattr(lshmod, "_commit_manifest_part", crash)
+    with pytest.raises(RuntimeError):
+        lshmod.lsh_index_compact(spark, lsh_dir, "c1")
+    monkeypatch.setattr(lshmod, "_commit_manifest_part", real_lsh_commit)
+    assert [x["batch_id"] for x in lsh_index_batches(lsh_dir)] == [
+        "init",
+        "d1",
+    ]
+    lsh_index_append(spark, lsh_dir, c, "d2")
+    rec = lshmod.lsh_index_compact(spark, lsh_dir, "c1")
+    assert sorted(rec["replaces"]) == ["d1", "d2", "init"]
+    assert [x["batch_id"] for x in lsh_index_batches(lsh_dir)] == ["c1"]
+    assert lsh_index_read(spark, lsh_dir).count() == em.count() * 4
+    r = lsh_index_append(spark, lsh_dir, b, "d1")
+    assert r["batch_id"] == "d1"
+    assert lsh_index_read(spark, lsh_dir).count() == em.count() * 4

@@ -377,3 +377,71 @@ def test_lsh_compaction_folds_batches_content_identical(spark, tmp_path):
     assert lsh_index_append(spark, index_dir, b, "d1")["batch_id"] == "d1"
     assert lsh_index_compact(spark, index_dir, "c1")["batch_id"] == "c1"
     assert lsh_index_read(spark, index_dir).count() == len(before)
+
+
+def test_lsh_build_retry_does_not_double_init_rows(spark, tmp_path):
+    """ADVICE r12 (high): the init manifest part commits BEFORE
+    params.json, so a crash in the gap makes every caller (they gate
+    on params.json) re-run the whole build. The retry must OVERWRITE
+    the single fixed-path init record, not append a second one that
+    doubles every read/query's init rows — and a full rebuild over a
+    committed plain build (valid pre-r12) must stay single-init too."""
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_batches,
+        lsh_index_read,
+    )
+
+    em, a, b, index_dir = _setup_split(spark, tmp_path)
+    base = lsh_index_read(spark, index_dir).count()
+    assert base == a.count() * 4
+
+    # crash window: init manifest committed, params.json never landed
+    os.remove(os.path.join(index_dir, "params.json"))
+    lsh_index_build(spark, index_dir, a, dim=64, n_planes=8, n_tables=4)
+    assert [x["batch_id"] for x in lsh_index_batches(index_dir)] == ["init"]
+    assert lsh_index_read(spark, index_dir).count() == base
+
+    # full rebuild over the committed build (no appends): still one init
+    lsh_index_build(spark, index_dir, a, dim=64, n_planes=8, n_tables=4)
+    assert [x["batch_id"] for x in lsh_index_batches(index_dir)] == ["init"]
+    assert lsh_index_read(spark, index_dir).count() == base
+
+
+def test_lsh_rebuild_over_grown_index_raises(spark, tmp_path):
+    """Once appends/compactions are committed, an in-place rebuild
+    would overwrite index/ while readers still union the grown
+    batches — same rule as ivf_index_init: rebuild means a NEW dir."""
+    import pytest as _pytest
+
+    from gpssbzd_spark.dataprep.lshindex import lsh_index_append
+
+    em, a, b, index_dir = _setup_split(spark, tmp_path)
+    lsh_index_append(spark, index_dir, b, "b1")
+    with _pytest.raises(ValueError, match="NEW index_dir"):
+        lsh_index_build(spark, index_dir, a, dim=64, n_planes=8, n_tables=4)
+
+
+def test_lsh_legacy_uuid_init_part_is_deduped(spark, tmp_path):
+    """A pre-fix index carries a uuid-named init part; a rebuild adds
+    the fixed-path one. Readers must count init ONCE (dedupe by
+    batch_id — both records describe the same rewritten dir)."""
+    import json as _json
+    import uuid as _uuid
+
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_batches,
+        lsh_index_read,
+    )
+
+    em, a, b, index_dir = _setup_split(spark, tmp_path)
+    base = lsh_index_read(spark, index_dir).count()
+    # simulate the legacy layout: copy the init record to a uuid part
+    mdir = os.path.join(index_dir, "manifest")
+    with open(os.path.join(mdir, "part-init.jsonl")) as fh:
+        rec = fh.read()
+    with open(
+        os.path.join(mdir, f"part-{_uuid.uuid4().hex}.jsonl"), "w"
+    ) as fh:
+        fh.write(rec)
+    assert [x["batch_id"] for x in lsh_index_batches(index_dir)] == ["init"]
+    assert lsh_index_read(spark, index_dir).count() == base

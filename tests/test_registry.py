@@ -525,10 +525,12 @@ def test_steady_state_cadence_within_four_rounds():
     stale = {
         n: latest[n]
         for n in tier_pos
-        if latest[n] < key - cadence
+        # per-name cadence (r13 tiered contract): LONG_CADENCE rows
+        # re-prove on the relaxed schedule, everything else on 4
+        if latest[n] < key - corpus.cadence(n)
     }
     assert not stale, (
-        f"tier>0 driver rows older than {cadence} rounds at key {key}: "
+        f"tier>0 driver rows older than their cadence at key {key}: "
         f"{dict(sorted(stale.items())[:8])}"
     )
 
@@ -555,15 +557,17 @@ def test_stale_evidence_is_in_current_window():
         return  # too early for any name to exceed GRACE
     latest = corpus._latest_evidence_rounds(key)
     win = set(corpus.window_names())
-    grace = corpus.STEADY_CADENCE + 2
+    # per-name grace (r13 tiered contract): cadence(n) + 2
     overdue = {
         n: latest[n]
         for n in corpus.CORPUS
-        if n in latest and key - latest[n] >= grace and n not in win
+        if n in latest
+        and key - latest[n] >= corpus.cadence(n) + 2
+        and n not in win
     }
     assert not overdue, (
-        f"queries ≥{grace} rounds stale at key {key} yet NOT in this "
-        f"round's window (the drain must refresh oldest-first): "
+        f"queries past their cadence+2 grace at key {key} yet NOT in "
+        f"this round's window (the drain must refresh most-due-first): "
         f"{dict(sorted(overdue.items(), key=lambda kv: kv[1])[:8])}"
     )
 
@@ -593,3 +597,44 @@ def test_oracle_sql_tracks_rotated_window():
     for n in qs:
         if corpus.CORPUS[n].oracle is not None:
             assert oracles[n].strip(), n
+
+
+def test_rotation_solvency_headroom():
+    """VERDICT r12 #6: at N=185 a flat 4-round cadence needs
+    ceil(185/4)=47 of the 50 window slots per round — a few more
+    registrations and the cadence contract becomes arithmetically
+    unsatisfiable. The r13 tiered contract must keep the steady-state
+    refresh DEMAND (Σ 1/cadence(n)) comfortably under the window, with
+    headroom for new-query debt (each registration consumes one drain
+    slot the round it lands). This test is the registration brake:
+    if it fails, either grow LONG_CADENCE_NAMES or stop registering."""
+    import math
+
+    corpus._load_all()
+    demand = sum(1.0 / corpus.cadence(n) for n in corpus.CORPUS)
+    headroom_for_debt = 8  # worst observed registration burst ≈ 5/round
+    assert math.ceil(demand) + headroom_for_debt <= corpus.DRIVER_WINDOW, (
+        f"steady refresh demand {demand:.1f}/round + {headroom_for_debt} "
+        f"debt headroom exceeds the {corpus.DRIVER_WINDOW}-slot window — "
+        f"tier more stable rows into LONG_CADENCE_NAMES before "
+        f"registering further queries"
+    )
+
+
+def test_long_cadence_names_are_registered_and_curated():
+    """LONG_CADENCE_NAMES must reference real registry rows (a typo'd
+    name would silently fail to relax anything), and the curation rule
+    — established rows only — means every member already has committed
+    driver evidence; a brand-new query on the relaxed cadence would be
+    debt that drains slower than the contract assumes."""
+    corpus._load_all()
+    unknown = corpus.LONG_CADENCE_NAMES - set(corpus.CORPUS)
+    assert not unknown, f"LONG_CADENCE_NAMES not in registry: {sorted(unknown)}"
+    key = corpus._round_key()
+    if key <= 1:
+        return
+    latest = corpus._latest_evidence_rounds(key)
+    unproven = sorted(n for n in corpus.LONG_CADENCE_NAMES if n not in latest)
+    assert not unproven, (
+        f"LONG_CADENCE rows without committed driver evidence: {unproven}"
+    )

@@ -198,3 +198,133 @@ def test_ingest_touches_only_delta_data(spark, tmp_path):
     assert b2 is not None and b2 != b1
     got = spark.read.parquet(b2)
     assert _frames_equal(got, minhash_signatures_portable(day2))
+
+
+# ---------------------------------------------------------------------------
+# LSM-style compaction (r13, VERDICT r12 missing #1 / next-round #4)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_folds_batches_content_identical(spark, tmp_path):
+    """Two daily ingests + compact must leave exactly ONE committed
+    batch whose rows equal from-scratch signing — and the coverage
+    ledger must survive the fold (re-ingesting either landing is a
+    no-op), or a compacted index would re-sign history."""
+    from gpssbzd_spark.dataprep.sigindex import (
+        _paths,
+        _read_index_manifest,
+        sig_index_compact,
+    )
+
+    d = _docs(spark)
+    l1, l2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    d.filter(F.col("doc_id") % 3 != 0).write.parquet(l1)
+    d.filter(F.col("doc_id") % 3 == 0).write.parquet(l2)
+    idx = str(tmp_path / "index")
+    sig_index_ingest(spark, l1, idx)
+    sig_index_ingest(spark, l2, idx)
+    before = sorted(map(tuple, sig_index_read(spark, idx).collect()))
+
+    cdir = sig_index_compact(spark, idx)
+    assert cdir is not None
+    _, manifest_dir = _paths(idx)
+    covered, batches = _read_index_manifest(spark, manifest_dir)
+    assert batches == {cdir}, "compaction must leave ONE committed batch"
+    assert sorted(map(tuple, sig_index_read(spark, idx).collect())) == before
+    assert _frames_equal(
+        sig_index_read(spark, idx), minhash_signatures_portable(d)
+    )
+    # coverage ledger carried forward: both landings remain covered
+    assert sig_index_ingest(spark, l1, idx) is None
+    assert sig_index_ingest(spark, l2, idx) is None
+    # idempotent re-run: one batch < min_batches → no-op
+    assert sig_index_compact(spark, idx) is None
+
+
+def test_compact_crash_before_commit_is_invisible_and_retries(
+    spark, tmp_path, monkeypatch
+):
+    """Kill-point: crash between the compacted parquet write and the
+    manifest commit. Readers must still see the ORIGINAL batches (the
+    compact dir is an uncommitted orphan), and the retry must converge
+    onto the same content-keyed dir."""
+    import gpssbzd_spark.dataprep.sigindex as sigmod
+
+    d = _docs(spark)
+    l1, l2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    d.filter(F.col("doc_id") % 4 == 0).write.parquet(l1)
+    d.filter(F.col("doc_id") % 4 == 1).write.parquet(l2)
+    idx = str(tmp_path / "index")
+    sig_index_ingest(spark, l1, idx)
+    sig_index_ingest(spark, l2, idx)
+    before = sorted(map(tuple, sig_index_read(spark, idx).collect()))
+
+    real_commit = sigmod._commit_batch
+
+    def crash(*a, **k):
+        raise RuntimeError("injected crash before compaction commit")
+
+    monkeypatch.setattr(sigmod, "_commit_batch", crash)
+    try:
+        sigmod.sig_index_compact(spark, idx)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(sigmod, "_commit_batch", real_commit)
+
+    _, batches = sigmod._read_index_manifest(spark, sigmod._paths(idx)[1])
+    assert len(batches) == 2, "uncommitted compaction must be invisible"
+    assert sorted(map(tuple, sig_index_read(spark, idx).collect())) == before
+
+    cdir = sigmod.sig_index_compact(spark, idx)
+    assert cdir is not None
+    assert sorted(map(tuple, sig_index_read(spark, idx).collect())) == before
+
+
+def test_compact_chains_and_folded_dirs_are_swept(spark, tmp_path):
+    """Chained compaction over {previous compact, newer days} must
+    resolve supersedence across ALL records (an earlier compaction
+    record's replaces still applies after it is itself folded), and
+    the next ingest's orphan sweep must collect the unreferenced
+    folded dirs."""
+    from gpssbzd_spark.dataprep.sigindex import sig_index_compact
+
+    d = _docs(spark)
+    lands = []
+    for i, pred in enumerate(
+        (F.col("doc_id") % 3 == 0, F.col("doc_id") % 3 == 1,
+         F.col("doc_id") % 3 == 2)
+    ):
+        land = str(tmp_path / f"l{i}")
+        d.filter(pred).write.parquet(land)
+        lands.append(land)
+    idx = str(tmp_path / "index")
+    b0 = sig_index_ingest(spark, lands[0], idx)
+    sig_index_ingest(spark, lands[1], idx)
+    c1 = sig_index_compact(spark, idx)
+    b2 = sig_index_ingest(spark, lands[2], idx)
+    c2 = sig_index_compact(spark, idx)
+    assert c1 and b2 and c2 and c1 != c2
+    assert _frames_equal(
+        sig_index_read(spark, idx), minhash_signatures_portable(d)
+    )
+    # all three landings stay covered through two folds
+    for land in lands:
+        assert sig_index_ingest(spark, land, idx) is None
+    # a later ingest sweeps the unreferenced folded dirs (b0, c1 …)
+    extra = str(tmp_path / "extra")
+    d.limit(7).withColumn(
+        "doc_id", F.col("doc_id") + 5000000
+    ).write.parquet(extra)
+    sig_index_ingest(spark, extra, idx)
+    assert not os.path.exists(b0), "folded day dir must be swept"
+    assert not os.path.exists(c1), "folded compact dir must be swept"
+    assert _frames_equal(
+        sig_index_read(spark, idx),
+        minhash_signatures_portable(
+            d.unionByName(
+                d.limit(7).withColumn(
+                    "doc_id", F.col("doc_id") + 5000000
+                )
+            )
+        ),
+    )
