@@ -87,6 +87,18 @@ the flat form's 128 aggregate fields exceeded codegen.maxFields and
 ran interpreted), restoring the r10 record level on identical output.
 ``sim_topk_lsh_append`` / ``tx_bm25_topk_capped`` are the r12 row
 additions (see HEADLINE comments).
+
+r13 methodology note (VERDICT r12 #8): the contract line now carries
+its pre-registered band INLINE — ``band: [lo, hi]`` (the idle-measured
+envelope registered in PERF_NOTES before the driver capture; the hi
+edge is a CEILING, lower is always better) and ``in_band: value <=
+hi`` — so the committed series is self-describing without a PERF_NOTES
+cross-reference. r13 row-shape change: ``dd_simhash_near_pairs`` /
+``dd_simhash_buckets`` moved DOWNWARD — the 64-bit signature kernel
+was rebuilt allocation-quiet (PERF_NOTES #14: per-worker scratch
+buffers; the old kernel's ~150 MB per-batch bit matrix hit the
+sandbox's large-mmap first-touch stalls, the r12 What's-wrong #2
+bimodal 20×).
 """
 
 from __future__ import annotations
@@ -100,6 +112,30 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+# Pre-registered band for the PRIMARY `value` (min-sum over all rows),
+# carried inline in the contract line (VERDICT r12 #8) so each
+# committed BENCH_r{N} record is self-describing. Registered from
+# idle runs at code freeze each round (PERF_NOTES); the hi edge is a
+# CEILING — a capture above it reads as load, below is simply better.
+# r13: registered in PERF_NOTES #15 from idle runs at code freeze
+# (simhash kernel rebuilt allocation-quiet, ingest row grew the
+# final-day signature-index fold).
+REGISTERED_BAND = (110.0, 150.0)
+
+# Per-row bands for the rows whose capture mins historically swing
+# >2x (the Python-kernel near-dup family; VERDICT r12 #7). Emitted in
+# BENCH_DETAIL.json (the stdout line is budget-capped); the contract
+# line carries only the count of rows above their hi edge.
+PER_ROW_BANDS = {
+    # PERF_NOTES #14/#15 (r13): allocation-quiet kernel; idle mins
+    # 1.9-4.1 across dedicated + mixed sessions
+    "dd_simhash_near_pairs": (1.5, 4.5),
+    # PERF_NOTES #9/#11: registration-level idle mins 4.4-6.6
+    "dd_minhash_lsh_pairs": (4.0, 7.5),
+    # PERF_NOTES #11: registered 4.1-6.5 band carried forward
+    "dd_neardup_clusters_kernel": (4.1, 6.5),
+}
 
 # Headline set: one per operator family — scan-agg, join, window, pair-join,
 # dedup, similarity, text, streaming-twin, stateful, plus the three GPS
@@ -353,6 +389,23 @@ def main() -> None:
         "value_min": total_min,
         "value_median": total_median,
         "unit": "sec",
+        # self-describing verdict (r13, VERDICT r12 #8): the
+        # pre-registered envelope and whether this capture's primary
+        # value landed at-or-under its ceiling. Only meaningful at the
+        # registered sf (0.1); other sfs carry band: null.
+        "band": list(REGISTERED_BAND) if abs(sf - 0.1) < 1e-9 else None,
+        "in_band": (
+            total_min <= REGISTERED_BAND[1]
+            if abs(sf - 0.1) < 1e-9
+            else None
+        ),
+        "rows_over_band": sum(
+            1
+            for k, (lo, hi) in PER_ROW_BANDS.items()
+            if k in mins and mins[k] > hi
+        )
+        if abs(sf - 0.1) < 1e-9
+        else None,
         "queries": {k: round(v, 2) for k, v in mins.items()},
         "repeats": repeats,
         "sf": sf,
@@ -364,6 +417,7 @@ def main() -> None:
     detail["queries_median"] = medians
     detail["queries_min"] = mins
     detail["queries_spread"] = spreads
+    detail["per_row_bands"] = {k: list(v) for k, v in PER_ROW_BANDS.items()}
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         by_speed = sorted(summary["queries"], key=lambda k: summary["queries"][k])

@@ -2561,7 +2561,8 @@ def _ingest_e2e_oracle() -> str:
            CAST(a.doc_id IN (SELECT vec_id FROM embeddings) AS INT)
              AS in_lsh,
            1 AS lsh_bucket_agree,
-           1 AS ann_no_strays
+           1 AS ann_no_strays,
+           1 AS sig_compacted
     FROM accepted a LEFT JOIN sigs s ON a.doc_id = s.doc_id
     """
 
@@ -2603,7 +2604,12 @@ def _ingest_e2e_oracle() -> str:
     "Measured shape like dd_incremental_index_append: the first bench "
     "repeat runs the two-day loop, later repeats no-op the pickup and "
     "time the post-state read-back; the day-cycle cost curve lives in "
-    "SCALING.md (ingest_day_cycle).",
+    "SCALING.md (ingest_day_cycle). r13 (VERDICT r12 #4): after the "
+    "final day the loop COMPACTS the signature index "
+    "(sigindex.sig_index_compact — the LSM fold that keeps read-back "
+    "O(1) dirs after N daily appends); the post-state sigs are read "
+    "back THROUGH the fold, so the same oracle pins the fold's "
+    "content-identity, and sig_compacted pins that it committed.",
     tier=1,
 )
 def dp_pipeline_ingest_e2e(spark, sf_dir):
@@ -2739,6 +2745,24 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
     # on clean state (victims < min_files).
     for adir in accepted_dirs:
         compact_landing(spark, adir, accepted_manifest)
+    # (6) signature-index compaction after the final day (r13, VERDICT
+    # r12 #4): fold the per-day batch dirs into one — the LSM step
+    # that keeps sig_index_read O(1) dirs after N daily appends.
+    # Idempotent (a repeat sees one batch and no-ops); the oracle pins
+    # content-identity for free, since the post-state sigs below are
+    # read back THROUGH the fold and must still equal from-scratch
+    # signing of the accepted corpus; sig_compacted pins that the fold
+    # actually committed (exactly one surviving manifest record).
+    from gpssbzd_spark.dataprep.sigindex import (
+        _paths as _sig_paths,
+        _read_index_manifest as _sig_manifest,
+        sig_index_compact,
+    )
+
+    sig_index_compact(spark, index_dir)
+    sig_compacted = int(
+        len(_sig_manifest(spark, _sig_paths(index_dir)[1])[1]) == 1
+    )
     acc = spark.read.parquet(*accepted_dirs).select("doc_id")
     sigs = sig_index_read(spark, index_dir)
     # ANN post-state: per-id flags re-derived from the PERSISTED grown
@@ -2812,6 +2836,7 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
                 "lsh_bucket_agree"
             ),
             _F.lit(int(no_strays)).alias("ann_no_strays"),
+            _F.lit(sig_compacted).alias("sig_compacted"),
         )
     )
 

@@ -658,17 +658,55 @@ def embedding_lsh_pairs(
     )
 
 
+# Per-chunk token budget for the simhash bit-vote kernel, plus the
+# per-worker scratch buffers that make the kernel ALLOCATION-QUIET:
+# PERF_NOTES #14 (the dd_simhash_near_pairs bimodal stall, VERDICT
+# r12 #2) traced the 1.27 s ↔ 26.8 s same-session swings to
+# first-touch population of >mmap-threshold anonymous mappings inside
+# the sandbox — ~28 s of pure SYSTEM time (utime 0.3 s) for one
+# ~150 MB (Σtokens × 64 int64) matrix, reproducible with numpy alone,
+# and still 3-5 s per batch when "fixed" with per-chunk ~4 MB
+# temporaries (every malloc ≥ the dynamic mmap threshold re-rolls the
+# dice). The only robust shape is to stop talking to the allocator:
+# every large intermediate lives in a module-level buffer allocated
+# ONCE per worker process and reused across chunks AND calls, so the
+# cost is paid once per worker lifetime instead of per batch. Also
+# caps worker RSS at 100 TB batch sizes (working set is CHUNK-bounded
+# regardless of Arrow batch size).
+_SIMHASH_CHUNK_TOKENS = 1 << 16
+_SIMHASH_SCRATCH: dict = {}
+
+
+def _simhash_scratch(name: str, size: int, dtype) -> np.ndarray:
+    """Per-worker reusable buffer: grows monotonically, never shrinks,
+    never freed — the allocator is consulted at most a handful of
+    times per worker lifetime (see the #14 note above)."""
+    buf = _SIMHASH_SCRATCH.get(name)
+    if buf is None or buf.size < size or buf.dtype != np.dtype(dtype):
+        buf = np.empty(max(size, _SIMHASH_CHUNK_TOKENS), dtype=dtype)
+        _SIMHASH_SCRATCH[name] = buf
+    return buf[:size]
+
+
 @F.pandas_udf(T.LongType())
 def _simhash64_udf(token_arrays: pd.Series) -> pd.Series:
     """64-bit SimHash over pre-hashed token arrays.
 
-    Fully vectorized across the Arrow batch: all rows' hashes are
-    flattened into one array, unpacked to a (Σtokens, 64) bit matrix in
-    a single pass, and per-row bit votes come from ``np.add.reduceat``
-    at the row offsets — no per-row Python loop (the per-row
-    unpackbits/packbits version was the whole cost of the simhash stage
-    at 50k docs; same outputs, pinned by the banding-completeness
-    tests)."""
+    Vectorized across the Arrow batch WITHOUT materializing the
+    (Σtokens, 64) bit matrix and WITHOUT per-batch large allocations
+    (the #14 stall class — see ``_SIMHASH_SCRATCH``): rows are
+    processed in row-aligned chunks of ~``_SIMHASH_CHUNK_TOKENS``
+    tokens; per chunk, each of the 64 bit lanes is extracted by
+    ``right_shift``/``bitwise_and`` INTO a persistent scratch buffer
+    and vote-summed by ``np.add.reduceat`` at the row offsets — no
+    per-row Python loop over tokens (the per-row unpackbits/packbits
+    version was the whole cost of the simhash stage at 50k docs).
+    Votes accumulate in uint64 lanes of 0/1 — wrap-free for any real
+    row length — and the majority compare runs signed; the uint8-
+    reduceat wrap at 256 tokens and the pre-vectorization uint64-vote
+    compare bug (``2s−n > 0`` wrapping for minority bits) are both
+    pinned by the hypothesis parity test in
+    tests/test_kernels_property.py."""
     n = len(token_arrays)
     if n == 0:
         return pd.Series([], dtype="int64")
@@ -679,22 +717,52 @@ def _simhash64_udf(token_arrays: pd.Series) -> pd.Series:
     nz = lens > 0
     if not nz.any():
         return pd.Series(out)
-    flat = np.concatenate(
-        [np.asarray(h, dtype=np.int64) for h in token_arrays if h is not None and len(h)]
-    ).view(np.uint64)
-    # (Σtokens, 64) bit matrix; row-group sums via reduceat at offsets.
-    # int64 BEFORE summing: uint8 reduceat wraps at 256 tokens, and the
-    # pre-vectorization kernel had the sibling bug (uint64 votes made
-    # `2s−n > 0` wrap for minority bits, setting them whenever 2s ≠ n) —
-    # both pinned by the hypothesis parity test in
-    # tests/test_kernels_property.py
-    bits = np.unpackbits(flat.view(np.uint8).reshape(len(flat), 8), axis=1).astype(
-        np.int64
+    nz_lens = lens[nz]
+    n_rows = int(nz.sum())
+    ends = np.cumsum(nz_lens)  # exclusive row end offsets
+    starts = ends - nz_lens
+    arrays = [
+        np.asarray(h, dtype=np.int64)
+        for h in token_arrays
+        if h is not None and len(h)
+    ]
+    votes = _simhash_scratch("votes", n_rows * 64, np.uint64).reshape(
+        n_rows, 64
     )
-    offsets = np.zeros(int(nz.sum()), dtype=np.int64)
-    np.cumsum(lens[nz][:-1], out=offsets[1:])
-    votes = np.add.reduceat(bits, offsets, axis=0)  # (nz_rows, 64)
-    sim_bits = (votes * 2 > lens[nz, None]).astype(np.uint8)
+    row = 0
+    while row < n_rows:
+        # row-aligned chunk: at least one row, at most ~CHUNK tokens
+        # (a single oversized row forms its own chunk — correctness
+        # never splits a row's votes)
+        hi = int(
+            np.searchsorted(
+                ends, starts[row] + _SIMHASH_CHUNK_TOKENS, side="left"
+            )
+        )
+        hi = max(hi, row + 1)
+        m = int(ends[hi - 1] - starts[row])
+        flat = _simhash_scratch("flat", m, np.int64)
+        np.concatenate(arrays[row:hi], out=flat)
+        flat_u = flat.view(np.uint64)
+        lane = _simhash_scratch("lane", m, np.uint64)
+        offsets = starts[row:hi] - starts[row]
+        for b in range(64):
+            np.right_shift(flat_u, b, out=lane)
+            np.bitwise_and(lane, 1, out=lane)
+            # write lane b into the column unpackbits(MSB-first over
+            # the little-endian byte view) used for hash bit b —
+            # (b//8)*8 + 7 - b%8, an involution — so the packbits
+            # pipeline below yields fingerprints bit-identical to the
+            # pre-#14 kernel
+            votes[row:hi, (b & ~7) + 7 - (b & 7)] = np.add.reduceat(
+                lane, offsets
+            )
+        row = hi
+    # majority: bit set iff 2·votes > row length. In-place on the
+    # scratch (last use of the raw votes); the compare result and the
+    # packed bytes are sub-MB allocations the arena absorbs.
+    np.multiply(votes, 2, out=votes)
+    sim_bits = votes > nz_lens.astype(np.uint64)[:, None]
     out[nz] = np.packbits(sim_bits, axis=1).view(np.int64).ravel()
     return pd.Series(out)
 
