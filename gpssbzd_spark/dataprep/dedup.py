@@ -2004,6 +2004,14 @@ def semantic_dedup_pairs(
     hierarchical once ``n_clusters ≥ 64``, where the √C saving clears
     the second UDF pass's overhead; flat below.
 
+    .. note:: **Behavior change (r12, flagged per ADVICE r12):** the
+       ``hierarchical=None`` auto-default silently routes any existing
+       caller with ``n_clusters >= 64`` onto the two-level codebook,
+       which CHANGES THE EMITTED PAIR SET (blocking changes organic
+       recall; exact-dup recall and precision are preserved). Callers
+       that need the r11 flat pair set bit-for-bit at large C must
+       pass ``hierarchical=False`` explicitly.
+
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim ≥
     ``threshold``. Zero-norm vectors are dropped (cosine undefined).
     """

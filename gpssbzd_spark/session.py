@@ -70,6 +70,22 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python-worker allocator hygiene (PERF_NOTES #14): large
+        # numpy temporaries in Arrow-UDF kernels are served by fresh
+        # anonymous mmaps whenever they exceed glibc's dynamic mmap
+        # threshold, and first-touch population of such mappings under
+        # a syscall-intercepting sandbox costs seconds-to-tens-of-
+        # seconds of SYSTEM time, nondeterministically — the r12
+        # bimodal-stall class. Raising the threshold to 1 GiB and
+        # disabling trim keeps every kernel allocation on the brk
+        # heap, where freed pages stay mapped and are reused across
+        # batches: the population cost is paid once per worker
+        # lifetime. Worker RSS then holds its high-water mark — sized
+        # fine for reused workers (the hot kernels are additionally
+        # scratch-buffered, see dedup._simhash_scratch). Executor env
+        # vars reach Python workers in every deploy mode.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
