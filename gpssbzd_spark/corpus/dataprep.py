@@ -3473,7 +3473,10 @@ def sim_topk_index_compact(spark, sf_dir):
         lsh_index_compact,
         lsh_index_read,
     )
-    from gpssbzd_spark.dataprep.similarity import _dot, hyperplane_bucket
+    from gpssbzd_spark.dataprep.similarity import (
+        _dot,
+        hyperplane_buckets_relational,
+    )
 
     cache = _artifact_cache_dir(sf_dir, "idx_compact_v2", "embeddings")
     _prune_stale_cache_generations(cache)
@@ -3538,23 +3541,37 @@ def sim_topk_index_compact(spark, sf_dir):
     )
     # Native LSH re-derivation: hyperplane_bucket's zip_with/aggregate
     # fold per table (RandomState(seed+t) — the same family the Arrow
-    # kernel and the driver probe derive), indexed by the row's tbl.
-    native_buckets = _F.array(
-        *[
-            hyperplane_bucket(_F.col("embedding"), 64, 6, 42 + t)
-            for t in range(4)
-        ]
-    )
+    # kernel and the driver probe derive). The folds are interpreted
+    # HOFs, so derive the 4-bucket array ONCE PER VECTOR (each vec has
+    # exactly one row per table — take tbl=0 as the vector carrier)
+    # and join it back to the per-(vec, tbl) rows: 4× less fold work
+    # than evaluating the array on every row (this row regressed
+    # 1.4 → 4.5 s when the verify first went native; the per-vec
+    # derivation recovers most of it while keeping the plan pure JVM).
+    # two scans by design: the per-(vec, tbl) row set reads the whole
+    # index once, and the tbl=0 per-vector carrier partition-prunes to
+    # 1/4 of it (tbl is a partition column) — at 100 TB that beats
+    # pinning a full index read in block storage
+    lsh_read = lsh_index_read(spark, lsh_dir)
+    # relational re-derivation (hyperplane_buckets_relational): each
+    # vector appears once per table, so take tbl=0 as the per-vector
+    # carrier, recompute every table's bucket via the posexplode +
+    # broadcast-plane-table plan (pure JVM, codegen, linear — see the
+    # function's docstring for why the scalar native forms lose), and
+    # join back on (vec_id, tbl)
+    rederived = hyperplane_buckets_relational(
+        lsh_read.filter(_F.col("tbl") == 0).select("vec_id", "embedding"),
+        dim=64,
+        n_planes=6,
+        n_tables=4,
+        seed=42,
+    ).withColumnRenamed("bucket", "_nb")
     lsh_rows = (
-        lsh_index_read(spark, lsh_dir)
+        lsh_read.select("vec_id", "tbl", "bucket")
+        .join(rederived, ["vec_id", "tbl"])
         .select(
             "vec_id",
-            (
-                _F.element_at(native_buckets, _F.col("tbl") + 1)
-                == _F.col("bucket")
-            )
-            .cast("int")
-            .alias("_ok"),
+            (_F.col("_nb") == _F.col("bucket")).cast("int").alias("_ok"),
         )
         .groupBy("vec_id")
         .agg(

@@ -259,6 +259,34 @@ def test_simhash_batch_kernel_matches_per_row_reference(token_arrays):
     assert got == want
 
 
+def test_simhash_kernel_scratch_buffers_are_reused():
+    """PERF_NOTES #14: the kernel must stay allocation-quiet — its
+    large intermediates live in module-level scratch reused across
+    calls (same backing buffer object), growing monotonically and
+    never shrinking. A regression here silently reintroduces the
+    per-batch >mmap-threshold allocations behind the r12 bimodal
+    20x stall."""
+    from gpssbzd_spark.dataprep import dedup
+
+    kernel = dedup._simhash64_udf.func
+    dedup._SIMHASH_SCRATCH.clear()
+    rng = np.random.default_rng(7)
+    batch = pd.Series(
+        [rng.integers(-2**62, 2**62, size=40).tolist() for _ in range(200)],
+        dtype=object,
+    )
+    kernel(batch)
+    bufs1 = {k: id(v) for k, v in dedup._SIMHASH_SCRATCH.items()}
+    sizes1 = {k: v.size for k, v in dedup._SIMHASH_SCRATCH.items()}
+    assert {"votes", "flat", "lane"} <= set(bufs1)
+    # same-shape batch: every buffer object must be reused, not realloc'd
+    kernel(batch)
+    assert {k: id(v) for k, v in dedup._SIMHASH_SCRATCH.items()} == bufs1
+    # smaller batch: buffers never shrink
+    kernel(batch.iloc[:10].reset_index(drop=True))
+    assert {k: v.size for k, v in dedup._SIMHASH_SCRATCH.items()} == sizes1
+
+
 def test_simhash_batch_kernel_256_token_row():
     """≥256 tokens on one row: a uint8 reduceat would wrap the vote
     counter exactly at 256 — the regression the int64 cast prevents."""

@@ -445,3 +445,32 @@ def test_lsh_legacy_uuid_init_part_is_deduped(spark, tmp_path):
         fh.write(rec)
     assert [x["batch_id"] for x in lsh_index_batches(index_dir)] == ["init"]
     assert lsh_index_read(spark, index_dir).count() == base
+
+
+def test_relational_bucket_derivation_matches_kernel(spark):
+    """hyperplane_buckets_relational (r13 — the codegen-safe verify
+    path) must reproduce the Arrow kernel's (id, tbl, bucket) rows
+    exactly over the fixture corpus: same seeded family, same sign
+    rule; dot summation order differs only within float rounding of
+    zero, which real embeddings never sit on."""
+    from gpssbzd_spark.dataprep.similarity import (
+        hyperplane_buckets_all,
+        hyperplane_buckets_relational,
+    )
+
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    got = {
+        (r.vec_id, r.tbl, r.bucket)
+        for r in hyperplane_buckets_relational(
+            em, dim=64, n_planes=6, n_tables=4, seed=42
+        ).collect()
+    }
+    kernel = hyperplane_buckets_all(64, 6, 4, 42)
+    want = {
+        (r.vec_id, r.tbl, r.bucket)
+        for r in em.select(
+            "vec_id",
+            F.posexplode(kernel(F.col("embedding"))).alias("tbl", "bucket"),
+        ).collect()
+    }
+    assert got == want and len(got) == em.count() * 4
