@@ -267,6 +267,34 @@ def cadence(name: str) -> int:
     tier, STEADY_CADENCE for everything else."""
     return LONG_CADENCE if name in LONG_CADENCE_NAMES else STEADY_CADENCE
 
+
+# Changed-query ledger (VERDICT r13 next-round #1/#7): name → the round
+# in which the query's IMPLEMENTATION (its body, or library code on its
+# execution path) or its oracle was materially reshaped. Driver evidence
+# from rounds STRICTLY BELOW the recorded round is invalidated — the
+# name drops out of the sampled set and re-enters the debt queue, so the
+# next window re-proves it like a never-sampled query, regardless of
+# cadence tier (a LONG_CADENCE row with a fresh change cannot coast on
+# pre-change evidence by construction). Maintained BY HAND as part of
+# the end-of-round checklist: whenever a round reshapes code on a
+# registered query's path, record {name: that round} here in the same
+# commit. Entries whose change round is already covered by newer
+# committed evidence are inert and may be pruned.
+# Enforcement: tests/test_registry.py::test_changed_queries_reenter_window
+# fails if any changed-since-evidence name is missing from the current
+# window, and test_changed_in_round_well_formed pins map hygiene.
+CHANGED_IN_ROUND: dict[str, int] = {
+    # r13 reshapes the r13 driver window missed (VERDICT r13 missing #1)
+    "dp_pipeline_ingest_e2e": 13,
+    "sim_topk_index_compact": 13,
+}
+
+
+def _changed_since(name: str, latest_round: int) -> bool:
+    """True when ``name``'s newest committed evidence predates its
+    recorded implementation change."""
+    return latest_round < CHANGED_IN_ROUND.get(name, 0)
+
 _STATE_CACHE: tuple[int, frozenset[str]] | None = None
 
 
@@ -339,27 +367,13 @@ def _window_state() -> tuple[int, frozenset[str]]:
                 key = 1 + max(committed, default=0)
             else:
                 key = 1 + max((i for i, _ in indexed), default=0)
-        clean: set[str] = set()
-        rows_only: set[str] = set()
-        for i, f in indexed:
-            if i >= key:
-                continue
-            try:
-                with open(f) as fh:
-                    rows = json.load(fh)
-            except (OSError, ValueError):
-                continue
-            for n, row in rows.items():
-                err = (row or {}).get("err")
-                if not err:
-                    clean.add(n)
-                elif err == "no_oracle":
-                    rows_only.add(n)
-        names = clean | {
-            n
-            for n in rows_only
-            if n not in CORPUS or CORPUS[n].oracle is None
-        }
+        # evidence validity is shared with _latest_evidence_rounds
+        # (clean rows always; a ``no_oracle`` rows-only row only while
+        # the query STILL has no oracle), and the changed-query ledger
+        # invalidates evidence older than the recorded reshape round
+        # (VERDICT r13 #1) so changed queries re-enter debt.
+        latest = _latest_evidence_rounds(key)
+        names = {n for n, r in latest.items() if not _changed_since(n, r)}
         _STATE_CACHE = (key, frozenset(names))
     return _STATE_CACHE
 
@@ -575,9 +589,16 @@ def rotation_swaps(
         for n, q in CORPUS.items()
         if q.tier > 0 and n not in sampled and n not in used
     ]
-    prio = [n for n in DRAIN_PRIORITY if n in debt]
-    queue = prio + sorted(
-        (n for n in debt if n not in DRAIN_PRIORITY),
+    # changed-since-evidence names drain FIRST (VERDICT r13 #1): their
+    # newest driver row was captured on pre-change code, so re-proving
+    # them is more urgent than first-proving a brand-new registration
+    changed = sorted(
+        (n for n in debt if n in CHANGED_IN_ROUND),
+        key=lambda n: CORPUS[n].seq,
+    )
+    prio = [n for n in DRAIN_PRIORITY if n in debt and n not in changed]
+    queue = changed + prio + sorted(
+        (n for n in debt if n not in DRAIN_PRIORITY and n not in changed),
         key=lambda n: CORPUS[n].seq,
     )
     if use_disk_staleness:

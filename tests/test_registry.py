@@ -372,7 +372,10 @@ def test_sampled_names_matches_committed_records():
     keep its name in debt rather than count as evidence; and a
     ``no_oracle`` rows-only row only counts while the query STILL has
     no oracle (VERDICT r9 #1: evidence that predates the oracle is
-    stale — the name re-enters debt until a hash row lands)."""
+    stale — the name re-enters debt until a hash row lands); and a row
+    whose newest evidence predates its CHANGED_IN_ROUND entry is
+    invalidated entirely (VERDICT r13 #1: evidence captured on
+    pre-change code is not evidence for the changed code)."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -381,19 +384,26 @@ def test_sampled_names_matches_committed_records():
     corpus._load_all()
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     key = corpus._round_key()
-    expect: set[str] = set()
+    newest: dict[str, int] = {}
     for f in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
         if m and int(m.group(1)) < key:
+            rnd = int(m.group(1))
             for n, row in _json.load(open(f)).items():
                 err = (row or {}).get("err")
-                if not err:
-                    expect.add(n)
-                elif err == "no_oracle" and (
-                    n not in corpus.CORPUS
-                    or corpus.CORPUS[n].oracle is None
+                if not err or (
+                    err == "no_oracle"
+                    and (
+                        n not in corpus.CORPUS
+                        or corpus.CORPUS[n].oracle is None
+                    )
                 ):
-                    expect.add(n)
+                    newest[n] = max(newest.get(n, 0), rnd)
+    expect = {
+        n
+        for n, r in newest.items()
+        if r >= corpus.CHANGED_IN_ROUND.get(n, 0)
+    }
     assert corpus._sampled_names() == expect
 
 
@@ -418,20 +428,33 @@ def test_steady_state_reproves_after_debt_drains(monkeypatch):
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     key = corpus._round_key()
-    clean: set[str] = set()
+    newest: dict[str, int] = {}
     for f in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
         if m and int(m.group(1)) < key:
+            rnd = int(m.group(1))
             for n, row in _json.load(open(f)).items():
                 err = (row or {}).get("err")
-                if not err:
-                    clean.add(n)
-                elif err == "no_oracle" and (
-                    n not in corpus.CORPUS
-                    or corpus.CORPUS[n].oracle is None
+                if not err or (
+                    err == "no_oracle"
+                    and (
+                        n not in corpus.CORPUS
+                        or corpus.CORPUS[n].oracle is None
+                    )
                 ):
-                    clean.add(n)
-    tier_pos = {q.name for q in corpus.CORPUS.values() if q.tier > 0}
+                    newest[n] = max(newest.get(n, 0), rnd)
+    # the changed-query ledger legitimately re-opens debt for reshaped
+    # rows (VERDICT r13 #1) — layer (a) binds on the rest
+    clean = {
+        n for n, r in newest.items()
+        if r >= corpus.CHANGED_IN_ROUND.get(n, 0)
+    }
+    tier_pos = {
+        q.name
+        for q in corpus.CORPUS.values()
+        if q.tier > 0
+        and newest.get(q.name, 0) >= corpus.CHANGED_IN_ROUND.get(q.name, 0)
+    }
     if tier_pos <= clean:  # binding from r10 per the committed plan
         assert tier_pos <= corpus._sampled_names()
 
@@ -637,4 +660,60 @@ def test_long_cadence_names_are_registered_and_curated():
     unproven = sorted(n for n in corpus.LONG_CADENCE_NAMES if n not in latest)
     assert not unproven, (
         f"LONG_CADENCE rows without committed driver evidence: {unproven}"
+    )
+    # VERDICT r13 #7 — tier honesty under change: a LONG_CADENCE row
+    # whose implementation changed is stripped of its pre-change
+    # evidence by the CHANGED_IN_ROUND ledger (it leaves the sampled
+    # set entirely), so 8-round-stale evidence on changed code is
+    # impossible by construction. Pin that the strip actually happens.
+    sampled = corpus._sampled_names()
+    coasting = sorted(
+        n
+        for n in corpus.LONG_CADENCE_NAMES
+        if n in sampled
+        and latest.get(n, 0) < corpus.CHANGED_IN_ROUND.get(n, 0)
+    )
+    assert not coasting, (
+        f"LONG_CADENCE rows coasting on pre-change evidence: {coasting}"
+    )
+
+
+def test_changed_in_round_well_formed():
+    """CHANGED_IN_ROUND hygiene: every key is a registered query (a
+    typo would silently fail to invalidate anything) and every recorded
+    round is a plausible round index (1..current key — a FUTURE round
+    would pre-invalidate evidence the driver hasn't had a chance to
+    capture)."""
+    corpus._load_all()
+    unknown = sorted(set(corpus.CHANGED_IN_ROUND) - set(corpus.CORPUS))
+    assert not unknown, f"CHANGED_IN_ROUND not in registry: {unknown}"
+    key = corpus._round_key()
+    bad = {
+        n: r
+        for n, r in corpus.CHANGED_IN_ROUND.items()
+        if not (1 <= r <= key)
+    }
+    assert not bad, f"CHANGED_IN_ROUND rounds outside 1..{key}: {bad}"
+
+
+def test_changed_queries_reenter_window():
+    """VERDICT r13 #1 done-criterion: any query whose implementation
+    fingerprint (CHANGED_IN_ROUND) is newer than its latest committed
+    driver evidence must be IN the current round's window — the
+    rotation treats changed-since-evidence queries like never-sampled
+    debt, draining them ahead of new registrations."""
+    corpus._load_all()
+    key = corpus._round_key()
+    latest = corpus._latest_evidence_rounds(key)
+    win = set(corpus.window_names())
+    missing = sorted(
+        n
+        for n in corpus.CHANGED_IN_ROUND
+        if n in corpus.CORPUS
+        and latest.get(n, 0) < corpus.CHANGED_IN_ROUND[n]
+        and n not in win
+    )
+    assert not missing, (
+        f"changed-since-evidence queries NOT in the round-{key} window: "
+        f"{missing}"
     )
