@@ -57,13 +57,13 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gpssbzd_spark.dataprep import manifest
 from gpssbzd_spark.dataprep.similarity import (
     _nearest_centroids_udf,
     _norm,
@@ -78,46 +78,34 @@ def _manifest_dir(index_dir: str) -> str:
 
 
 def _commit_manifest_part(index_dir: str, record: dict) -> str:
-    """Atomically append one manifest part (create-temp + rename —
-    the single commit point)."""
-    mdir = _manifest_dir(index_dir)
-    os.makedirs(mdir, exist_ok=True)
-    part = os.path.join(mdir, f"part-{uuid.uuid4().hex}.jsonl")
-    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(json.dumps(record) + "\n")
-    os.replace(tmp, part)
-    return part
+    """Atomically append one manifest part — the single commit point
+    (shared machinery: :func:`~gpssbzd_spark.dataprep.manifest.
+    write_part`)."""
+    return manifest.write_part(_manifest_dir(index_dir), record)
 
 
 def _apply_compactions(records: list[dict]) -> list[dict]:
     """Resolve compaction records: a record carrying ``replaces``
     supersedes the listed batch_ids — readers see the compacted batch
-    and never consult the folded dirs again (they become unreferenced
-    garbage, safe to delete lazily). Shared by the IVF and LSH
-    manifests (same record shape)."""
-    replaced: set[str] = set()
-    for r in records:
-        replaced.update(r.get("replaces") or [])
-    return [r for r in records if r["batch_id"] not in replaced]
+    and never consult the folded dirs again. Shared machinery
+    (:func:`~gpssbzd_spark.dataprep.manifest.resolve_supersedence`,
+    chained compactions resolved over ALL records)."""
+    return manifest.resolve_supersedence(
+        records, ident=lambda r: r["batch_id"]
+    )
 
 
 def _raw_manifest_records(index_dir: str) -> list[dict]:
     """Every committed manifest record, compaction supersedence NOT
     applied — the idempotency dedupe must see folded batch_ids too (a
     retry of a day a later compaction already folded must return its
-    committed record, never re-append its rows)."""
-    mdir = _manifest_dir(index_dir)
-    if not os.path.isdir(mdir):
-        return []
-    records = []
-    for name in os.listdir(mdir):
-        if not name.endswith(".jsonl") or name.startswith("."):
-            continue
-        with open(os.path.join(mdir, name)) as fh:
-            for line in fh:
-                if line.strip():
-                    records.append(json.loads(line))
+    committed record, never re-append its rows). One record per
+    batch_id (every commit path is idempotent by id, so duplicates
+    describe the same rows)."""
+    records = manifest.dedupe_records(
+        manifest.read_parts(_manifest_dir(index_dir)),
+        ident=lambda r: r["batch_id"],
+    )
     return sorted(records, key=lambda r: (r["seq"], r["batch_id"]))
 
 
@@ -375,6 +363,11 @@ def ivf_index_compact(
             record["shares"] = b["shares"]
             break
     _commit_manifest_part(index_dir, record)
+    # post-commit GC (ADVICE r13): the folded dirs are unreferenced
+    # once the replaces record lands — delete them now instead of
+    # retaining ~2× the index per compaction; best-effort (a crash
+    # mid-delete leaves unreferenced partials the next fold collects)
+    manifest.delete_dirs(b["dir"] for b in batches)
     return record
 
 

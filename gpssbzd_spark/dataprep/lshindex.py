@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gpssbzd_spark.dataprep import manifest
 from gpssbzd_spark.dataprep.similarity import (
     _norm,
     hyperplane_buckets_all,
@@ -203,25 +204,15 @@ def _manifest_dir(index_dir: str) -> str:
 def _commit_manifest_part(
     index_dir: str, record: dict, fixed_name: str | None = None
 ) -> str:
-    """Atomically append one manifest part (create-temp + rename — the
-    single commit point; same shape as ivfindex/sigindex).
-
-    ``fixed_name`` pins the part's filename so a retried commit of the
-    same logical record OVERWRITES instead of appending a duplicate —
-    used by the build's ``init`` record, whose retry path (crash
-    before params.json) re-runs the whole build."""
-    import uuid
-
-    mdir = _manifest_dir(index_dir)
-    os.makedirs(mdir, exist_ok=True)
-    part = os.path.join(
-        mdir, fixed_name or f"part-{uuid.uuid4().hex}.jsonl"
+    """Atomically append one manifest part — the single commit point
+    (shared machinery: :func:`~gpssbzd_spark.dataprep.manifest.
+    write_part`). ``fixed_name`` pins the part's filename so a retried
+    commit of the same logical record OVERWRITES instead of appending
+    a duplicate — used by the build's ``init`` record, whose retry
+    path (crash before params.json) re-runs the whole build."""
+    return manifest.write_part(
+        _manifest_dir(index_dir), record, fixed_name=fixed_name
     )
-    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(json.dumps(record) + "\n")
-    os.replace(tmp, part)
-    return part
 
 
 def _raw_manifest_records(index_dir: str) -> list[dict]:
@@ -229,19 +220,18 @@ def _raw_manifest_records(index_dir: str) -> list[dict]:
     the idempotency dedupe must see folded batch_ids too. A
     pre-manifest index (params.json + ``index/`` but no manifest — the
     pre-r12 layout) synthesizes its init record, so old persisted
-    indexes stay readable."""
-    records = []
-    mdir = _manifest_dir(index_dir)
-    if os.path.isdir(mdir):
-        for name in os.listdir(mdir):
-            if not name.endswith(".jsonl") or name.startswith("."):
-                continue
-            with open(os.path.join(mdir, name)) as fh:
-                for line in fh:
-                    if line.strip():
-                        records.append(json.loads(line))
-    known = {r["batch_id"] for r in records} | {
-        bid for r in records for bid in (r.get("replaces") or [])
+    indexes stay readable. One record per batch_id via the shared
+    dedupe — duplicates (e.g. a legacy uuid-named init part beside the
+    fixed-path one after a rebuild) describe the same rows and must
+    not double them; the fixed-path ``part-init.jsonl`` record wins
+    its id (ADVICE r13: it is the deliberately-rewritten one, so a
+    rebuild's fresh ``n`` survives instead of an os.listdir-order
+    coin flip)."""
+    parts_records = list(
+        manifest.read_parts(_manifest_dir(index_dir))
+    )
+    known = {r["batch_id"] for _, r in parts_records} | {
+        bid for _, r in parts_records for bid in (r.get("replaces") or [])
     }
     # synthesize ONLY when no record mentions init at all — once a
     # compaction record lists init in its replaces, resurrecting a
@@ -249,37 +239,35 @@ def _raw_manifest_records(index_dir: str) -> list[dict]:
     if "init" not in known and os.path.exists(
         os.path.join(index_dir, "params.json")
     ):
-        records.append(
-            {
-                "seq": 0,
-                "batch_id": "init",
-                "dir": os.path.join(index_dir, "index"),
-                "n": None,
-            }
+        parts_records.append(
+            (
+                "part-init.jsonl",
+                {
+                    "seq": 0,
+                    "batch_id": "init",
+                    "dir": os.path.join(index_dir, "index"),
+                    "n": None,
+                },
+            )
         )
-    # one record per batch_id: every commit path is idempotent by
-    # batch_id (same id ⇒ same dir, rewritten in place), so duplicates
-    # — e.g. a pre-fix uuid-named init part beside the fixed-path one
-    # after a rebuild — describe the same rows and must not double them
-    records.sort(key=lambda r: (r["seq"], r["batch_id"]))
-    seen: set[str] = set()
-    out = []
-    for r in records:
-        if r["batch_id"] in seen:
-            continue
-        seen.add(r["batch_id"])
-        out.append(r)
-    return out
+    records = manifest.dedupe_records(
+        parts_records,
+        ident=lambda r: r["batch_id"],
+        prefer_parts=("part-init.jsonl",),
+    )
+    return sorted(records, key=lambda r: (r["seq"], r["batch_id"]))
 
 
 def lsh_index_batches(index_dir: str) -> list[dict]:
     """Committed batch records, init first then appends in commit
     order (ties broken by batch_id); compaction records supersede the
-    batches they folded."""
-    from gpssbzd_spark.dataprep.ivfindex import _apply_compactions
-
+    batches they folded (shared machinery, chained compactions
+    resolved over ALL records)."""
     return sorted(
-        _apply_compactions(_raw_manifest_records(index_dir)),
+        manifest.resolve_supersedence(
+            _raw_manifest_records(index_dir),
+            ident=lambda r: r["batch_id"],
+        ),
         key=lambda r: (r["seq"], r["batch_id"]),
     )
 
@@ -407,6 +395,11 @@ def lsh_index_compact(
         "replaces": [b["batch_id"] for b in batches],
     }
     _commit_manifest_part(index_dir, record)
+    # post-commit GC (ADVICE r13): folded dirs — the build's index/
+    # dir included — are unreferenced once the replaces record lands;
+    # readers resolve the manifest first (lsh_index_query's empty path
+    # included), so deleting them is safe and halves retained storage
+    manifest.delete_dirs(b["dir"] for b in batches)
     return record
 
 
@@ -428,10 +421,13 @@ def lsh_index_query(
     corpus, with zero Python in the plan."""
     params = lsh_index_params(index_dir)
     rows = queries.select(query_id_col, query_vec_col).collect()
-    root = os.path.join(index_dir, "index")
     if not rows:
         from gpssbzd_spark.dataprep.similarity import empty_topk
 
+        # schema from the first COMMITTED batch (the build's index/
+        # dir may be post-compaction garbage — only manifest-resolved
+        # dirs are guaranteed to exist)
+        root = lsh_index_batches(index_dir)[0]["dir"]
         return empty_topk(
             spark,
             queries.schema[query_id_col].dataType,

@@ -49,13 +49,12 @@ prefix.
 from __future__ import annotations
 
 import hashlib
-import json
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gpssbzd_spark.dataprep import manifest
 from gpssbzd_spark.dataprep.dedup import minhash_signatures_portable
-from gpssbzd_spark.sources.incremental import _fs, list_landed
+from gpssbzd_spark.sources.incremental import list_landed
 
 
 def _paths(index_dir: str) -> tuple[str, str]:
@@ -69,50 +68,31 @@ def _read_index_manifest(
     """(covered landed-file path → recorded size, committed batch
     dirs). Missing dir = empty index.
 
-    Compaction supersedence (r13, VERDICT r12 #4 — the ivfindex
-    ``_apply_compactions`` rule transplanted): a record carrying
+    Compaction supersedence (r13, VERDICT r12 #4): a record carrying
     ``replaces`` folds the listed batch dirs — readers drop them and
-    consult only the compacted dir. The replaced set is computed over
-    ALL records (a chained compaction's record supersedes an earlier
-    compaction record, whose own ``replaces`` must still apply), and
-    matching is by batch-dir NAME — the cid names are unique per
-    batch, while full-path spellings can differ between the writer's
-    argument and an FS-qualified listing (same reasoning as
-    ``_sweep_orphans``). File coverage survives folding because every
-    compaction record carries the full covered-files ledger of the
-    records it folds."""
-    _, jdir, fs = _fs(spark, manifest_dir)
-    if not fs.exists(jdir):
-        return {}, set()
-    parts = [
-        st.getPath().toString()
-        for st in fs.listStatus(jdir)
-        if st.getPath().getName().endswith(".jsonl")
-        and not st.getPath().getName().startswith(".")
+    consult only the compacted dir (shared machinery:
+    :func:`~gpssbzd_spark.dataprep.manifest.resolve_supersedence`,
+    chained compactions resolved over ALL records). Matching is by
+    batch-dir NAME — the cid names are unique per batch, while
+    full-path spellings can differ between the writer's argument and
+    an FS-qualified listing (same reasoning as ``_sweep_orphans``).
+    File coverage survives folding because every compaction record
+    carries the full covered-files ledger of the records it folds."""
+    records = [
+        rec
+        for _, rec in manifest.read_parts(manifest_dir, spark=spark)
+        if "batch" in rec  # foreign/older record shape: ignore
     ]
-    if not parts:
-        return {}, set()
-    records: list[dict] = []
-    for row in spark.read.text(parts).collect():
-        line = row.value.strip()
-        if not line:
-            continue
-        rec = json.loads(line)
-        if "batch" not in rec:  # foreign/older record shape: ignore
-            continue
-        records.append(rec)
-
-    def _name(d: str) -> str:
-        return d.rstrip("/").rsplit("/", 1)[-1]
-
-    replaced = {
-        _name(d) for rec in records for d in (rec.get("replaces") or [])
-    }
+    surviving = manifest.resolve_supersedence(
+        records,
+        ident=lambda r: manifest.basename(r["batch"]),
+        replaced_ids=lambda r: [
+            manifest.basename(d) for d in (r.get("replaces") or ())
+        ],
+    )
     covered: dict[str, int] = {}
     batches: set[str] = set()
-    for rec in records:
-        if _name(rec["batch"]) in replaced:
-            continue
+    for rec in surviving:
         batches.add(rec["batch"])
         for f in rec.get("files", []):
             covered[f["path"]] = int(f["size"])
@@ -127,16 +107,12 @@ def _commit_batch(
     replaces: list[str] | None = None,
 ) -> None:
     """Atomically append ONE manifest part recording the batch — the
-    ingest's single commit point (create hidden temp, write, rename).
+    ingest's single commit point (shared machinery:
+    :func:`~gpssbzd_spark.dataprep.manifest.write_part`, Hadoop-FS
+    backend so the index can live on any Spark-supported filesystem).
     ``files`` is either the landed-file objects of a fresh ingest or
     the ``(path, size)`` items of the coverage ledger a compaction
     carries forward; ``replaces`` marks a compaction record."""
-    jvm, jdir, fs = _fs(spark, manifest_dir)
-    fs.mkdirs(jdir)
-    part = f"part-{uuid.uuid4().hex}.jsonl"
-    root = manifest_dir.rstrip("/")
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/.{part}")
-    final = jvm.org.apache.hadoop.fs.Path(f"{root}/{part}")
     record = {
         "batch": batch_dir,
         "files": [
@@ -150,14 +126,7 @@ def _commit_batch(
     }
     if replaces:
         record["replaces"] = sorted(replaces)
-    payload = (json.dumps(record) + "\n").encode("utf-8")
-    stream = fs.create(tmp, True)
-    try:
-        stream.write(payload)
-    finally:
-        stream.close()
-    if not fs.rename(tmp, final):
-        raise OSError(f"index manifest commit rename failed: {tmp} -> {final}")
+    manifest.write_part(manifest_dir, record, spark=spark)
 
 
 def sig_index_ingest(
@@ -238,8 +207,9 @@ def sig_index_compact(
       BEFORE it: the compact dir is an uncommitted ``batch-*`` orphan
       — invisible to readers and swept by the next ingest's
       ``_sweep_orphans``. Crash AFTER it: compaction is complete and
-      the folded dirs are unreferenced garbage (the NEXT ingest's
-      sweep collects them, since they no longer appear in the
+      the folded dirs are deleted post-commit (best-effort; whatever a
+      crash mid-delete leaves behind is unreferenced garbage the next
+      ingest's sweep collects, since it no longer appears in the
       committed set);
     - a re-run after the commit sees ONE committed batch and returns
       ``None`` (fewer than ``min_batches``) — idempotent, and a later
@@ -260,6 +230,13 @@ def sig_index_compact(
     compact_dir = f"{sigs_dir}/batch-compact-{cid}"
     spark.read.parquet(*folded).write.mode("overwrite").parquet(compact_dir)
     _commit_batch(spark, manifest_dir, compact_dir, covered, replaces=folded)
+    # post-commit GC (ADVICE r13): the folded dirs are unreferenced
+    # once the replaces record lands — delete them now; previously an
+    # index that stopped ingesting retained the pre-compaction data
+    # forever (the next ingest's sweep is skipped on the no-new-files
+    # early return). Best-effort: a crash mid-delete leaves orphans
+    # the next ingest's sweep collects.
+    manifest.delete_dirs(folded, spark=spark)
     return compact_dir
 
 
@@ -268,24 +245,20 @@ def _sweep_orphans(
 ) -> None:
     """Delete uncommitted batch dirs (crash-before-commit leftovers
     whose file set has since changed — they can never be committed).
-    The dir about to be (re)written is kept; committed dirs are data."""
-    _, jdir, fs = _fs(spark, sigs_dir)
-    if not fs.exists(jdir):
-        return
-    # compare by dir NAME: the listing yields FS-qualified paths
-    # (file:/…) while the manifest records the caller's spelling — a
-    # full-path compare would mistake every committed batch for an
-    # orphan and delete the index (the cid names are unique per batch)
-    committed_names = {c.rstrip("/").rsplit("/", 1)[-1] for c in committed}
-    keep_name = keep.rstrip("/").rsplit("/", 1)[-1]
-    for st in fs.listStatus(jdir):
-        name = st.getPath().getName()
-        if (
-            name.startswith("batch-")
-            and name not in committed_names
-            and name != keep_name
-        ):
-            fs.delete(st.getPath(), True)
+    The dir about to be (re)written is kept; committed dirs are data.
+    Shared machinery (:func:`~gpssbzd_spark.dataprep.manifest.
+    sweep_orphan_dirs`): matching is by dir NAME — the listing yields
+    FS-qualified paths (file:/…) while the manifest records the
+    caller's spelling, and a full-path compare would mistake every
+    committed batch for an orphan and delete the index (the cid names
+    are unique per batch)."""
+    manifest.sweep_orphan_dirs(
+        sigs_dir,
+        {manifest.basename(c) for c in committed},
+        keep_names={manifest.basename(keep)},
+        prefix="batch-",
+        spark=spark,
+    )
 
 
 def sig_index_read(spark: SparkSession, index_dir: str) -> DataFrame | None:
