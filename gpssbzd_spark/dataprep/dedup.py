@@ -209,6 +209,53 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _perm_min_fold(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``min over shingles of h·a_i + b_i`` on the uint64 ring — the
+    MinHash permutation-family fold — ALLOCATION-QUIET (r14, VERDICT
+    r13 #4: the r13 simhash scratch discipline transplanted): the old
+    one-shot ``(h[:, None] * a + b).min(axis=0)`` broadcast allocated
+    a fresh (n_shingles × num_perm) matrix PER ROW — multi-MB for long
+    documents, the exact >mmap-threshold first-touch stall class
+    PERF_NOTES #14 diagnosed. Here the product matrix lives in a
+    persistent per-worker scratch (``_simhash_scratch`` — the shared
+    kernel-scratch arena, historical name) and shingles fold in
+    ~``_SIMHASH_CHUNK_TOKENS`` chunks with a running elementwise
+    minimum. Bit-identical to the broadcast: multiply/add wrap the
+    same ring, and min is associative over chunks (hypothesis-pinned
+    in tests/test_kernels_property.py)."""
+    num_perm = a.size
+    sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    for s in range(0, h.size, _SIMHASH_CHUNK_TOKENS):
+        part = h[s : s + _SIMHASH_CHUNK_TOKENS]
+        mat = _simhash_scratch(
+            "mh_mat", _SIMHASH_CHUNK_TOKENS * num_perm, np.uint64
+        )[: part.size * num_perm].reshape(part.size, num_perm)
+        np.multiply(part[:, None], a[None, :], out=mat)
+        np.add(mat, b[None, :], out=mat)
+        np.minimum(sig, mat.min(axis=0), out=sig)
+    return sig
+
+
+def _rolling_shingle_hashes(
+    cp: np.ndarray, k: int, base: np.uint64
+) -> np.ndarray:
+    """Sorted-distinct polynomial k-gram hashes of a codepoint array,
+    with the k multiply-add passes running IN PLACE on a per-worker
+    scratch row (the old ``h = h * base + w[:, i].astype(uint64)``
+    allocated three temporaries per pass per row — the same #14
+    allocation class, sub-threshold only by grace of the malloc env
+    mitigation). Returns a fresh ``np.unique`` array (the row's OUTPUT
+    — a needed allocation, not scratch)."""
+    w = np.lib.stride_tricks.sliding_window_view(cp, k)
+    n = w.shape[0]
+    h = _simhash_scratch("mh_roll", n, np.uint64)[:n]
+    h[:] = 0
+    for i in range(k):
+        np.multiply(h, base, out=h)
+        np.add(h, w[:, i], out=h, casting="unsafe")
+    return np.unique(h)
+
+
 def minhash_signature(
     shingle_col: Column, num_perm: int = 64, seed: int = 42, pre_hashed: bool = False
 ) -> Column:
@@ -229,15 +276,13 @@ def minhash_signature(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(base_hashes: pd.Series) -> pd.Series:
-        a = a_params[np.newaxis, :]
-        b = b_params[np.newaxis, :]
         out = []
         for hashes in base_hashes:
             if hashes is None or len(hashes) == 0:
                 out.append(None)
                 continue
-            h = np.asarray(hashes, dtype=np.int64).view(np.uint64)[:, np.newaxis]
-            out.append((h * a + b).min(axis=0).view(np.int64))
+            h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+            out.append(_perm_min_fold(h, a_params, b_params).view(np.int64))
         return pd.Series(out)
 
     base = (
@@ -292,8 +337,6 @@ def shingle_hash_signature(
     @F.pandas_udf(out_type)
     def prep(texts: pd.Series) -> pd.DataFrame:
         base = np.uint64(1099511628211)  # FNV-1a prime, odd ⇒ mixes the ring
-        a = a_params[np.newaxis, :]
-        b = b_params[np.newaxis, :]
         hashes_out: list = []
         sig_out: list = []
         bh_out: list = []
@@ -309,15 +352,14 @@ def shingle_hash_signature(
                 sig_out.append(None)
                 bh_out.append(None)
                 continue
-            w = np.lib.stride_tricks.sliding_window_view(cp, k)
-            h = np.zeros(w.shape[0], dtype=np.uint64)
-            for i in range(k):
-                h = h * base + w[:, i].astype(np.uint64)
-            h = np.unique(h)
+            # shingle-hash and permutation folds run on per-worker
+            # scratch (VERDICT r13 #4 — the #14 allocation-quiet
+            # discipline; bit-identity hypothesis-pinned)
+            h = _rolling_shingle_hashes(cp, k, base)
             # unique sorts as uint64; re-sort the int64 VIEW (top-bit
             # values go negative) so the verify merge can searchsorted
             hashes_out.append(np.sort(h.view(np.int64)))
-            sig = (h[:, np.newaxis] * a + b).min(axis=0)
+            sig = _perm_min_fold(h, a_params, b_params)
             sig_out.append(sig.view(np.int64))
             if bands is not None:
                 seg = sig.reshape(bands, r)
@@ -383,12 +425,25 @@ def _sig_agreement(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
 
     Signatures are fixed-width, so the whole Arrow batch collapses to a
     single (batch × num_perm) matrix comparison — no per-pair Python.
+    The stacked matrices live in per-worker scratch (VERDICT r13 #4:
+    ``np.stack`` allocated two fresh (batch × num_perm) matrices per
+    Arrow batch — the #14 first-touch stall class at large batches).
     """
-    if len(a_col) == 0:
+    n = len(a_col)
+    if n == 0:
         return pd.Series([], dtype=float)
-    a = np.stack(a_col.to_numpy())
-    b = np.stack(b_col.to_numpy())
-    return pd.Series((a == b).mean(axis=1))
+    arrs_a = a_col.to_numpy()
+    arrs_b = b_col.to_numpy()
+    width = len(arrs_a[0])
+    a = _simhash_scratch("agree_a", n * width, np.int64)[: n * width]
+    b = _simhash_scratch("agree_b", n * width, np.int64)[: n * width]
+    np.concatenate(arrs_a, out=a)
+    np.concatenate(arrs_b, out=b)
+    eq = _simhash_scratch("agree_eq", n * width, np.bool_)[: n * width]
+    np.equal(
+        a.reshape(n, width), b.reshape(n, width), out=eq.reshape(n, width)
+    )
+    return pd.Series(eq.reshape(n, width).mean(axis=1))
 
 
 @F.pandas_udf(T.DoubleType())
@@ -680,7 +735,11 @@ _SIMHASH_SCRATCH: dict = {}
 def _simhash_scratch(name: str, size: int, dtype) -> np.ndarray:
     """Per-worker reusable buffer: grows monotonically, never shrinks,
     never freed — the allocator is consulted at most a handful of
-    times per worker lifetime (see the #14 note above)."""
+    times per worker lifetime (see the #14 note above). Historical
+    name: since r14 this is the shared scratch arena for ALL the
+    dedup kernels — simhash bit-votes AND the minhash permutation
+    fold / rolling shingle hash / signature-agreement buffers
+    (VERDICT r13 #4)."""
     buf = _SIMHASH_SCRATCH.get(name)
     if buf is None or buf.size < size or buf.dtype != np.dtype(dtype):
         buf = np.empty(max(size, _SIMHASH_CHUNK_TOKENS), dtype=dtype)

@@ -219,6 +219,125 @@ def test_minhash_estimates_jaccard():
 
 
 # ---------------------------------------------------------------------------
+# minhash allocation-quiet kernels (VERDICT r13 #4 — the #14 scratch
+# discipline transplanted from the simhash kernel; these pins make the
+# rewrite bit-identical BY TEST, not by argument)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from([8, 64]),
+    st.integers(min_value=0, max_value=2**20),
+)
+@settings(max_examples=200, deadline=None)
+def test_perm_min_fold_matches_broadcast_reference(hashes, num_perm, seed):
+    """The scratch-chunked permutation fold must equal the old one-shot
+    ``(h[:, None] * a + b).min(axis=0)`` broadcast bit-for-bit for any
+    hash multiset — including values past 2^63 (ring wraparound) and
+    rows longer than the chunk budget."""
+    from gpssbzd_spark.dataprep import dedup
+
+    a, b = _perm_params(num_perm, seed)
+    h = np.array(hashes, dtype=np.uint64)
+    want = (h[:, np.newaxis] * a[np.newaxis, :] + b[np.newaxis, :]).min(
+        axis=0
+    )
+    got = dedup._perm_min_fold(h, a, b)
+    assert np.array_equal(got, want)
+
+
+def test_perm_min_fold_chunking_is_exact():
+    """A row longer than the chunk budget folds across chunk
+    boundaries with a running minimum — same result as one shot."""
+    from gpssbzd_spark.dataprep import dedup
+
+    a, b = _perm_params(16, 42)
+    rng = np.random.RandomState(3)
+    h = rng.randint(0, 2**63, size=dedup._SIMHASH_CHUNK_TOKENS + 1000).astype(
+        np.uint64
+    )
+    want = (h[:, np.newaxis] * a + b).min(axis=0)
+    assert np.array_equal(dedup._perm_min_fold(h, a, b), want)
+
+
+@given(
+    st.text(max_size=200),
+    st.sampled_from([2, 5]),
+)
+@settings(max_examples=200, deadline=None)
+def test_rolling_shingle_hashes_match_reference(text, k):
+    """The in-place scratch rolling hash must equal the old
+    allocate-per-pass formulation for any text (unicode included)."""
+    from gpssbzd_spark.dataprep import dedup
+
+    base = np.uint64(1099511628211)
+    cp = np.frombuffer(text.lower().encode("utf-32-le"), dtype=np.uint32)
+    if cp.size < k:
+        return
+    w = np.lib.stride_tricks.sliding_window_view(cp, k)
+    h = np.zeros(w.shape[0], dtype=np.uint64)
+    for i in range(k):
+        h = h * base + w[:, i].astype(np.uint64)
+    want = np.unique(h)
+    got = dedup._rolling_shingle_hashes(cp, k, base)
+    assert np.array_equal(got, want)
+
+
+def test_minhash_kernel_scratch_buffers_are_reused():
+    """Same pin as the simhash one: the minhash fold's large
+    intermediates must live in module scratch reused across calls —
+    a regression silently reintroduces the per-row >mmap-threshold
+    broadcasts behind the #14 stall class."""
+    from gpssbzd_spark.dataprep import dedup
+
+    a, b = _perm_params(64, 42)
+    dedup._SIMHASH_SCRATCH.clear()
+    rng = np.random.RandomState(11)
+    h = rng.randint(0, 2**63, size=5000).astype(np.uint64)
+    cp = rng.randint(97, 123, size=4000).astype(np.uint32)
+    dedup._perm_min_fold(h, a, b)
+    dedup._rolling_shingle_hashes(cp, 5, np.uint64(1099511628211))
+    bufs1 = {k_: id(v) for k_, v in dedup._SIMHASH_SCRATCH.items()}
+    sizes1 = {k_: v.size for k_, v in dedup._SIMHASH_SCRATCH.items()}
+    assert {"mh_mat", "mh_roll"} <= set(bufs1)
+    dedup._perm_min_fold(h, a, b)
+    dedup._rolling_shingle_hashes(cp, 5, np.uint64(1099511628211))
+    assert {k_: id(v) for k_, v in dedup._SIMHASH_SCRATCH.items()} == bufs1
+    # smaller inputs: buffers never shrink
+    dedup._perm_min_fold(h[:10], a, b)
+    dedup._rolling_shingle_hashes(cp[:50], 5, np.uint64(1099511628211))
+    assert {k_: v.size for k_, v in dedup._SIMHASH_SCRATCH.items()} == sizes1
+
+
+def test_sig_agreement_matches_stack_reference():
+    """The scratch-backed agreement kernel must equal the old
+    np.stack formulation."""
+    from gpssbzd_spark.dataprep.dedup import _sig_agreement
+
+    rng = np.random.RandomState(5)
+    n, width = 37, 64
+    a_rows = [rng.randint(-(2**62), 2**62, size=width) for _ in range(n)]
+    b_rows = [
+        np.where(rng.rand(width) < 0.3, a_rows[i], rng.randint(0, 9, width))
+        for i in range(n)
+    ]
+    got = _sig_agreement.func(
+        pd.Series(a_rows, dtype=object), pd.Series(b_rows, dtype=object)
+    )
+    want = (np.stack(a_rows) == np.stack(b_rows)).mean(axis=1)
+    assert np.allclose(got.to_numpy(), want)
+    empty = _sig_agreement.func(
+        pd.Series([], dtype=object), pd.Series([], dtype=object)
+    )
+    assert len(empty) == 0
+
+
+# ---------------------------------------------------------------------------
 # simhash batch kernel
 # ---------------------------------------------------------------------------
 
