@@ -284,9 +284,22 @@ def cadence(name: str) -> int:
 # fails if any changed-since-evidence name is missing from the current
 # window, and test_changed_in_round_well_formed pins map hygiene.
 CHANGED_IN_ROUND: dict[str, int] = {
-    # r13 reshapes the r13 driver window missed (VERDICT r13 missing #1)
-    "dp_pipeline_ingest_e2e": 13,
-    "sim_topk_index_compact": 13,
+    # r14 manifest consolidation (dataprep/manifest.py — VERDICT r13
+    # #2): every query whose plan runs the sigindex/ivfindex/lshindex
+    # commit/read/supersedence machinery
+    "dd_incremental_index_append": 14,
+    "sim_topk_ivf_append": 14,
+    "sim_topk_ivf_grown_query": 14,
+    "sim_topk_lsh_append": 14,
+    "sim_topk_lsh_persisted_query": 14,
+    "sim_topk_index_compact": 14,  # + r13 verify reshape, still unproven
+    # r14 ingest-loop cadence compaction (VERDICT r13 #5; + the r13
+    # final-day-fold reshape, still unproven by a driver row)
+    "dp_pipeline_ingest_e2e": 14,
+    # r14 allocation-quiet minhash kernels (VERDICT r13 #4): the
+    # queries running shingle_hash_signature / _sig_agreement
+    "dd_minhash_lsh_pairs": 14,
+    "dd_neardup_clusters_kernel": 14,
 }
 
 

@@ -2562,7 +2562,8 @@ def _ingest_e2e_oracle() -> str:
              AS in_lsh,
            1 AS lsh_bucket_agree,
            1 AS ann_no_strays,
-           1 AS sig_compacted
+           1 AS sig_compacted,
+           1 AS ann_compacted
     FROM accepted a LEFT JOIN sigs s ON a.doc_id = s.doc_id
     """
 
@@ -2604,12 +2605,18 @@ def _ingest_e2e_oracle() -> str:
     "Measured shape like dd_incremental_index_append: the first bench "
     "repeat runs the two-day loop, later repeats no-op the pickup and "
     "time the post-state read-back; the day-cycle cost curve lives in "
-    "SCALING.md (ingest_day_cycle). r13 (VERDICT r12 #4): after the "
-    "final day the loop COMPACTS the signature index "
-    "(sigindex.sig_index_compact — the LSM fold that keeps read-back "
-    "O(1) dirs after N daily appends); the post-state sigs are read "
-    "back THROUGH the fold, so the same oracle pins the fold's "
-    "content-identity, and sig_compacted pins that it committed.",
+    "SCALING.md (ingest_day_cycle). r14 (VERDICT r13 #5, replacing "
+    "r13's after-the-loop sig-only fold): the day body runs "
+    "CADENCE-DRIVEN maintenance — every compact_every_n_days (=2 "
+    "here, so on the final day) ALL THREE persisted indexes fold via "
+    "dataprep.ingest.maybe_compact_indexes, sig -> IVF -> LSH, "
+    "inside the day body BEFORE the pickup commit so every crash "
+    "interleaving (including between the sig fold and the ANN folds "
+    "— kill-point-tested in tests/test_ingestloop.py) heals on the "
+    "day's re-run. Post-state sigs AND ANN flags are read back "
+    "THROUGH the folds, so the oracle pins all three folds' "
+    "content-identity; sig_compacted / ann_compacted pin that they "
+    "committed (one surviving manifest record per index).",
     tier=1,
 )
 def dp_pipeline_ingest_e2e(spark, sf_dir):
@@ -2627,6 +2634,8 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
         lsh_index_build,
         lsh_index_read,
     )
+    from gpssbzd_spark.dataprep.ingest import maybe_compact_indexes
+    from gpssbzd_spark.dataprep.lshindex import lsh_index_batches
     from gpssbzd_spark.dataprep.sigindex import (
         sig_index_ingest,
         sig_index_match,
@@ -2639,7 +2648,7 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
         list_landed,
     )
 
-    cache = _artifact_cache_dir(sf_dir, "ingest_e2e_v2", "documents")
+    cache = _artifact_cache_dir(sf_dir, "ingest_e2e_v3", "documents")
     _prune_stale_cache_generations(cache)
     # r12 cache-shape migration: a pre-ANN cache generation committed
     # its pickups but holds no ANN indexes — the fixture tag alone
@@ -2671,7 +2680,7 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
     pickup_manifest = os.path.join(cache, "pickup_manifest")
     accepted_manifest = os.path.join(cache, "accepted_manifest")
     accepted_dirs = []
-    for day, ddf in days:
+    for day_ordinal, (day, ddf) in enumerate(days, start=1):
         landing = os.path.join(cache, "landing", day)
         if not os.path.exists(os.path.join(landing, "_SUCCESS")):
             ddf.write.mode("overwrite").parquet(landing)
@@ -2728,6 +2737,22 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
             )
         elif day != "day1":
             lsh_index_append(spark, lsh_dir, ann_delta, day)
+        # (4c) cadence-driven index maintenance (r14, VERDICT r13 #5):
+        # every compact_every_n_days the THREE persisted indexes fold
+        # — sig → IVF → LSH, each its own single-commit-point op —
+        # INSIDE the day body, before the pickup commit, so any crash
+        # between folds heals on the day's re-run (folds already
+        # committed no-op; the rest run now). Kill-point-tested in
+        # tests/test_ingestloop.py, including the crash between the
+        # sig fold and the ANN folds.
+        maybe_compact_indexes(
+            spark,
+            day_ordinal,
+            compact_every_n_days=2,
+            sig_index_dir=index_dir,
+            ivf_index_dir=ivf_dir,
+            lsh_index_dir=lsh_dir,
+        )
         commit()
         # (5) accepted-batch compaction: record the batch as processed,
         # then fold its small files (compaction outputs are manifest-
@@ -2745,23 +2770,25 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
     # on clean state (victims < min_files).
     for adir in accepted_dirs:
         compact_landing(spark, adir, accepted_manifest)
-    # (6) signature-index compaction after the final day (r13, VERDICT
-    # r12 #4): fold the per-day batch dirs into one — the LSM step
-    # that keeps sig_index_read O(1) dirs after N daily appends.
-    # Idempotent (a repeat sees one batch and no-ops); the oracle pins
-    # content-identity for free, since the post-state sigs below are
-    # read back THROUGH the fold and must still equal from-scratch
-    # signing of the accepted corpus; sig_compacted pins that the fold
-    # actually committed (exactly one surviving manifest record).
+    # (6) compaction post-state pins: the day-2 cadence fold (4c)
+    # replaced r13's after-the-loop sig-only fold — all THREE indexes
+    # now compact mid-loop, and the oracle pins content-identity for
+    # free, since the post-state sigs and ANN flags below are read
+    # back THROUGH the folds and must still equal from-scratch
+    # derivation over the accepted corpus. sig_compacted /
+    # ann_compacted pin that the folds actually committed (exactly
+    # one surviving manifest record per index).
     from gpssbzd_spark.dataprep.sigindex import (
         _paths as _sig_paths,
         _read_index_manifest as _sig_manifest,
-        sig_index_compact,
     )
 
-    sig_index_compact(spark, index_dir)
     sig_compacted = int(
         len(_sig_manifest(spark, _sig_paths(index_dir)[1])[1]) == 1
+    )
+    ann_compacted = int(
+        len(ivf_index_batches(ivf_dir)) == 1
+        and len(lsh_index_batches(lsh_dir)) == 1
     )
     acc = spark.read.parquet(*accepted_dirs).select("doc_id")
     sigs = sig_index_read(spark, index_dir)
@@ -2837,6 +2864,7 @@ def dp_pipeline_ingest_e2e(spark, sf_dir):
             ),
             _F.lit(int(no_strays)).alias("ann_no_strays"),
             _F.lit(sig_compacted).alias("sig_compacted"),
+            _F.lit(ann_compacted).alias("ann_compacted"),
         )
     )
 
@@ -3539,15 +3567,6 @@ def sim_topk_index_compact(spark, sf_dir):
             _F.lit(one_batch).alias("one_batch"),
         )
     )
-    # Native LSH re-derivation: hyperplane_bucket's zip_with/aggregate
-    # fold per table (RandomState(seed+t) — the same family the Arrow
-    # kernel and the driver probe derive). The folds are interpreted
-    # HOFs, so derive the 4-bucket array ONCE PER VECTOR (each vec has
-    # exactly one row per table — take tbl=0 as the vector carrier)
-    # and join it back to the per-(vec, tbl) rows: 4× less fold work
-    # than evaluating the array on every row (this row regressed
-    # 1.4 → 4.5 s when the verify first went native; the per-vec
-    # derivation recovers most of it while keeping the plan pure JVM).
     # two scans by design: the per-(vec, tbl) row set reads the whole
     # index once, and the tbl=0 per-vector carrier partition-prunes to
     # 1/4 of it (tbl is a partition column) — at 100 TB that beats
