@@ -265,6 +265,33 @@ def families(sf_dir: str | None = None):
             inflate_embeddings,
             lambda d, K: _lsh_append_op(d, sf_dir),
         ),
+        # Index COMPACTION cost curves (r14, VERDICT r13 #3): the LSM
+        # folds behind "compact every N days" — each op folds a
+        # PRISTINE 4-batch index holding the K× corpus into one batch
+        # (union of persisted rows + one manifest commit + GC of the
+        # folded dirs) and reads the folded index back. Expected
+        # exponent ~1.0: the fold reads and rewrites the whole index
+        # by design — these rows are the measured cost the cadence
+        # guidance trades against the O(days) read fan-out the fold
+        # removes. The pristine index is (re)built by the inflate
+        # wrapper (untimed) from minted rows through the real commit
+        # machinery; re-inflation after each repeat is the reset the
+        # destructive op needs.
+        "sigindex_compact": (
+            "documents",
+            _sig_compact_inflate,
+            _sig_compact_op,
+        ),
+        "ivf_compact": (
+            "embeddings",
+            _ivf_compact_inflate,
+            _ivf_compact_op,
+        ),
+        "lsh_compact": (
+            "embeddings",
+            _lsh_compact_inflate,
+            _lsh_compact_op,
+        ),
         # ONE skewed line holding every trajectory, forced past the
         # pair-matrix budget at every K (VERDICT r10 #6): auto mode
         # routes it to the distributed eps-graph fallback, where the
@@ -665,6 +692,187 @@ def _sigindex_append_op(d, sf_dir):
         spark, landing, os.path.join(st["root"], "index")
     )
     return spark.read.parquet(batch)
+
+
+def _mint_sig_index(spark, d, index_dir, n_batches=4):
+    """Build a PRISTINE n-batch signature index holding ``d``'s doc
+    ids with minted (narrow JVM projection) signature rows, through
+    the REAL commit machinery (batch dirs + manifest parts via
+    sigindex._commit_batch). The fold under measurement unions
+    persisted rows and never re-signs, so minted content exercises
+    exactly the measured path while keeping the (untimed) build a
+    cheap narrow write instead of a full signing pass — the same
+    reasoning as ingest_day_cycle's in-op minted embeddings."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.sigindex import _commit_batch, _paths
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sigs_dir, manifest_dir = _paths(index_dir)
+    rows = d.select(
+        "doc_id",
+        *[
+            F.xxhash64(F.col("doc_id"), F.lit(i)).alias(f"h{i}")
+            for i in range(8)
+        ],
+    )
+    for b in range(n_batches):
+        bdir = f"{sigs_dir}/batch-mint{b}"
+        rows.filter(F.pmod(F.col("doc_id"), n_batches) == b).write.mode(
+            "overwrite"
+        ).parquet(bdir)
+        _commit_batch(spark, manifest_dir, bdir, {})
+
+
+def _mint_ivf_index(spark, em, index_dir, n_batches=4, n_cents=16):
+    """PRISTINE n-batch IVF index: real cid-partitioned batch layout +
+    manifest records (ivfindex._write_batch/_commit_manifest_part),
+    cid minted natively (the fold under measurement unions persisted
+    rows — the assignment kernel never runs)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.ivfindex import (
+        _commit_manifest_part,
+        _write_batch,
+    )
+    from gpssbzd_spark.dataprep.similarity import _norm
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    rows = em.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("_norm_e"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_cents)).cast("int").alias("cid"),
+    )
+    for b in range(n_batches):
+        bid = "init" if b == 0 else f"d{b}"
+        bdir = _write_batch(
+            rows.filter(F.pmod(F.col("vec_id"), n_batches) == b),
+            index_dir,
+            bid,
+        )
+        rec = {"seq": b, "batch_id": bid, "dir": bdir, "n": None}
+        if b == 0:
+            rec["shares"] = {str(c): 1.0 / n_cents for c in range(n_cents)}
+        _commit_manifest_part(index_dir, rec)
+
+
+def _mint_lsh_index(spark, em, index_dir, n_batches=4, n_tables=4,
+                    n_planes=6):
+    """PRISTINE n-batch LSH index: real (tbl, bucket)-partitioned batch
+    layout + manifest records, buckets minted natively (4 tables x 64
+    buckets — the composed ingest loop's setting; the fold cost is
+    dominated by the many-small-cell rewrite, which this preserves)."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gpssbzd_spark.dataprep.lshindex import _commit_manifest_part
+    from gpssbzd_spark.dataprep.similarity import _norm
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    rows = (
+        em.select(
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("_norm_e"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias(
+                "tbl"
+            ),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.xxhash64("vec_id", "tbl"), F.lit(2**n_planes)
+            ).cast("int"),
+        )
+    )
+    for b in range(n_batches):
+        bdir = _os.path.join(index_dir, "batches", f"d{b}")
+        rows.filter(F.pmod(F.col("vec_id"), n_batches) == b).repartition(
+            "tbl", "bucket"
+        ).write.mode("overwrite").partitionBy("tbl", "bucket").parquet(bdir)
+        _commit_manifest_part(
+            index_dir, {"seq": b, "batch_id": f"d{b}", "dir": bdir, "n": None}
+        )
+
+
+_COMPACT_SCALE_ROOT = os.path.join(REPO, ".cache", "compact-scale")
+
+
+def _sig_compact_inflate(base, K):
+    """Inflate + SIDE EFFECT: (re)build the pristine K-keyed signature
+    index the op will fold. The harness re-invokes inflate after every
+    timed repeat, which is exactly the reset a destructive op needs
+    (the fold supersedes and GC-deletes the minted batches)."""
+    from gpssbzd_spark.dataprep.scalegen import inflate_documents
+
+    d = inflate_documents(base, K)
+    _mint_sig_index(
+        d.sparkSession, d, os.path.join(_COMPACT_SCALE_ROOT, f"sig-{K}")
+    )
+    return d
+
+
+def _sig_compact_op(d, K):
+    from gpssbzd_spark.dataprep.sigindex import (
+        sig_index_compact,
+        sig_index_read,
+    )
+
+    spark = d.sparkSession
+    idx = os.path.join(_COMPACT_SCALE_ROOT, f"sig-{K}")
+    assert sig_index_compact(spark, idx) is not None
+    return sig_index_read(spark, idx)
+
+
+def _ivf_compact_inflate(base, K):
+    from gpssbzd_spark.dataprep.scalegen import inflate_embeddings
+
+    em = inflate_embeddings(base, K)
+    _mint_ivf_index(
+        em.sparkSession, em, os.path.join(_COMPACT_SCALE_ROOT, f"ivf-{K}")
+    )
+    return em
+
+
+def _ivf_compact_op(d, K):
+    from gpssbzd_spark.dataprep.ivfindex import (
+        ivf_index_compact,
+        ivf_index_read,
+    )
+
+    spark = d.sparkSession
+    idx = os.path.join(_COMPACT_SCALE_ROOT, f"ivf-{K}")
+    assert ivf_index_compact(spark, idx, "fold") is not None
+    return ivf_index_read(spark, idx)
+
+
+def _lsh_compact_inflate(base, K):
+    from gpssbzd_spark.dataprep.scalegen import inflate_embeddings
+
+    em = inflate_embeddings(base, K)
+    _mint_lsh_index(
+        em.sparkSession, em, os.path.join(_COMPACT_SCALE_ROOT, f"lsh-{K}")
+    )
+    return em
+
+
+def _lsh_compact_op(d, K):
+    from gpssbzd_spark.dataprep.lshindex import (
+        lsh_index_compact,
+        lsh_index_read,
+    )
+
+    spark = d.sparkSession
+    idx = os.path.join(_COMPACT_SCALE_ROOT, f"lsh-{K}")
+    assert lsh_index_compact(spark, idx, "fold") is not None
+    return lsh_index_read(spark, idx)
 
 
 def _decontam_op(train, sf_dir):
@@ -1091,6 +1299,19 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "(dataprep/sigindex.py). Linear-in-K here, with the index",
         "larger at every later cell, is the evidence that append cost",
         "is O(delta) and independent of index size.",
+        "",
+        "`sigindex_compact` / `ivf_compact` / `lsh_compact` (r14,",
+        "VERDICT r13 #3) measure the LSM FOLDS behind the ingest",
+        "loop's compact_every_n_days cadence: each cell folds a",
+        "pristine 4-batch index holding the K x corpus into one batch",
+        "(union of persisted rows, one `replaces` manifest commit, GC",
+        "of the folded dirs) and reads it back. Expected ~1.0 BY",
+        "DESIGN — the fold reads and rewrites the whole index; these",
+        "rows price the trade against the O(days) read fan-out the",
+        "fold removes. The pristine index is rebuilt untimed between",
+        "repeats from minted rows through the real commit machinery",
+        "(the fold never re-signs/re-assigns, so minted content",
+        "exercises exactly the measured path).",
         "",
         "`decontam_ngram` (r10) grows the TRAIN side K× against a FIXED",
         "eval suite (the production regime: benchmarks are a constant,",

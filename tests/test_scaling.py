@@ -166,6 +166,39 @@ def test_query_side_families_scale_gently(spark, family):
     assert exp < 1.3, (family, exp, times)
 
 
+@pytest.mark.parametrize(
+    "family", ["sigindex_compact", "ivf_compact", "lsh_compact"]
+)
+def test_compaction_folds_scale_linearly(spark, family):
+    """r14 (VERDICT r13 #3): the LSM folds read and rewrite the whole
+    index, so their cost must be ~linear in index size — that measured
+    curve is what the compact_every_n_days guidance trades against the
+    O(days) read fan-out it removes. Bespoke loop (not _exponent): the
+    fold is DESTRUCTIVE, so each timed run re-inflates first — the
+    pristine-index rebuild is the inflate wrapper's side effect,
+    outside the timed section, exactly as in scaling.py's main loop."""
+    import scaling as harness
+
+    table, inflate, fn = harness.families(ORACLE_SF_DIR)[family][:3]
+    from gpssbzd_spark.sources import load_table
+
+    base = load_table(spark, ORACLE_SF_DIR, table)
+    times = {}
+    for K in (4, 16):
+        runs = []
+        for i in range(3):
+            inp = inflate(base, K)  # rebuilds the pristine index
+            inp.count()
+            t0 = time.perf_counter()
+            fn(inp, K).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        # first run per K absorbs plan-compile warmup; min of the rest
+        times[K] = min(runs[1:])
+        spark.catalog.clearCache()
+    exp = math.log(times[16] / times[4]) / math.log(16 / 4)
+    assert exp < 1.3, (family, exp, times)
+
+
 def test_inflate_embeddings_is_per_replica_isometry(spark):
     """The scaling exponents for the embedding families are only
     meaningful if the inflation preserves within-replica geometry
