@@ -1220,7 +1220,18 @@ def _merge_sidecar(sf_dir, mults, repeats, results) -> dict:
                     "exponent": r["exponent"],
                     "exponent_pair": r["exponent_pair"],
                 }
-    prior.update(results)
+    # CELL-level merge (r14): a partial run over a mult subset (e.g.
+    # the K=256 octave extension, SPARK_GRAFT_SCALE_MULTS=64,256)
+    # refreshes those cells and takes over the exponent fields without
+    # discarding the family's committed smaller-K history; a full-mult
+    # run still replaces every cell it re-measures.
+    for fam, r in results.items():
+        if fam in prior:
+            merged_mults = dict(prior[fam]["mults"])
+            merged_mults.update(r["mults"])
+            prior[fam] = {**r, "mults": merged_mults}
+        else:
+            prior[fam] = r
     order = list(families().keys())
     merged = {
         fam: prior[fam]
@@ -1243,6 +1254,10 @@ def _merge_sidecar(sf_dir, mults, repeats, results) -> dict:
 
 
 def _write_md(sf_dir, mults, repeats, results) -> None:
+    # table columns span every measured cell across the merged record
+    # (families refreshed on a mult subset keep their history; families
+    # without a given K render "—")
+    col_mults = sorted({K for r in results.values() for K in r["mults"]})
     lines = [
         "# SCALING — measured scale-up curves",
         "",
@@ -1403,13 +1418,13 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "instead of OOMing a single task.",
         "",
         "| family | "
-        + " | ".join(f"K={K} s (rows out)" for K in mults)
+        + " | ".join(f"K={K} s (rows out)" for K in col_mults)
         + " | exponent |",
-        "|---|" + "---|" * (len(mults) + 1),
+        "|---|" + "---|" * (len(col_mults) + 1),
     ]
     for name, r in results.items():
         cells = []
-        for K in mults:
+        for K in col_mults:
             m = r["mults"].get(K)
             cells.append(
                 f"{m['sec_min']} ({m['rows_out']})" if m else "—"
