@@ -1320,13 +1320,19 @@ def _write_md(sf_dir, mults, repeats, results) -> None:
         "loop's compact_every_n_days cadence: each cell folds a",
         "pristine 4-batch index holding the K x corpus into one batch",
         "(union of persisted rows, one `replaces` manifest commit, GC",
-        "of the folded dirs) and reads it back. Expected ~1.0 BY",
-        "DESIGN — the fold reads and rewrites the whole index; these",
-        "rows price the trade against the O(days) read fan-out the",
-        "fold removes. The pristine index is rebuilt untimed between",
-        "repeats from minted rows through the real commit machinery",
-        "(the fold never re-signs/re-assigns, so minted content",
-        "exercises exactly the measured path).",
+        "of the folded dirs) and reads it back. The asymptote is ~1.0",
+        "by design (the fold reads and rewrites the whole index), but",
+        "the MEASURED cells come out near-flat: at ladder sizes (25 MB",
+        "of signature rows at K=64) the union+rewrite sits inside",
+        "fixed per-job overhead, token_budget_cap-style — i.e. a fold",
+        "costs about one day's APPEND, which is the practical cadence",
+        "guidance (compact freely; the fan-out it removes costs more",
+        "than the fold). lsh_compact's higher constant is the",
+        "many-small-cell (tbl, bucket) rewrite, not row volume. The",
+        "pristine index is rebuilt untimed between repeats from minted",
+        "rows through the real commit machinery (the fold never",
+        "re-signs/re-assigns, so minted content exercises exactly the",
+        "measured path).",
         "",
         "`decontam_ngram` (r10) grows the TRAIN side K× against a FIXED",
         "eval suite (the production regime: benchmarks are a constant,",
