@@ -300,6 +300,22 @@ CHANGED_IN_ROUND: dict[str, int] = {
     # queries running shingle_hash_signature / _sig_agreement
     "dd_minhash_lsh_pairs": 14,
     "dd_neardup_clusters_kernel": 14,
+    # r14 OPTIMIZATION round: partition-count floors before expensive
+    # narrow chains (sources/tables.widen_small_input), fingerprint
+    # pin in simhash_near_pairs, pushdown fences in the portable
+    # signature paths and pretrain, concurrent per-column aggregation
+    # jobs in outliers_mad — results identical (oracle-proved), plans
+    # reshaped
+    "dd_simhash_near_pairs": 14,
+    "dd_simhash_buckets": 14,
+    "dp_pipeline_pretrain_e2e": 14,
+    "dd_minhash_portable_pairs": 14,
+    "dd_neardup_clusters": 14,
+    "dd_incremental_neardup": 14,
+    "st_incremental_dedup": 14,
+    "dd_semdedup_pairs": 14,
+    "dd_semdedup_pairs_hier": 14,
+    "dp_outliers_mad": 14,
 }
 
 
@@ -601,6 +617,19 @@ def rotation_swaps(
         n
         for n, q in CORPUS.items()
         if q.tier > 0 and n not in sampled and n not in used
+    ]
+    # r14: an UNSAMPLED tier-0 anchor whose own group slot went to a
+    # different unsampled member this round (``n in out`` ⇔ displaced)
+    # has no other path into the window — the queue is otherwise
+    # tier>0-only — so it re-enters through the same CHAINED-swap loan
+    # mechanism the stale-backfill pass documents below (out[lender] =
+    # anchor composes with out[anchor] = member; the window stays 50
+    # distinct names). Hit when the changed-query ledger invalidates a
+    # tier-0 anchor together with its tier>0 group-mates.
+    debt += [
+        a
+        for a, _ in ROTATION_GROUPS
+        if a in out and a not in sampled and a not in used
     ]
     # changed-since-evidence names drain FIRST (VERDICT r13 #1): their
     # newest driver row was captured on pre-change code, so re-proving

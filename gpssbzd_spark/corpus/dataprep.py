@@ -397,10 +397,16 @@ def dd_simhash_buckets(spark, sf_dir):
     seeded = _seeded_docs(d)
     # consumed twice (bucket agg + per-text agg); without pinning each
     # consumer re-runs the Arrow simhash kernel over the whole seeded
-    # corpus (the repo's pin-iteratively-reused-inputs rule, GC-scoped)
-    sh = seeded.withColumn(
-        "simhash", simhash64(_F.col("text"))
-    ).localCheckpoint()
+    # corpus (the repo's pin-iteratively-reused-inputs rule, GC-scoped).
+    # r14: widen first — the single-row-group fixture scans as 1-2
+    # splits, so the kernel otherwise runs on 2 of 32 cores (guide §2)
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    sh = (
+        widen_small_input(seeded, key="doc_id")
+        .withColumn("simhash", simhash64(_F.col("text")))
+        .localCheckpoint()
+    )
     buckets = sh.groupBy("simhash").agg(_F.count("*").alias("bucket_n"))
     per_text = sh.groupBy(
         _F.md5(_F.col("text").cast("binary")).alias("text_hash")
@@ -3290,7 +3296,23 @@ def pretrain_e2e_plan(d):
     """The flagship pipeline over an arbitrary documents DataFrame —
     factored out of the corpus query so the scale harness can drive it
     with inflated inputs (VERDICT r8 #6)."""
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    # r14 (guide §2, profiled): the quality/language regex scoring and
+    # everything downstream inherited the scan's 1-split layout — three
+    # consecutive ~1-1.6 s SINGLE-task stages on a 32-core session.
+    # Partition-count floor up front; no-op once the input is wide.
+    d = widen_small_input(d, key="doc_id")
     feats = quality_features(_F.col("text"))
+    # pin the scored table BEFORE the quality filter: the filter's
+    # predicates reference the regex-derived columns, and predicate
+    # pushdown drags those regex evaluations below the widening
+    # exchange — back onto the narrow scan layout, once per consuming
+    # branch (profiled: two ~1.3 s single-task map stages). The pin is
+    # a fence: regex runs exactly once, at session parallelism, and
+    # both the dedup-groupBy branch and the semi-join branch read the
+    # 2 MB scored rows (guide §4.4's duplication class, native-expr
+    # flavor).
     scored = d.select(
         "doc_id",
         "text",
@@ -3298,7 +3320,7 @@ def pretrain_e2e_plan(d):
         feats["n_tokens"].alias("n_tokens"),
         feats["alpha_ratio"].alias("alpha_ratio"),
         language_id(_F.col("text")).alias("lang_guess"),
-    )
+    ).localCheckpoint()
     kept = scored.filter(
         (_F.col("lang_guess") == "en")
         & (_F.col("alpha_ratio") >= 0.6)

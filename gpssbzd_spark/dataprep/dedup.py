@@ -508,6 +508,13 @@ def minhash_dedup_pairs(
     string arrays was the dominant cost of the whole pipeline (~6×
     everything else combined).
     """
+    # partition-count floor BEFORE the Arrow kernel (guide §2, r14):
+    # the fixture corpus scans as 1-2 splits, so without this the
+    # signature kernel ran on 2 of 32 cores (profiled 1.2 s wall,
+    # ~0.1 s JVM cpu — all Python worker time); no-op on wide inputs
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    df = widen_small_input(df, key=id_col)
     prepped = df.select(
         F.col(id_col),
         shingle_hash_signature(F.col(text_col), k, num_perm, seed, bands=bands).alias(
@@ -871,8 +878,19 @@ def simhash_near_pairs(
     width = 64 // bands
     mask = (1 << width) - 1
     has_tokens = F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""
-    sh = df.filter(has_tokens).select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("_sh")
+    # r14 (guide §4.4/§2.4, profiled): ``sh`` feeds BOTH sides of the
+    # band self-join, and without pinning the plan duplicated the whole
+    # kernel subtree per side (4 ArrowEvalPython chains re-hashing the
+    # corpus). Widen first so the one kernel pass runs at session
+    # parallelism (single-row-group inputs scan as 1-2 splits), then
+    # pin the 16-byte (id, fingerprint) rows — the decision proxy is
+    # what both join sides re-read (guide §8 shape).
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    sh = (
+        widen_small_input(df.filter(has_tokens), key=id_col)
+        .select(F.col(id_col), simhash64(F.col(text_col)).alias("_sh"))
+        .localCheckpoint()
     )
     blocks = F.array(
         *[
@@ -978,12 +996,18 @@ def minhash_lsh_portable(
     """
     assert num_hashes % bands == 0, (num_hashes, bands)
     rows_per_band = num_hashes // bands
+    # r14 (guide §2, profiled): the shingle tokenization pin and the
+    # exploded-md5 signature map both inherited the scan's 1-split
+    # layout (1.5 s + 1.8 s single-task stages at sf0.1); floor the
+    # partition count before the per-doc work — no-op on wide inputs
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    df = widen_small_input(df, key=id_col)
     docs = (
         df.select(
             F.col(id_col),
             _portable_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         # consumed three times (signatures + both verify sides); without
         # pinning, CollapseProject inlines the shingle expression into
         # all consumers and the tokenization runs 3x (8x pre-optimizer
@@ -991,8 +1015,14 @@ def minhash_lsh_portable(
         # localCheckpoint, not persist: a persist here is registered in
         # the session CacheManager and outlives the query (the ADVICE
         # r5 leak class); the checkpointed RDD is released by the
-        # ContextCleaner once the result is garbage-collected
+        # ContextCleaner once the result is garbage-collected.
+        # r14: the shingle-less filter moved BELOW this pin — as a
+        # filter on a derived column it was pushed under the widening
+        # exchange, re-running the tokenization single-task on the
+        # scan layout (profiled 1.1 s); the pin is the pushdown fence,
+        # and size() on materialized arrays is trivial
         .localCheckpoint()
+        .filter(F.size("sh") > 0)
     )
     # signatures via explode + min-AGGREGATE, not array_min(transform):
     # higher-order lambdas run interpreted (no codegen), so 8 transforms
@@ -1126,14 +1156,21 @@ def minhash_signatures_portable(
     as :func:`minhash_lsh_portable`, same explode + min-aggregate plan
     (codegen'd md5s, map-side partial mins, one signature row per doc
     through the shuffle). Shingle-less docs drop out, as in the pair
-    pipeline."""
-    ex = (
-        df.select(
-            F.col(id_col),
-            _portable_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .select(F.col(id_col), F.explode("sh").alias("s"))
+    pipeline.
+
+    r14: same partition-count floor as :func:`minhash_lsh_portable` —
+    the shingle+md5 signature map is the expensive narrow chain."""
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    df = widen_small_input(df, key=id_col)
+    # no explicit shingle-less filter: ``explode`` of an empty array
+    # emits no rows, so the filter was semantically redundant — and as
+    # a predicate on a derived column it was PUSHED below the widening
+    # exchange, re-running the tokenization single-task (r14, the
+    # minhash_lsh_portable pushdown trap)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(_portable_shingles(F.col(text_col), shingle_n)).alias("s"),
     )
     sig = [
         F.min(
@@ -2085,8 +2122,16 @@ def semantic_dedup_pairs(
         hierarchical = n_clusters >= 64
     # pin the source once (GC-scoped): it feeds the seed sample, the
     # row count, every Lloyd round, and the pair join — the same
-    # consumption pattern build_ivf_index pins for (r11 review)
-    src = df.select(id_col, vec_col).localCheckpoint()
+    # consumption pattern build_ivf_index pins for (r11 review).
+    # r14: widen first (guide §2) — the single-split embeddings scan
+    # otherwise pins a 2-partition layout that every Lloyd round and
+    # the assignment/verify stages inherit (profiled 0.8 s + 1.6 s
+    # 2-task stages at sf0.1); no-op on wide inputs
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    src = widen_small_input(
+        df.select(id_col, vec_col), key=id_col
+    ).localCheckpoint()
     if hierarchical:
         coarse, fine = kmeans_centroids_2level(
             src, dim, n_centroids=n_clusters, iters=iters, seed=seed,

@@ -96,6 +96,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_small_input(
+    df: DataFrame, key: str | None = None, target: int | None = None
+) -> DataFrame:
+    """Partition-count floor for expensive narrow chains (Python
+    kernels, regex scoring): when the upstream scan yielded fewer
+    partitions than the session's parallelism, repartition up to it —
+    otherwise return ``df`` unchanged.
+
+    Why (guide §2 — scale-adaptive partitioning, measured r14): a
+    single-row-group parquet file scans as ONE split however many cores
+    the session has, and every narrow operator after it inherits that
+    layout — so a per-doc Arrow kernel runs on 1-2 of 32 cores until
+    the first exchange (profiled: the MinHash signature pin spent
+    1.2 s wall on 2 tasks with the other 30 cores idle). At real scale
+    the scan is already wide and this is a planning-time no-op — the
+    added exchange exists exactly when the input is small enough for
+    the shuffle to be trivial.
+
+    ``key`` hash-partitions on that column (deterministic, no
+    sort-before-repartition pass); with distinct keys ≥ 20× the target
+    this spreads evenly (guide §2.5). Without ``key``: round-robin.
+    """
+    sc = df.sparkSession.sparkContext
+    tgt = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= tgt:
+        return df
+    return df.repartition(tgt, F.col(key)) if key else df.repartition(tgt)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
