@@ -316,6 +316,22 @@ CHANGED_IN_ROUND: dict[str, int] = {
     "dd_semdedup_pairs": 14,
     "dd_semdedup_pairs_hier": 14,
     "dp_outliers_mad": 14,
+    # r14 optimization: literal parameter tables moved off the
+    # Python-pickled-slices createDataFrame path onto pandas+Arrow
+    # (sources/tables.local_rows) — same rows/schema, no per-action
+    # Python-worker round trips
+    "tc_pipeline_components": 14,
+    "tc_pipeline_dbscan": 14,
+    "tc_pipeline_dbscan_general": 14,
+    "j8_range_join_broadcast": 14,
+    # same local_rows conversion, dataprep literal tables (LSH planes,
+    # IVF centroids/probes, BM25 query terms)
+    "dd_embedding_lsh_portable_pairs": 14,
+    "dd_embedding_neardup_clusters": 14,
+    "sim_topk_ivf_query_pruned": 14,
+    "sim_topk_lsh_portable": 14,
+    "tx_bm25_topk": 14,
+    "tx_bm25_topk_capped": 14,
 }
 
 

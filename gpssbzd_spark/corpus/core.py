@@ -21,7 +21,7 @@ from gpssbzd_spark.operators.joins import (
     range_join_broadcast,
     semi_join_keys,
 )
-from gpssbzd_spark.sources.tables import load_table
+from gpssbzd_spark.sources.tables import load_table, local_rows
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -527,7 +527,8 @@ def j7b_asof_join_forward(spark, sf_dir):
 )
 def j8_range_join_broadcast(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
+    tiers = local_rows(
+        spark,
         [("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 500.0)],
         "tier string, lo double, hi double",
     )

@@ -26,7 +26,7 @@ from gpssbzd_spark.functions.geo import haversine_sql
 from gpssbzd_spark.plans.blind_zone import detect_blind_zones
 from gpssbzd_spark.plans.pattern_extraction import extract_patterns, prepare_pings
 from gpssbzd_spark.plans.trajectory_clustering import cluster_trajectories
-from gpssbzd_spark.sources.tables import load_table
+from gpssbzd_spark.sources.tables import load_table, local_rows
 
 
 def _derived_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,7 +631,8 @@ def tc_pipeline_components(spark, sf_dir, mode: str = "components"):
     # identical geometry through the matrix path to pin cross-mode parity);
     # the driver always gets the default eps-graph path.
     patterns = _tc_components_patterns(spark, sf_dir)
-    params = spark.createDataFrame(
+    params = local_rows(
+        spark,
         [(str(i), 5.0, 2) for i in range(5)],
         "linenumber string, eps float, min_samples int",
     )
@@ -687,7 +688,8 @@ def _tc_components_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tc_pipeline_dbscan(spark, sf_dir):
     patterns = _tc_components_patterns(spark, sf_dir)
-    params = spark.createDataFrame(
+    params = local_rows(
+        spark,
         [(str(i), 5.0, 2) for i in range(5)],
         "linenumber string, eps float, min_samples int",
     )
@@ -838,7 +840,8 @@ def _tc_general_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tc_pipeline_dbscan_general(spark, sf_dir):
     patterns = _tc_general_patterns(spark, sf_dir)
-    params = spark.createDataFrame(
+    params = local_rows(
+        spark,
         [(str(i), 5.0, 5) for i in range(5)],
         "linenumber string, eps float, min_samples int",
     )

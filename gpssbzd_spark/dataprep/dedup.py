@@ -1786,10 +1786,13 @@ def embedding_lsh_portable(
     that is ±~0.002, documented as this variant's contract. Kernel path
     stays the hot path; this is the cross-check and fallback.
     """
+    from gpssbzd_spark.sources.tables import local_rows
+
     spark = df.sparkSession
     # bit precomputed in Python: shiftleft needs a literal count, and a
     # plain column is cheaper than a CASE over p anyway
-    planes = spark.createDataFrame(
+    planes = local_rows(
+        spark,
         [(t, p, 1 << p, sgn) for t, p, sgn in
          _rademacher_signs(n_tables, n_planes, dim)],
         "t int, p int, bit long, sgn array<bigint>",

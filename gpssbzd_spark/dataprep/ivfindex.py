@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gpssbzd_spark.dataprep import manifest
+from gpssbzd_spark.sources.tables import local_rows
 from gpssbzd_spark.dataprep.similarity import (
     _nearest_centroids_udf,
     _norm,
@@ -132,7 +133,8 @@ def _assignment_sims(
     codebook table; pure JVM scoring (the assignment UDF already ran)."""
     spark = assigned.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
-    cent_df = spark.createDataFrame(
+    cent_df = local_rows(
+        spark,
         cent_rows,
         T.StructType(
             [

@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gpssbzd_spark.dataprep import manifest
+from gpssbzd_spark.sources.tables import local_rows
 from gpssbzd_spark.dataprep.similarity import (
     _norm,
     hyperplane_buckets_all,
@@ -481,7 +482,7 @@ def lsh_index_query(
         ]
     )
     q_probe = (
-        spark.createDataFrame(probe_rows, schema)
+        local_rows(spark, probe_rows, schema)
         .select(
             F.col(query_id_col),
             F.col(query_vec_col),

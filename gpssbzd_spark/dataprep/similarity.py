@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gpssbzd_spark.sources.tables import local_rows
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -157,8 +159,8 @@ def hyperplane_buckets_relational(
         for i in range(n_planes)
         for j in range(dim)
     ]
-    planes_df = spark.createDataFrame(
-        rows, "tbl int, plane int, j int, w double"
+    planes_df = local_rows(
+        spark, rows, "tbl int, plane int, j int, w double"
     )
     elems = vectors.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("j", "_e")
@@ -702,7 +704,7 @@ def literal_probe_topk(
             T.StructField("_cids", T.ArrayType(T.IntegerType())),
         ]
     )
-    q_probe = spark.createDataFrame(probe_rows, schema).select(
+    q_probe = local_rows(spark, probe_rows, schema).select(
         F.col(query_id_col),
         F.col(query_vec_col),
         _norm(F.col(query_vec_col)).alias("_norm_q"),
@@ -865,7 +867,8 @@ def ann_lsh_portable(
     from gpssbzd_spark.dataprep.dedup import _rademacher_signs
 
     spark = df.sparkSession
-    planes = spark.createDataFrame(
+    planes = local_rows(
+        spark,
         [
             (t, p, 1 << p, sgn)
             for t, p, sgn in _rademacher_signs(n_tables, n_planes, dim)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gpssbzd_spark.dataprep.dedup import char_shingles
+from gpssbzd_spark.sources.tables import local_rows
 
 # Small function-word lists — enough signal to separate the fixture
 # languages; deliberately tiny so the SQL oracle can inline them.
@@ -708,7 +709,8 @@ def bm25_topk(
     qterms = _query_terms(queries)
     if not qterms:
         raise ValueError("bm25_topk: queries tokenized to no terms")
-    q = spark.createDataFrame(
+    q = local_rows(
+        spark,
         qterms,
         T.StructType(
             [

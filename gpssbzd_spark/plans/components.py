@@ -45,6 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gpssbzd_spark.sources.tables import local_rows
 from gpssbzd_spark.plans.trajectory_clustering import (
     _CLUSTER_SCHEMA,
     pair_distances,
@@ -316,7 +317,8 @@ def dbscan_distributed(
     if not params:
         return spark.createDataFrame([], _CLUSTER_SCHEMA)
     params_df = F.broadcast(
-        spark.createDataFrame(
+        local_rows(
+            spark,
             [(ln, float(e), int(m)) for ln, (e, m) in params.items()],
             "linenumber string, eps double, min_samples int",
         )
