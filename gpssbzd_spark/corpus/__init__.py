@@ -332,6 +332,17 @@ CHANGED_IN_ROUND: dict[str, int] = {
     "sim_topk_lsh_portable": 14,
     "tx_bm25_topk": 14,
     "tx_bm25_topk_capped": 14,
+    "dp_decontaminate_semantic": 14,  # composes embedding_lsh_portable
+    # r14 optimization: partition-count floors (widen_small_input)
+    # before the twice-consumed gram explode (repeated_spans) and the
+    # multi-distinct Expand (profile_numeric) — results identical
+    "dd_repeated_spans": 14,
+    "dp_profile_numeric": 14,
+    # r14 optimization: explicit scale-adaptive count on the batch-twin
+    # keyed repartition (sources/tables.keyed_repartition) — the
+    # count-less form AQE-coalesced to one task at fixture scale
+    "st_stateful_sessionize": 14,
+    "st_funnel_stateful": 14,
 }
 
 

@@ -2263,6 +2263,16 @@ def repeated_spans(
     arr = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
+    # partition-count floor BEFORE the gram explode (guide §2, r14):
+    # `grams` is deliberately recomputed on both consumer branches (see
+    # below), and the fixture corpus scans as 1 split — so BOTH md5
+    # gram-generation passes ran single-task (profiled 1.08 s + 0.74 s
+    # at sf0.1, ~1 s cpu each, 31 cores idle). Widening the narrow
+    # (id, tokens) base puts one small exchange under both branches:
+    # the plan reuses it (ReusedExchange), and each branch's slice+md5
+    # transform runs at session parallelism. No-op on wide inputs.
+    from gpssbzd_spark.sources.tables import widen_small_input
+
     base = (
         docs.filter(
             F.col(text_col).isNotNull()
@@ -2271,6 +2281,7 @@ def repeated_spans(
         .select(F.col(id_col), arr.alias("_toks"))
         .filter(F.size("_toks") >= n)
     )
+    base = widen_small_input(base, key=id_col)
     gkeys = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
         lambda i: F.md5(F.array_join(F.slice("_toks", i, n), " ")),

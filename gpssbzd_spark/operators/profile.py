@@ -51,6 +51,17 @@ def profile_numeric(
         if distinct == "exact"
         else lambda c: F.approx_count_distinct(c, rsd=0.02)
     )
+    # partition-count floor on the projected columns (guide §2, r14):
+    # the multi-distinct plan EXPANDs each input row once per distinct
+    # aggregate before the partial agg, and the fixture scan is ~5
+    # splits — the expand+partial stage profiled 2.6 s cpu over 5
+    # tasks (576 ms wall) at sf0.1. Projecting first keeps the added
+    # exchange narrow; no-op on wide inputs. (The downstream distinct
+    # MERGE stage is AQE-coalesced by bytes — at real scale that
+    # shuffle is large enough to fan out on its own.)
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    df = widen_small_input(df.select(*cols))
     aggs = []
     for c in cols:
         aggs += [

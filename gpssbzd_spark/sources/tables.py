@@ -125,6 +125,25 @@ def widen_small_input(
     return df.repartition(tgt, F.col(key)) if key else df.repartition(tgt)
 
 
+def keyed_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition by ``cols`` with an EXPLICIT scale-adaptive
+    count instead of ``repartition(*cols)``.
+
+    Why (profiled r14): a count-less ``repartition(col)`` is an
+    AQE-coalescible exchange — on a small shuffle (≤ the 1 MB
+    ``minPartitionSize``) AQE merges it to ONE task, and a CPU-dense
+    per-row stage downstream (e.g. a ``mapInPandas`` sessionize kernel)
+    serializes on one Python worker (profiled: 2.1 s wall / 0.26 s cpu
+    single-task stage in st_stateful_sessionize at sf0.1). A
+    user-specified count is exempt from coalescing; this one scales
+    with the input: never below the session's parallelism, never below
+    the upstream partition count (so a genuinely wide input keeps its
+    width instead of being squeezed to core count)."""
+    sc = df.sparkSession.sparkContext
+    tgt = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(tgt, *[F.col(c) for c in cols])
+
+
 def local_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
     """Literal table via pandas + Arrow instead of a Python-list
     ``createDataFrame``.

@@ -177,8 +177,13 @@ def streaming_gap_sessionize(
         if leftover is not None and len(leftover):
             yield run_group(leftover)
 
+    from gpssbzd_spark.sources.tables import keyed_repartition
+
+    # r14 (guide §2): count-less repartition is AQE-coalescible — at
+    # small shuffle sizes the sessionize kernel ran on ONE Python
+    # worker (2.1 s wall / 0.26 s cpu single-task stage at sf0.1)
     return (
-        base.repartition("user_id")
+        keyed_repartition(base, "user_id")
         .sortWithinPartitions("user_id", "ts")
         .mapInPandas(map_fn, OUTPUT_SCHEMA)
     )
@@ -363,8 +368,11 @@ def streaming_funnel(
             if len(final):
                 yield final
 
+    from gpssbzd_spark.sources.tables import keyed_repartition
+
+    # r14: same AQE-coalesce fix as the sessionize batch twin above
     return (
-        base.repartition("user_id")
+        keyed_repartition(base, "user_id")
         .sortWithinPartitions("user_id", "ts")
         .mapInPandas(map_fn, out_schema)
     )
