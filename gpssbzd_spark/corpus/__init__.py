@@ -343,6 +343,11 @@ CHANGED_IN_ROUND: dict[str, int] = {
     # count-less form AQE-coalesced to one task at fixture scale
     "st_stateful_sessionize": 14,
     "st_funnel_stateful": 14,
+    # r14 optimization: prepare_pings — explicit (linenumber, id)
+    # exchange pin + dedup re-expressed inside that partitioning (run-
+    # start detection in (lng, lat, ts) order), dropping two exchanges;
+    # rows identical (oracle-proved at sf0.001/sf0.01)
+    "pe_pipeline_segments": 14,
 }
 
 

@@ -67,6 +67,16 @@ def prepare_pings(
     mixed-line thresholds in the reference — arguably a bug fix, and
     pinned by the sample-data goldens in tests/test_pipeline_e2e.py.
     """
+    # r14 (guide §2): pin the composite's ONE exchange explicitly. Every
+    # window/groupBy in parts 1+2 keys on (linenumber, id); with a
+    # Catalyst-planned exchange AQE coalesces the small fixture shuffle
+    # to 1-2 tasks and the whole window chain serializes (profiled:
+    # four 0.2-0.5 s single-task cpu-bound stages at sf0.1). The
+    # explicit scale-adaptive count is exempt from byte-based
+    # coalescing; at real scale it matches the input width.
+    from gpssbzd_spark.sources.tables import keyed_repartition
+
+    gps = keyed_repartition(gps, "linenumber", "id")
     w_id = Window.partitionBy("linenumber", "id").orderBy("ts")
 
     # Inter-ping gap in seconds (0 for a vehicle's first ping), computed
@@ -80,11 +90,25 @@ def prepare_pings(
     )
 
     # Deterministic dedup: earliest ping per (id, linenumber, lng, lat).
-    w_dedup = Window.partitionBy("id", "linenumber", "lng", "lat").orderBy("ts")
+    # r14: expressed WITHIN the (linenumber, id) partitioning — sort the
+    # vehicle's rows by (lng, lat, ts) and keep each (lng, lat) run's
+    # first row — instead of row_number over a (id, linenumber, lng,
+    # lat) window, which forced a second hash partitioning (and a third
+    # to come back) that AQE coalesced to single-task stages. Row-for-
+    # row identical: the first row of a (lng, lat) run in (lng, lat,
+    # ts) order IS that position's earliest ping (ties on ts fall to
+    # the same arbitrary-pick class the row_number form had). The
+    # null-safe struct comparison keeps null coords grouped like the
+    # window PARTITION BY did; NaN coords (grouping-equal in the old
+    # form, comparison-unequal here) don't occur in the GPS domain.
+    w_pos = Window.partitionBy("linenumber", "id").orderBy("lng", "lat", "ts")
+    _pos = F.struct("lng", "lat")
     deduped = (
-        with_diff.withColumn("_rn", F.row_number().over(w_dedup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        with_diff.withColumn(
+            "_dup", _pos.eqNullSafe(F.lag(_pos, 1).over(w_pos))
+        )
+        .filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+        .drop("_dup")
     )
 
     # First ping of each vehicle provisionally tagged direction=1,
