@@ -348,6 +348,16 @@ CHANGED_IN_ROUND: dict[str, int] = {
     # start detection in (lng, lat, ts) order), dropping two exchanges;
     # rows identical (oracle-proved at sf0.001/sf0.01)
     "pe_pipeline_segments": 14,
+    # r14 optimization: partition-count floors in embedding_cosine_pairs
+    # and embedding_lsh_portable (widen before the per-vector prep /
+    # quantize pin) — results identical
+    "dd_embedding_cosine_pairs": 14,
+    "dd_embedding_cosine_blocked": 14,
+    # r14 optimization: partition-count floor on the synth-media id
+    # projection (the whole decode chain ran on one Python worker)
+    "mm_decode_roundtrip": 14,
+    "mm_frames_to_image_features": 14,
+    "mm_video_pixel_roundtrip": 14,
 }
 
 

@@ -616,6 +616,14 @@ def embedding_cosine_pairs(
     cluster id, or a shard column. Unblocked stays the oracle-checkable
     exact baseline (SURVEY.md §2.11; pair-join shape = §2.3 J4).
     """
+    # r14 (guide §2): partition-count floor before the per-vector prep —
+    # the single-split embeddings scan otherwise pins a 1-2-task layout
+    # that BOTH self-join sides' normalize chains and the pair-dot
+    # stage inherit (profiled 1.4 s wall / 2.1 s cpu over 2 tasks at
+    # sf0.1); no-op on wide inputs
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    df = widen_small_input(df, key=id_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x))
     keep = [id_col] + ([block_col] if block_col else [])
@@ -1804,13 +1812,23 @@ def embedding_lsh_portable(
     sq_norm = F.aggregate(
         F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
     )
+    # r14 (guide §2): widen before the pin — the quantize chain and all
+    # three consumers otherwise inherit the 1-2-split scan layout
+    # (profiled: the banding + verify stages ran 2 of 32 tasks at
+    # sf0.1); no-op on wide inputs
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    # consumed three times (plane dots + both verify sides); pin or
+    # each consumer re-quantizes every vector (GC-scoped). The filter
+    # sits ABOVE the pin: below it, Catalyst would push the _sq
+    # predicate (and the quantize chain it needs) back under the widen
+    # exchange and evaluate it on the narrow scan layout — the same
+    # pushdown fence the portable minhash paths need.
     vecs = (
-        df.select(F.col(id_col).alias("_id"), q.alias("q"))
+        widen_small_input(df.select(F.col(id_col).alias("_id"), q.alias("q")), key="_id")
         .withColumn("_sq", sq_norm)
-        .filter(F.col("_sq") > 0)
-        # consumed three times (plane dots + both verify sides); pin
-        # or each consumer re-quantizes every vector (GC-scoped)
         .localCheckpoint()
+        .filter(F.col("_sq") > 0)
     )
     dot_plane = F.aggregate(
         F.zip_with("q", "sgn", lambda a, s: a * s),

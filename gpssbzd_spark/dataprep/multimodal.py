@@ -1116,7 +1116,16 @@ def synth_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+    # r14 (guide §2): partition-count floor — the ids project off a
+    # 1-split fixture scan, so synthesis AND every downstream decode/
+    # feature mapInPandas ran on one Python worker (profiled 1.1 s
+    # single-task save at sf0.1, 56 ms cpu — all Arrow/worker latency);
+    # no-op on wide inputs
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    return widen_small_input(df.select(id_col), key=id_col).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def extract_frames(df: DataFrame, max_frames: int = 8) -> DataFrame:
@@ -1208,4 +1217,13 @@ def synth_png_video(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+    # r14 (guide §2): partition-count floor — the ids project off a
+    # 1-split fixture scan, so synthesis AND every downstream decode/
+    # feature mapInPandas ran on one Python worker (profiled 1.1 s
+    # single-task save at sf0.1, 56 ms cpu — all Arrow/worker latency);
+    # no-op on wide inputs
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    return widen_small_input(df.select(id_col), key=id_col).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )

@@ -467,7 +467,10 @@ def build_ivf_index(
     # the embeddings feed the seed sample, every Lloyd round, and the
     # final index assignment — pin once or each pass re-scans and
     # re-decodes the source (SURVEY §4), GC-scoped via localCheckpoint
-    # rather than a session persist
+    # rather than a session persist. (r14: a widen here was measured
+    # and rejected — the Lloyd-scan gain is ~0.4 s at sf0.1 but the
+    # widened layout multiplies the partitionBy(cid) index write's
+    # file count, worsening the serving rows' scan layout.)
     embeddings = embeddings.localCheckpoint()
     cents = kmeans_centroids(
         embeddings, dim, n_centroids, iters, seed, id_col, vec_col
