@@ -358,6 +358,12 @@ CHANGED_IN_ROUND: dict[str, int] = {
     "mm_decode_roundtrip": 14,
     "mm_frames_to_image_features": 14,
     "mm_video_pixel_roundtrip": 14,
+    # r14 optimization: bounded LM vocab/total pins lifted to driver
+    # literals (collect + local_rows) — localCheckpoint materializes
+    # through the non-AQE RDD path at initialPartitionNum (256-task
+    # stages for KBs); values identical
+    "tx_unigram_logprob": 14,
+    "tx_bigram_logprob": 14,
 }
 
 

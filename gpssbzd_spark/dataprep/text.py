@@ -309,24 +309,34 @@ def unigram_logprob(
     # ONLY consumers and both are broadcast-bounded: materialize them
     # eagerly off a short-lived persist, then release it before
     # returning — a bare .persist() here leaked cached partitions for
-    # the session lifetime (ADVICE r5); localCheckpoint pins only the
-    # bounded results, GC-scoped rather than CacheManager-scoped
+    # the session lifetime (ADVICE r5). r14: the bounded results come
+    # back as driver literals (collect + local_rows / lit) instead of
+    # localCheckpoints — a checkpoint materializes through the non-AQE
+    # RDD path at initialPartitionNum, so the V-row vocab pin ran a
+    # 256-task stage for 2 KB (profiled); the collect is the same
+    # bounded O(V) driver traffic the broadcast already implied.
     freq = tok.groupBy("token").agg(F.count("*").alias("freq")).persist()
-    total = freq.agg(F.sum("freq").alias("_total")).localCheckpoint()
-    vocab = (
+    total_val = freq.agg(F.sum("freq").alias("_total")).collect()[0][0]
+    vocab_rows = (
         freq.orderBy(F.col("freq").desc(), F.col("token"))
         .limit(vocab_size)
-        .localCheckpoint()
+        .collect()
     )
     freq.unpersist()
+    from gpssbzd_spark.sources.tables import local_rows
+
+    vocab = local_rows(
+        docs.sparkSession,
+        [(r["token"], r["freq"]) for r in vocab_rows],
+        "token string, freq bigint",
+    )
     scored = (
         tok.join(F.broadcast(vocab), "token", "left")
-        .join(F.broadcast(total))
         .withColumn(
             "_lp",
             F.log10(
                 F.coalesce(F.col("freq").cast("double"), F.lit(0.5))
-                / F.col("_total")
+                / F.lit(total_val).cast("bigint")
             ),
         )
     )
@@ -529,13 +539,23 @@ def bigram_logprob(
         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
     ).filter(F.col("token") != "")
     freq = tk.groupBy("token").agg(F.count("*").alias("freq")).persist()
-    vocab = (
+    # r14: the bounded V-row vocab comes back as a driver literal
+    # (collect + local_rows) instead of a localCheckpoint — the
+    # checkpoint materializes through the non-AQE RDD path at
+    # initialPartitionNum (a 256-task stage for 2 KB, profiled); the
+    # collect is the same bounded O(V) traffic the broadcast implied
+    vocab_rows = (
         freq.orderBy(F.col("freq").desc(), F.col("token"))
         .limit(vocab_size)
         .select("token")
-        .localCheckpoint()
+        .collect()
     )
     freq.unpersist()
+    from gpssbzd_spark.sources.tables import local_rows
+
+    vocab = local_rows(
+        docs.sparkSession, [(r["token"],) for r in vocab_rows], "token string"
+    )
     mapped = (
         tk.join(
             F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
