@@ -174,6 +174,16 @@ def sig_index_ingest(
         num_hashes=num_hashes,
         shingle_n=shingle_n,
     )
+    # r14 (guide §6, output sizing): the signing path's partition-count
+    # floor (widen_small_input inside minhash_signatures_portable)
+    # computes wide, but writing a tiny delta batch at session
+    # parallelism left 32 ~10-row files per batch dir — and every later
+    # sig_index_read paid the fragmented listing/scan (bench row
+    # 0.28 → 1.04 s). Signatures are narrower than the landed text by
+    # construction, so the landing's own file count is a sound ceiling
+    # for the batch's file count: big deltas keep big-delta layouts,
+    # fixture deltas collapse back to one file.
+    sigs = sigs.coalesce(max(1, len(new_files)))
     # idempotent by construction: a crashed retry over the same
     # remainder recomputes the same cid and overwrites the same dir
     sigs.write.mode("overwrite").parquet(batch_dir)
@@ -228,7 +238,13 @@ def sig_index_compact(
         "\n".join(d.rstrip("/").rsplit("/", 1)[-1] for d in folded).encode()
     ).hexdigest()[:16]
     compact_dir = f"{sigs_dir}/batch-compact-{cid}"
-    spark.read.parquet(*folded).write.mode("overwrite").parquet(compact_dir)
+    # r14 (guide §6): bound the fold's file count at one file per
+    # folded batch — the fold's raison d'être is fewer dirs/files, and
+    # without the bound the output inherits the input's total file
+    # count (a fold over fragmented legacy batches stayed fragmented)
+    spark.read.parquet(*folded).coalesce(max(1, len(folded))).write.mode(
+        "overwrite"
+    ).parquet(compact_dir)
     _commit_batch(spark, manifest_dir, compact_dir, covered, replaces=folded)
     # post-commit GC (ADVICE r13): the folded dirs are unreferenced
     # once the replaces record lands — delete them now; previously an
