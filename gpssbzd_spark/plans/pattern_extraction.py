@@ -93,14 +93,19 @@ def prepare_pings(
     # r14: expressed WITHIN the (linenumber, id) partitioning — sort the
     # vehicle's rows by (lng, lat, ts) and keep each (lng, lat) run's
     # first row — instead of row_number over a (id, linenumber, lng,
-    # lat) window, which forced a second hash partitioning (and a third
-    # to come back) that AQE coalesced to single-task stages. Row-for-
-    # row identical: the first row of a (lng, lat) run in (lng, lat,
-    # ts) order IS that position's earliest ping (ties on ts fall to
-    # the same arbitrary-pick class the row_number form had). The
-    # null-safe struct comparison keeps null coords grouped like the
-    # window PARTITION BY did; NaN coords (grouping-equal in the old
-    # form, comparison-unequal here) don't occur in the GPS domain.
+    # lat) window. (Plan note: Catalyst already satisfied the wider
+    # clustering from the (linenumber, id) exchange — subset keys
+    # cluster supersets — so this rewrite trades the wider window for
+    # a lag, keeping exactly the pinned exchange above; the measured
+    # win comes from that pin, the rewrite keeps the partitioning
+    # story one-keyed and the plan free of the wider sort spec.)
+    # Row-for-row identical: the first row of a (lng, lat) run in
+    # (lng, lat, ts) order IS that position's earliest ping (ties on
+    # ts fall to the same arbitrary-pick class the row_number form
+    # had). The null-safe struct comparison keeps null coords grouped
+    # like the window PARTITION BY did; NaN coords (grouping-equal in
+    # the old form, comparison-unequal here) don't occur in the GPS
+    # domain.
     w_pos = Window.partitionBy("linenumber", "id").orderBy("lng", "lat", "ts")
     _pos = F.struct("lng", "lat")
     deduped = (
