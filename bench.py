@@ -88,6 +88,20 @@ ran interpreted), restoring the r10 record level on identical output.
 ``sim_topk_lsh_append`` / ``tx_bm25_topk_capped`` are the r12 row
 additions (see HEADLINE comments).
 
+r15 methodology note (VERDICT r14 #2/#7, ADVICE r14): the line gains
+ADDITIVE fields only — ``total_cpu``/``total_run`` (Σ per-row
+min-of-repeats executor CPU / executor run seconds from TaskMetrics
+via the event log; per-row maps in BENCH_DETAIL.json ``queries_cpu``/
+``queries_run``), ``cpu_band``/``cpu_in_band`` (the ONE band now
+registered on the regime-invariant CPU metric), ``probe_sec`` (fixed
+single-core host-speed probe timing the boot regime inside the
+capture), and ``fast_rows_total`` (Σ mins of line-budget-elided fast
+rows, so the line covers all rows). The wall-clock ``value``/``band``
+series, the min-of-3 noop-sink methodology, the query set and every
+pre-existing key are byte-for-byte unchanged; timing now runs under
+``setJobDescription(name#rep)`` with event logging on (measured
+neutral at registration: logging is a per-stage JSON append).
+
 r13 methodology note (VERDICT r12 #8): the contract line now carries
 its pre-registered band INLINE — ``band: [lo, hi]`` (the idle-measured
 envelope registered in PERF_NOTES before the driver capture; the hi
@@ -108,10 +122,68 @@ import json
 import os
 import statistics
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+
+def _host_probe() -> float:
+    """Fixed single-core integer workload (~0.1 s on a quiet host).
+
+    r15 (ADVICE r14): the wall-clock band stopped discriminating code
+    from environment because this fleet's per-core speed swings ~2x
+    between VM boots on identical code (PERF_NOTES #17). The probe
+    timestamps the boot regime INSIDE the capture, so a slow capture
+    with a slow probe reads as environment and a slow capture with a
+    fast probe reads as code. Pure-Python integer loop: no numpy, no
+    allocation beyond small ints — measures the core, not the library.
+    """
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    _ = s
+    return time.perf_counter() - t0
+
+
+def _parse_eventlog_cpu(path: str) -> dict[str, dict[str, float]]:
+    """Per-job-description sums of executor CPU (ns→s) and executor run
+    time (task wall, ms→s) from one Spark event log.
+
+    r15 (VERDICT r14 #2): the regime-invariant per-row metric. Stage
+    attribution: each completed stage is charged to the description of
+    the FIRST job that listed it (a stage reused/skipped by a later job
+    completed only once, under its submitting job).
+    """
+    job_desc: dict[int, str] = {}
+    stage_desc: dict[int, str] = {}
+    sums: dict[str, dict[str, float]] = {}
+    with open(path) as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                props = ev.get("Properties") or {}
+                desc = props.get("spark.job.description", "")
+                job_desc[ev["Job ID"]] = desc
+                for s in ev.get("Stage Infos", []):
+                    stage_desc.setdefault(s["Stage ID"], desc)
+            elif e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                desc = stage_desc.get(si["Stage ID"], "")
+                acc = {
+                    a.get("Name"): a.get("Value")
+                    for a in si.get("Accumulables", [])
+                }
+                rec = sums.setdefault(desc, {"cpu": 0.0, "run": 0.0})
+                rec["cpu"] += (acc.get("internal.metrics.executorCpuTime") or 0) / 1e9
+                rec["run"] += (acc.get("internal.metrics.executorRunTime") or 0) / 1e3
+    return sums
 
 # Pre-registered band for the PRIMARY `value` (min-sum over all rows),
 # carried inline in the contract line (VERDICT r12 #8) so each
@@ -141,6 +213,17 @@ sys.path.insert(0, REPO)
 # (self-load), 126.7-147.4 (slow-host boot). Evidence:
 # plans/r14/bench_envregime_series.json (+ _run3 full detail).
 REGISTERED_BAND = (70.0, 155.0)
+
+# r15 (VERDICT r14 #2): ONE band registered on the regime-invariant
+# metric — the sum over rows of per-row min-of-repeats executor CPU
+# seconds (TaskMetrics executorCpuTime via the event log). Wall-clock
+# total stays in the line as the legacy series, but its band stopped
+# discriminating anything on this fleet (three re-registrations in
+# r14; boot regimes swing wall ~2x on frozen code while stage CPU
+# stays flat — PERF_NOTES #17). INTERIM band pending the r15 freeze
+# captures (idle + deliberately-loaded runs); re-registered at freeze
+# with the measured numbers in this comment.
+REGISTERED_CPU_BAND = (20.0, 60.0)
 
 # Per-row bands for the rows whose capture mins historically swing
 # >2x (the Python-kernel near-dup family; VERDICT r12 #7). Emitted in
@@ -324,9 +407,25 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    probe_sec = _host_probe()
+
     from gpssbzd_spark import corpus, get_session
 
-    spark = get_session(app_name="gpssbzd_bench")
+    # r15 (VERDICT r14 #2): event logging on, one log for the whole
+    # bench run; parsed after spark.stop() into per-row executor CPU /
+    # run-time sums. Logging itself is a per-stage JSON append — no
+    # measurable effect on the timed queries (A/B'd at registration).
+    evdir = tempfile.mkdtemp(prefix="bench_evlog_")
+    spark = get_session(
+        app_name="gpssbzd_bench",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    app_id = spark.sparkContext.applicationId
     qs = corpus.queries()
 
     # Warmup: absorb one-time JVM codegen + Python-worker pool startup so
@@ -347,9 +446,12 @@ def main() -> None:
     mins: dict[str, float] = {}
     spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
+    cpu_by_rep: dict[str, list[float]] = {}
+    run_by_rep: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs: list[float] = []
-        for _ in range(repeats):
+        for _rep in range(repeats):
+            spark.sparkContext.setJobDescription(f"{name}#r{_rep}")
             # time construction + execution: some pipelines eagerly
             # materialize a reused intermediate (e.g. MinHash prep) at
             # construction, and that work must count
@@ -383,9 +485,42 @@ def main() -> None:
             medians[name] = round(statistics.median(runs), 3)
             mins[name] = round(min(runs), 3)
             spreads[name] = round(max(runs) - min(runs), 3)
+    spark.sparkContext.setJobDescription(None)
+
+    # r15: stop the session FIRST (flushes the event log), then parse
+    # per-row executor CPU/run sums. Parse failure degrades to null
+    # metrics, never a lost contract line.
+    spark.stop()
+    cpu_mins: dict[str, float] = {}
+    run_mins: dict[str, float] = {}
+    try:
+        log_path = os.path.join(evdir, app_id)
+        if not os.path.exists(log_path):
+            v2 = os.path.join(evdir, f"eventlog_v2_{app_id}")
+            cand = [
+                os.path.join(v2, f)
+                for f in os.listdir(v2)
+                if f.startswith("events_")
+            ]
+            assert len(cand) == 1, cand
+            log_path = cand[0]
+        per_desc = _parse_eventlog_cpu(log_path)
+        for name in mins:
+            reps = [
+                per_desc[d] for d in per_desc if d.startswith(name + "#r")
+            ]
+            if reps:
+                # min over repeats, like the wall statistic: CPU is
+                # regime-stable, the min drops first-repeat JIT/codegen
+                cpu_mins[name] = round(min(r["cpu"] for r in reps), 3)
+                run_mins[name] = round(min(r["run"] for r in reps), 3)
+    except Exception as e:  # noqa: BLE001 — cpu metric is best-effort
+        print(f"bench: event-log cpu parse failed: {e}", file=sys.stderr)
 
     total_min = round(sum(mins.values()), 3)
     total_median = round(sum(medians.values()), 3)
+    total_cpu = round(sum(cpu_mins.values()), 3) if cpu_mins else None
+    total_run = round(sum(run_mins.values()), 3) if run_mins else None
     # The stdout contract line carries ONLY medians + total: r3 and r5 both
     # recorded ``parsed: null`` because the full line (with queries_min /
     # queries_spread for 47 rows, ~4.3 KB) exceeded the round driver's
@@ -432,6 +567,24 @@ def main() -> None:
         )
         if abs(sf - 0.1) < 1e-9
         else None,
+        # r15 additions (VERDICT r14 #2 / ADVICE r14): the regime-
+        # invariant series. total_cpu = Σ per-row min-of-repeats
+        # executor CPU (its per-row map is queries_cpu in
+        # BENCH_DETAIL.json — the stdout line is budget-capped);
+        # total_run = Σ executor run (task wall: includes Python
+        # worker time, excludes driver/scheduler gaps); probe_sec =
+        # fixed single-core workload timing the host boot regime.
+        "total_cpu": total_cpu,
+        "total_run": total_run,
+        "probe_sec": round(probe_sec, 3),
+        "cpu_band": list(REGISTERED_CPU_BAND)
+        if abs(sf - 0.1) < 1e-9
+        else None,
+        "cpu_in_band": (
+            (total_cpu is not None and total_cpu <= REGISTERED_CPU_BAND[1])
+            if abs(sf - 0.1) < 1e-9
+            else None
+        ),
         "queries": {k: round(v, 2) for k, v in mins.items()},
         "repeats": repeats,
         "sf": sf,
@@ -443,15 +596,22 @@ def main() -> None:
     detail["queries_median"] = medians
     detail["queries_min"] = mins
     detail["queries_spread"] = spreads
+    detail["queries_cpu"] = cpu_mins
+    detail["queries_run"] = run_mins
     detail["per_row_bands"] = {k: list(v) for k, v in PER_ROW_BANDS.items()}
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         by_speed = sorted(summary["queries"], key=lambda k: summary["queries"][k])
         elided = 0
+        fast_total = 0.0
         while len(line) > LINE_BUDGET and by_speed:
-            summary["queries"].pop(by_speed.pop(0))
+            fast_total += summary["queries"].pop(by_speed.pop(0))
             elided += 1
             summary["queries_elided"] = elided
+            # r15 (VERDICT r14 #7): the elided fast rows stay visible
+            # as a scalar — Σ of their per-row mins — so the line's
+            # queries map plus this number covers all rows
+            summary["fast_rows_total"] = round(fast_total, 2)
             line = json.dumps(summary, separators=(",", ":"))
         print(
             f"bench: stdout line over {LINE_BUDGET}B budget — elided the "
@@ -469,7 +629,6 @@ def main() -> None:
     # built/serialized, or any query failed, exit non-zero LOUDLY so the
     # round driver records the failure instead of a silent null
     print(line)
-    spark.stop()
     if errors:
         sys.exit(2)
 

@@ -364,6 +364,26 @@ CHANGED_IN_ROUND: dict[str, int] = {
     # stages for KBs); values identical
     "tx_unigram_logprob": 14,
     "tx_bigram_logprob": 14,
+    # r15 OPTIMIZATION round: keyed_repartition floor capped at
+    # min(parallelism, max(8, 4×upstream)) (VERDICT r14 #1 — the
+    # capped width beat the flat 32-wide pin in every interleaved
+    # round under an induced degraded-host load and ties it idle;
+    # identical at real scale and ≤8 cores by construction)
+    "pe_pipeline_segments": 15,
+    "st_stateful_sessionize": 15,
+    "st_funnel_stateful": 15,
+    # r15: the two corpus-sized localCheckpoint pins made
+    # SIZE-CONDITIONAL (sources/tables.pin_if_small — VERDICT r14 #4);
+    # at fixture scale the pins still fire, results proved identical
+    # on both paths
+    "dp_pipeline_pretrain_e2e": 15,
+    "dp_outliers_mad": 15,
+    # r15: contamination_pairs — partition floor before the corpus-side
+    # n-gram explode + removal of the semantically-redundant
+    # size(_grams)>0 filter whose pushdown double-evaluated the gram
+    # transform per eval row (rows proved identical; 1.5-2.2× per
+    # interleaved round)
+    "dp_decontaminate_overlap": 15,
 }
 
 

@@ -3296,7 +3296,7 @@ def pretrain_e2e_plan(d):
     """The flagship pipeline over an arbitrary documents DataFrame —
     factored out of the corpus query so the scale harness can drive it
     with inflated inputs (VERDICT r8 #6)."""
-    from gpssbzd_spark.sources.tables import widen_small_input
+    from gpssbzd_spark.sources.tables import pin_if_small, widen_small_input
 
     # r14 (guide §2, profiled): the quality/language regex scoring and
     # everything downstream inherited the scan's 1-split layout — three
@@ -3312,7 +3312,15 @@ def pretrain_e2e_plan(d):
     # a fence: regex runs exactly once, at session parallelism, and
     # both the dedup-groupBy branch and the semi-join branch read the
     # 2 MB scored rows (guide §4.4's duplication class, native-expr
-    # flavor).
+    # flavor). r15 (guide §5, VERDICT r14 #4): SIZE-CONDITIONAL — the
+    # pin holds the whole scored corpus INCLUDING text in executor
+    # block storage; past PIN_MAX_BYTES the plan stays lazy and each
+    # consuming branch re-runs the regex scoring over the (then wide)
+    # scan — pure embarrassingly-parallel CPU, no corpus-sized
+    # materialization and no text shuffle (a narrow-fence + join-back
+    # alternative would shuffle the text by doc_id per branch, which
+    # is strictly worse — guide §8's re-attach trap). Results are
+    # identical either way: the pin only cuts lineage.
     scored = d.select(
         "doc_id",
         "text",
@@ -3320,7 +3328,8 @@ def pretrain_e2e_plan(d):
         feats["n_tokens"].alias("n_tokens"),
         feats["alpha_ratio"].alias("alpha_ratio"),
         language_id(_F.col("text")).alias("lang_guess"),
-    ).localCheckpoint()
+    )
+    scored, _pinned = pin_if_small(scored)
     kept = scored.filter(
         (_F.col("lang_guess") == "en")
         & (_F.col("alpha_ratio") >= 0.6)
@@ -3333,8 +3342,11 @@ def pretrain_e2e_plan(d):
     )
     # surv feeds three consumers (the MinHash pipeline, the dedup
     # anti-join, and the capped tail) and its lineage carries the
-    # regex-heavy quality/language scoring — pin it once, GC-scoped
-    surv = kept.join(surv_ids, "doc_id", "left_semi").localCheckpoint()
+    # regex-heavy quality/language scoring — pin it once, GC-scoped.
+    # r15: same size condition as the scored pin (surv is the kept
+    # survivors INCLUDING text — the same corpus-order storage class).
+    surv = kept.join(surv_ids, "doc_id", "left_semi")
+    surv, _ = pin_if_small(surv)
     pairs = minhash_lsh_portable(surv)
     deduped = neardup_dedup(surv, pairs)
     capped = cap_per_group(deduped, ["source"], "doc_id", 10)

@@ -63,17 +63,31 @@ def contamination_pairs(
     eval_text = eval_text_col or text_col
     eval_id = eval_id_col or id_col
 
+    # r15 (guide §4.4, native-expr flavor; plan-audited): the old
+    # ``.filter(size(_grams) > 0)`` was pushed below the projection, so
+    # the whole 4×zip_with gram-transform chain was evaluated TWICE per
+    # eval row (once in the pushed filter, again in the projection).
+    # The filter was semantically redundant — ``explode`` (not
+    # explode_outer) of an empty/null gram array emits no rows, which
+    # is exactly what the filter removed — so it is dropped, not moved.
     ev = eval_df.select(
         F.col(eval_id).alias("eval_id"),
         _gram_keys(F.col(eval_text), n).alias("_grams"),
-    ).filter(F.size("_grams") > 0)
+    )
     ev_grams = ev.select(
         "eval_id",
         F.size("_grams").alias("eval_grams"),
         F.explode("_grams").alias("gram"),
     )
 
-    tr_grams = train.select(
+    # r15 (guide §2, profiled): the corpus-side tokenize+explode chain
+    # inherited the scan's 1-split fixture layout and ran the whole
+    # n-gram explode + broadcast-join probe on 1 of 32 cores (the same
+    # narrow-chain class batch r14-1 fixed in the dedup family).
+    # Partition-count floor; planning-time no-op on wide inputs.
+    from gpssbzd_spark.sources.tables import widen_small_input
+
+    tr_grams = widen_small_input(train, key=id_col).select(
         F.col(id_col).alias("train_id"),
         F.explode(_gram_keys(F.col(text_col), n)).alias("gram"),
     )

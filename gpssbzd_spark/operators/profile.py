@@ -328,16 +328,21 @@ def outliers_mad(
     # changes, same results:
     # - pin the projected columns once (widened — the source scan is
     #   1-3 splits), so the three passes read the in-memory rows
-    #   instead of re-scanning + re-deriving per pass;
+    #   instead of re-scanning + re-deriving per pass. r15 (guide §5,
+    #   VERDICT r14 #4): the pin is SIZE-CONDITIONAL — an eager
+    #   localCheckpoint of every numeric column of a 100 TB corpus
+    #   would cost executor block storage ≈ the projection to save two
+    #   column-pruned re-scans; past PIN_MAX_BYTES the passes re-scan
+    #   (the documented three-scan cost), results identical either way;
     # - per-column aggregation jobs submitted CONCURRENTLY from a
     #   driver thread pool: independent jobs back-fill the executors,
     #   so each pass's wall is the slowest column's merge, not the sum
     #   (the scheduler interleaves them; FIFO is fine at this width).
     from concurrent.futures import ThreadPoolExecutor
 
-    from gpssbzd_spark.sources.tables import widen_small_input
+    from gpssbzd_spark.sources.tables import pin_if_small, widen_small_input
 
-    proj = widen_small_input(df.select(*cols)).localCheckpoint()
+    proj, _ = pin_if_small(widen_small_input(df.select(*cols)))
 
     def _one_med(c: str) -> float:
         return proj.agg(med(F.col(c)).alias("m")).collect()[0]["m"]

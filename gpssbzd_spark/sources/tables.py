@@ -136,12 +136,84 @@ def keyed_repartition(df: DataFrame, *cols: str) -> DataFrame:
     serializes on one Python worker (profiled: 2.1 s wall / 0.26 s cpu
     single-task stage in st_stateful_sessionize at sf0.1). A
     user-specified count is exempt from coalescing; this one scales
-    with the input: never below the session's parallelism, never below
-    the upstream partition count (so a genuinely wide input keeps its
-    width instead of being squeezed to core count)."""
+    with the input: never below the upstream partition count (so a
+    genuinely wide input keeps its width instead of being squeezed to
+    core count).
+
+    r15 (VERDICT r14 #1): the floor is CAPPED at
+    ``min(defaultParallelism, max(8, 4×upstream))`` instead of a flat
+    ``defaultParallelism``. Rationale, measured: on a narrow fixture
+    input (1-5 scan splits) the flat floor pinned every downstream
+    window/kernel stage to 32 tasks; under an induced 32-process
+    co-tenant load (the degraded-host regime the r14 driver capture
+    hit) the capped width beat the flat pin in EVERY interleaved
+    round (pe_pipeline_segments min-of-3: 3.90/3.32/3.62 vs
+    6.16/3.61/3.86; plans/r15/ab_pins_underload.json) while idle and
+    batch-twin (sessionize/funnel) A/Bs read within noise of the flat
+    pin — and both beat the un-pinned form everywhere. At real scale
+    and at ≤8 cores the formula is IDENTICAL to the flat pin (wide
+    input → upstream wins the outer max; 8 cores → min(8, ·) = 8), so
+    the 100 TB no-op property is preserved by construction."""
     sc = df.sparkSession.sparkContext
-    tgt = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    up = df.rdd.getNumPartitions()
+    tgt = max(up, min(sc.defaultParallelism, max(8, 4 * up)))
     return df.repartition(tgt, *[F.col(c) for c in cols])
+
+
+# Ceiling for size-conditional localCheckpoint pins (pushdown fences /
+# multi-consumer materializations): above this many SOURCE bytes the pin
+# is skipped — re-computing the fenced chain per consumer branch costs
+# two scans' CPU, while an eager localCheckpoint of a corpus-sized
+# projection costs executor block storage ≈ the projection size
+# (non-replicated, held until GC) — the trade inverts at scale
+# (guide §5; VERDICT r14 #4). Local default 2 GiB: far above every
+# fixture (pins always fire at sf0.001-0.1, keeping the measured r14
+# behavior), far below any at-scale corpus. Production override:
+# SPARK_GRAFT_PIN_MAX_BYTES.
+PIN_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_PIN_MAX_BYTES", str(2 << 30)))
+
+
+def source_bytes(df: DataFrame) -> int | None:
+    """Best-effort byte size of ``df``'s file inputs.
+
+    Sum of the scan's input file sizes (exact for the fixture parquet
+    scans), falling back to Catalyst's optimized-plan size estimate.
+    ``None`` when neither is available — callers must treat unknown as
+    LARGE (skipping a pin is always correct; an unbounded eager
+    materialization is not).
+    """
+    try:
+        files = df.inputFiles()
+        if files:
+            total = 0
+            for f in files:
+                p = f[7:] if f.startswith("file:///") else f
+                p = "/" + p.lstrip("/")
+                total += os.path.getsize(p)
+            return total
+    except Exception:  # noqa: BLE001 — fall through to the estimate
+        pass
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def pin_if_small(df: DataFrame, max_bytes: int | None = None) -> tuple[DataFrame, bool]:
+    """``df.localCheckpoint()`` when the source bytes are under
+    ``max_bytes`` (default :data:`PIN_MAX_BYTES`), else ``df`` unchanged.
+
+    Returns ``(df, pinned)`` so callers with an at-scale alternative
+    (e.g. a narrower fence + join-back) can branch on the outcome.
+    Unknown size counts as large — see :func:`source_bytes`.
+    """
+    limit = PIN_MAX_BYTES if max_bytes is None else max_bytes
+    size = source_bytes(df)
+    if size is not None and size <= limit:
+        return df.localCheckpoint(), True
+    return df, False
 
 
 def local_rows(spark: SparkSession, rows: list, schema) -> DataFrame:

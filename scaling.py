@@ -387,6 +387,25 @@ def families(sf_dir: str | None = None):
             lambda df, K: inflate_lineitem(df, K),
             lambda li, K: _tpch_q9_smj_op(li, sf_dir),
         ),
+        # r15 (VERDICT r14 #8): the a4_percentile_exact shape — a
+        # global-ish exact percentile whose per-group merge is a
+        # single-reducer buffer of every value. The octave validates
+        # the r14 "the one-reducer merge share vanishes at real scale"
+        # claim with numbers instead of assertion: the wall exponent
+        # here plus the per-K map/merge stage decomposition captured by
+        # plans/r15/a4_merge_share.py (event-log profile of THIS op at
+        # each K) — the map stage grows ~linearly while the merge is
+        # bounded by distinct-value count per group, so merge share
+        # falls as K grows.
+        "percentile_exact": (
+            "lineitem",
+            lambda df, K: inflate_lineitem(df, K),
+            lambda li, K: li.groupBy("l_returnflag").agg(
+                F.round(F.percentile("l_extendedprice", 0.95), 4).alias(
+                    "p95_price"
+                )
+            ),
+        ),
     }
 
 
