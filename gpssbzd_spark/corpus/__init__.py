@@ -296,10 +296,12 @@ CHANGED_IN_ROUND: dict[str, int] = {
     # r14 ingest-loop cadence compaction (VERDICT r13 #5; + the r13
     # final-day-fold reshape, still unproven by a driver row)
     "dp_pipeline_ingest_e2e": 14,
-    # r14 allocation-quiet minhash kernels (VERDICT r13 #4): the
-    # queries running shingle_hash_signature / _sig_agreement
-    "dd_minhash_lsh_pairs": 14,
-    "dd_neardup_clusters_kernel": 14,
+    # r14 allocation-quiet minhash kernels (VERDICT r13 #4); r15:
+    # narrow-gated half-parallelism widening of the LSH candidate set
+    # before the prefilter+verify chain (VERDICT r14 #3 — the chain is
+    # 87% JVM CPU, not Python-worker-bound; rows proved identical)
+    "dd_minhash_lsh_pairs": 15,
+    "dd_neardup_clusters_kernel": 15,
     # r14 OPTIMIZATION round: partition-count floors before expensive
     # narrow chains (sources/tables.widen_small_input), fingerprint
     # pin in simhash_near_pairs, pushdown fences in the portable

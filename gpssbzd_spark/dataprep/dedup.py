@@ -514,6 +514,8 @@ def minhash_dedup_pairs(
     # ~0.1 s JVM cpu — all Python worker time); no-op on wide inputs
     from gpssbzd_spark.sources.tables import widen_small_input
 
+    sc = df.sparkSession.sparkContext
+    narrow_input = df.rdd.getNumPartitions() < sc.defaultParallelism
     df = widen_small_input(df, key=id_col)
     prepped = df.select(
         F.col(id_col),
@@ -545,11 +547,24 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Measured dead end (r2): repartitioning the candidate set to
-    # defaultParallelism before the UDF stages made the one-shot run
-    # 2.5× SLOWER — each task chains two Python workers, so 32 tasks
-    # oversubscribe 32 cores with ~64 Arrow+numpy processes; the
-    # few-partition layout AQE picks keeps the worker count sane.
+    # r15 (guide §2; supersedes the r2-measured dead end): the
+    # prefilter+verify chain below ran at ~5 AQE byte-coalesced tasks
+    # and its executor-run is 87% JVM CPU (Arrow conversion + join
+    # probe — profiled via TaskMetrics; the Python workers are ~13%,
+    # refuting the r2-era worker-pool-saturation reading that killed a
+    # 32-wide repartition). Half-parallelism widening of the CANDIDATE
+    # set (each task still chains two Python workers, so dp/2 tasks
+    # keep ≤ dp worker processes) won EVERY interleaved round on the
+    # bench corpus: min-of-3 1.85/1.73/1.58 vs 2.22/2.15/1.86 unpinned
+    # and vs 2.04/1.83/1.83 at full dp width
+    # (plans/r15/ab_candwidth.json; rows proved identical). Gated on
+    # the INPUT scan being narrow — at real scale the sig joins are
+    # shuffle joins whose own exchanges lay the candidates out wide,
+    # and an extra round-robin pass over billions of candidate ids
+    # would be pure waste, so this is fixture-layout repair only,
+    # same no-op contract as widen_small_input.
+    if narrow_input:
+        cands = cands.repartition(max(8, sc.defaultParallelism // 2))
 
     # Signature-agreement prefilter: on a shared-vocabulary corpus the
     # banding join emits ~3% of ALL pairs as candidates (443k candidates

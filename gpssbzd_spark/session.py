@@ -66,6 +66,25 @@ def get_session(
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r15 (guide §2, profiled): cached/persisted subtrees are
+        # planned WITHOUT AQE by default (the conf below defaults to
+        # false purely to keep a cached plan's output partitioning
+        # stable for downstream reuse), so every `.persist()` in a
+        # query path materialized its build shuffle at the static
+        # initialPartitionNum — the 256-row unigram vocab cache ran
+        # TWO 256-task stages for ~2 KB of shuffle (profiled; the
+        # same class as the r14 batch-6 localCheckpoint finding).
+        # With AQE on for cached plans the build coalesces by bytes
+        # locally and keeps full width at scale — the same adaptivity
+        # every uncached exchange already gets; no consumer here
+        # depends on a cached plan's physical partitioning.
+        # Interleaved A/B (3 rounds, min-of-3): tx_unigram_logprob
+        # 1.19→0.65 s, tx_bigram −0.1 s, tc_components/neardup_
+        # clusters within noise (plans/r15/ab_cachedaqe.json).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

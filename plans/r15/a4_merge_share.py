@@ -53,6 +53,9 @@ def main() -> None:
 
     walls: dict[int, list[float]] = {}
     for K in mults:
+        # label the cache materialization so it cannot be mis-attributed
+        # to the previous K's last repeat
+        sc.setJobDescription(f"cache_x{K}")
         inp = inflate_lineitem(base, K).persist()
         inp.count()
         for rep in range(repeats):
@@ -119,9 +122,14 @@ def main() -> None:
 
     out: dict[str, dict] = {
         "what": "a4_percentile_exact map-vs-merge stage share across the "
-        "inflate_lineitem octave (VERDICT r14 #8). merge = stages that "
-        "read the agg shuffle and write none; share = merge run_ms / "
-        "total run_ms of the LAST (warm) repeat.",
+        "inflate_lineitem octave (VERDICT r14 #8). map = the "
+        "partial-percentile stage (writes the agg shuffle), merge = the "
+        "final-percentile stage (reads it, writes none); share = merge "
+        "run_ms / (map + merge run_ms) of the LAST (warm) repeat. The "
+        "agg shuffle bytes are also recorded: Spark's exact Percentile "
+        "buffers (value -> count) maps, so replicated rows grow counts, "
+        "not buffer size — the merge input is bounded by DISTINCT "
+        "values per group whatever K is.",
         "sf_dir": sf_dir,
         "per_k": {},
     }
@@ -129,18 +137,22 @@ def main() -> None:
         d = f"a4x{K}#r{repeats-1}"
         stages = per_desc.get(d, [])
         merge = [s for s in stages if s["sr"] > 0 and s["sw"] == 0]
-        tot_run = sum(s["run_ms"] for s in stages) or 1
+        mapst = [s for s in stages if s["sw"] > 0]
         merge_run = sum(s["run_ms"] for s in merge)
+        map_run = sum(s["run_ms"] for s in mapst)
+        denom = (map_run + merge_run) or 1
         out["per_k"][K] = {
             "wall_min": round(min(walls[K]), 3),
             "stages": stages,
+            "map_run_ms": map_run,
             "merge_run_ms": merge_run,
-            "total_run_ms": tot_run,
-            "merge_share": round(merge_run / tot_run, 4),
+            "agg_shuffle_bytes": sum(s["sw"] for s in mapst),
+            "merge_share": round(merge_run / denom, 4),
         }
         print(
             f"K={K}: wall_min={min(walls[K]):.2f}s merge_share="
-            f"{merge_run / tot_run:.3f} ({merge_run}/{tot_run} ms)"
+            f"{merge_run / denom:.3f} ({merge_run}/{denom} ms) "
+            f"agg_shuffle={sum(s['sw'] for s in mapst)}B"
         )
     with open(
         os.path.join(REPO, "plans", "r15", "a4_merge_share.json"), "w"

@@ -283,6 +283,37 @@ def test_minhash_candidates_equi_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_minhash_candidate_widen_is_narrow_gated(spark):
+    """r15: the candidate set feeding the prefilter+verify chain is
+    widened to half-parallelism, but ONLY when the input scan was
+    narrower than the session parallelism (fixture layouts) — on a
+    wide input the pin must vanish (guide §2's no-op contract: the sig
+    joins lay candidates out through their own exchanges at scale)."""
+    import re as _re
+
+    from gpssbzd_spark.dataprep.dedup import minhash_dedup_pairs
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body "), (F.col("id") % 7).cast("string")).alias(
+            "text"
+        ),
+    )
+    want = max(8, sc.defaultParallelism // 2)
+
+    pat = rf"RoundRobinPartitioning\({want}\), REPARTITION_BY_NUM"
+
+    narrow = docs.coalesce(1)
+    plan_narrow = minhash_dedup_pairs(narrow)._jdf.queryExecution().toString()
+    assert _re.search(pat, plan_narrow), plan_narrow
+
+    wide = docs.repartition(sc.defaultParallelism * 2)
+    plan_wide = minhash_dedup_pairs(wide)._jdf.queryExecution().toString()
+    assert not _re.search(pat, plan_wide), plan_wide
+
+
 def test_enrich_dim_join_is_broadcast(spark):
     """Stream-static enrichment must broadcast the dim side — a
     sort-merge plan here would be impossible on a real stream (the
