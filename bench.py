@@ -220,10 +220,15 @@ REGISTERED_BAND = (70.0, 155.0)
 # total stays in the line as the legacy series, but its band stopped
 # discriminating anything on this fleet (three re-registrations in
 # r14; boot regimes swing wall ~2x on frozen code while stage CPU
-# stays flat — PERF_NOTES #17). INTERIM band pending the r15 freeze
-# captures (idle + deliberately-loaded runs); re-registered at freeze
-# with the measured numbers in this comment.
-REGISTERED_CPU_BAND = (20.0, 60.0)
+# stays flat — PERF_NOTES #17). Registered at the r15 freeze
+# (PERF_NOTES #18): idle capture total_cpu 103.2 (wall 86.7); the
+# SAME tree under a deliberate 32-process CPU burner read total_cpu
+# 95.0 while wall inflated to 101.2/median 114.0 and total_run to
+# 370 s — cpu is flat-to-lower where wall inflates, which is the
+# property the band needs. Mid-round capture before the batch-2
+# optimizations read 125.3. Floor 70 (cpu only drops if rows do less
+# work), ceiling 140 ≈ 1.35× the frozen-tree max observed.
+REGISTERED_CPU_BAND = (70.0, 140.0)
 
 # Per-row bands for the rows whose capture mins historically swing
 # >2x (the Python-kernel near-dup family; VERDICT r12 #7). Emitted in
